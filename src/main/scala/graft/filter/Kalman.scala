@@ -1,0 +1,385 @@
+package graft.filter
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.linalg.{DMat, Dense}
+import graft.state.{KeyedIn, StateSpec, StatefulStage, StageConf, TimeoutMode, NoTimeout, ProcessTimeout, EventTimeout}
+import graft.stats.Distributions
+
+/**
+ * Input row for Kalman-family filters. System matrices ride per-row so they
+ * can vary across measurements/keys; constant settings become literal columns
+ * (Catalyst folds them — zero per-row cost in the scan/shuffle).
+ *
+ * Semantics match the reference's filter input contract
+ * (/root/reference/src/main/scala/com/github/ozancicek/artan/ml/filter/KalmanBase.scala:505).
+ */
+case class KalmanIn(
+    stateKey: String,
+    eventTime: Option[Timestamp],
+    measurement: Option[Array[Double]],
+    measurementModel: DMat,
+    measurementNoise: DMat,
+    processModel: DMat,
+    processNoise: DMat,
+    control: Option[Array[Double]],
+    controlFunction: Option[DMat],
+    initialMean: Array[Double],
+    initialCovariance: DMat) extends KeyedIn
+
+/** In-flight per-key filter state (never leaves the executor in batch mode). */
+case class KState(
+    stateIndex: Long,
+    mean: Array[Double],
+    cov: Array[Double],
+    residualMean: Option[Array[Double]],
+    residualCov: Option[Array[Double]],
+    slidingLL: List[Double]) extends Serializable
+
+/** Per-measurement filter output. */
+case class KalmanOut(
+    stateKey: String,
+    stateIndex: Long,
+    stepIndex: Int,
+    eventTime: Option[Timestamp],
+    stateMean: Array[Double],
+    stateCovariance: DMat,
+    residualMean: Option[Array[Double]],
+    residualCovariance: Option[DMat],
+    loglikelihood: Option[Double],
+    mahalanobis: Option[Double],
+    slidingLikelihood: Option[Double])
+
+/**
+ * Predict/estimate cycle contract. Implementations (linear, extended,
+ * unscented, cubature) only provide the math; sequencing, missing-measurement
+ * handling and likelihood bookkeeping live in [[KalmanSpec]].
+ */
+trait KalmanCompute extends Serializable {
+  def stateSize: Int
+  def measurementSize: Int
+  def fadingFactor: Double
+
+  /** Time update: progress (mean, cov) through the process model. */
+  def predict(mean: Array[Double], cov: Array[Double], in: KalmanIn): (Array[Double], Array[Double])
+
+  /**
+   * Measurement update. Returns (newMean, newCov, residual, residualCov).
+   */
+  def estimate(mean: Array[Double], cov: Array[Double], in: KalmanIn)
+    : (Array[Double], Array[Double], Array[Double], Array[Double])
+}
+
+/** Standard linear Kalman math with Joseph-form covariance update. */
+class LinearKalmanCompute(val stateSize: Int, val measurementSize: Int, val fadingFactor: Double)
+    extends KalmanCompute {
+
+  def predict(mean: Array[Double], cov: Array[Double], in: KalmanIn): (Array[Double], Array[Double]) = {
+    val s = stateSize
+    val f = in.processModel.values
+    // x = F x (+ B u)
+    val m1 = Dense.matvec(f, mean, s, s)
+    (in.control, in.controlFunction) match {
+      case (Some(u), Some(b)) => Dense.axpy(1.0, Dense.matvec(b.values, u, s, u.length), m1)
+      case _ =>
+    }
+    // P = a^2 F P F^T + Q
+    val fp = Dense.matmul(f, cov, s, s, s)
+    val fpft = Dense.matmulNT(fp, f, s, s, s)
+    val a2 = fadingFactor * fadingFactor
+    val p1 = in.processNoise.values.clone()
+    Dense.axpy(a2, fpft, p1)
+    (m1, Dense.symmetrize(p1, s))
+  }
+
+  def estimate(mean: Array[Double], cov: Array[Double], in: KalmanIn)
+    : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val s = stateSize
+    val m = measurementSize
+    val h = in.measurementModel.values
+    val r = in.measurementNoise.values
+    val z = in.measurement.get
+
+    // residual = z - H x
+    val hx = Dense.matvec(h, mean, m, s)
+    val resid = Dense.sub(z, hx)
+    // S = H P H^T + R
+    val pht = Dense.matmulNT(cov, h, s, s, m) // P H^T (s x m)
+    val hpht = Dense.matmul(h, pht, m, s, m)
+    val sMat = Dense.add(hpht, r)
+    // K = P H^T S^-1  (s x m)
+    val sInv = Dense.inverse(sMat.clone(), m)
+    val gain = Dense.matmul(pht, sInv, s, m, m)
+    // x = x + K r
+    val newMean = mean.clone()
+    Dense.axpy(1.0, Dense.matvec(gain, resid, s, m), newMean)
+    // P = (I - K H) P (I - K H)^T + K R K^T  (Joseph form)
+    val ikh = Dense.eye(s)
+    Dense.axpy(-1.0, Dense.matmul(gain, h, s, m, s), ikh)
+    val ikhP = Dense.matmul(ikh, cov, s, s, s)
+    val joseph = Dense.matmulNT(ikhP, ikh, s, s, s)
+    val kr = Dense.matmul(gain, r, s, m, m)
+    val krkt = Dense.matmulNT(kr, gain, s, m, s)
+    val newCov = Dense.add(joseph, krkt)
+    (newMean, Dense.symmetrize(newCov, s), resid, sMat)
+  }
+}
+
+/**
+ * Folds measurements into filter states; shared by every Kalman-family
+ * transformer and by both batch and streaming physical paths.
+ */
+class KalmanSpec(
+    compute: KalmanCompute,
+    storeResidual: Boolean,
+    likelihoodWindow: Int,
+    multiStepPredict: Int,
+    computeLoglikelihood: Boolean,
+    computeMahalanobis: Boolean,
+    computeSlidingLikelihood: Boolean)
+  extends StateSpec[KalmanIn, KState, KalmanOut] {
+
+  def update(key: String, row: KalmanIn, state: Option[KState]): Option[KState] = {
+    val cur = state.getOrElse(
+      KState(0L, row.initialMean, row.initialCovariance.values, None, None, Nil))
+    val (pm, pc) = compute.predict(cur.mean, cur.cov, row)
+    val next = row.measurement match {
+      case Some(_) =>
+        val (em, ec, resid, residCov) = compute.estimate(pm, pc, row)
+        val slid =
+          if (computeSlidingLikelihood || computeLoglikelihood) {
+            val ll = Distributions.mvnLogpdf(resid, new Array[Double](resid.length), residCov.clone())
+            (cur.slidingLL :+ ll).takeRight(math.max(likelihoodWindow, 1))
+          } else Nil
+        KState(cur.stateIndex + 1, em, ec,
+          if (storeResidual) Some(resid) else None,
+          if (storeResidual) Some(residCov) else None,
+          slid)
+      case None =>
+        KState(cur.stateIndex + 1, pm, pc, None, None, cur.slidingLL)
+    }
+    Some(next)
+  }
+
+  def output(key: String, row: KalmanIn, state: KState): List[KalmanOut] = {
+    val m = compute.measurementSize
+    val base = toOut(key, row, state, 0)
+    if (multiStepPredict <= 0) List(base)
+    else {
+      val steps = List.newBuilder[KalmanOut]
+      steps += base
+      var mean = state.mean
+      var cov = state.cov
+      var i = 1
+      while (i <= multiStepPredict) {
+        val (pm, pc) = compute.predict(mean, cov, row)
+        mean = pm; cov = pc
+        steps += toOut(key, row, KState(state.stateIndex, pm, pc, None, None, Nil), i)
+        i += 1
+      }
+      steps.result()
+    }
+  }
+
+  private def toOut(key: String, row: KalmanIn, s: KState, stepIndex: Int): KalmanOut = {
+    val n = compute.stateSize
+    val ll = s.residualMean.flatMap { r =>
+      if (computeLoglikelihood)
+        Some(Distributions.mvnLogpdf(r, new Array[Double](r.length), s.residualCov.get.clone()))
+      else None
+    }
+    val maha = s.residualMean.flatMap { r =>
+      if (computeMahalanobis)
+        Some(Distributions.mahalanobis(r, new Array[Double](r.length), s.residualCov.get))
+      else None
+    }
+    val slid = if (computeSlidingLikelihood && s.slidingLL.nonEmpty) Some(math.exp(s.slidingLL.sum)) else None
+    KalmanOut(
+      key, s.stateIndex, stepIndex, row.eventTime,
+      s.mean, DMat(n, n, s.cov),
+      s.residualMean, s.residualCov.map(rc => DMat(compute.measurementSize, compute.measurementSize, rc)),
+      ll, maha, slid)
+  }
+}
+
+/**
+ * Shared builder for Kalman-family filters; mirrors the reference's setter
+ * surface (/root/reference/src/main/scala/com/github/ozancicek/artan/ml/filter/KalmanBase.scala:37)
+ * on a plain-Scala fluent API.
+ */
+abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
+    val stateSize: Int, val measurementSize: Int) { self: Impl =>
+
+  protected var stateKeyCol: Option[String] = None
+  protected var eventTimeCol: Option[String] = None
+  protected var measurementCol: String = "measurement"
+  protected var initialStateMean: Array[Double] = new Array[Double](stateSize)
+  protected var initialStateCovariance: DMat = DMat.eye(stateSize)
+  protected var initialStateMeanCol: Option[String] = None
+  protected var initialStateCovarianceCol: Option[String] = None
+  protected var processModel: DMat = DMat.eye(stateSize)
+  protected var processNoise: DMat = DMat.eye(stateSize)
+  protected var measurementModel: DMat = {
+    val v = new Array[Double](measurementSize * stateSize)
+    var i = 0
+    while (i < math.min(measurementSize, stateSize)) { v(i * stateSize + i) = 1.0; i += 1 }
+    DMat(measurementSize, stateSize, v)
+  }
+  protected var measurementNoise: DMat = DMat.eye(measurementSize)
+  protected var processModelCol: Option[String] = None
+  protected var processNoiseCol: Option[String] = None
+  protected var measurementModelCol: Option[String] = None
+  protected var measurementNoiseCol: Option[String] = None
+  protected var controlCol: Option[String] = None
+  protected var controlFunctionCol: Option[String] = None
+  protected var fadingFactor: Double = 1.0
+  protected var multiStepPredict: Int = 0
+  protected var calcLoglikelihood: Boolean = false
+  protected var calcMahalanobis: Boolean = false
+  protected var calcSlidingLikelihood: Boolean = false
+  protected var slidingLikelihoodWindow: Int = 1
+  protected var outputSystemMatrices: Boolean = false
+  protected var watermarkDuration: Option[String] = None
+  protected var timeoutMode: TimeoutMode = NoTimeout
+  protected var timeoutDuration: Option[String] = None
+  protected var mmaeEnabled: Boolean = false
+  protected var mmaeWindowDuration: Option[String] = None
+
+  def setStateKeyCol(v: String): Impl = { stateKeyCol = Some(v); this }
+  def setEventTimeCol(v: String): Impl = { eventTimeCol = Some(v); this }
+  def setMeasurementCol(v: String): Impl = { measurementCol = v; this }
+  def setInitialStateMean(v: Array[Double]): Impl = { initialStateMean = v; this }
+  def setInitialStateCovariance(v: DMat): Impl = { initialStateCovariance = v; this }
+  def setInitialStateMeanCol(v: String): Impl = { initialStateMeanCol = Some(v); this }
+  def setInitialStateCovarianceCol(v: String): Impl = { initialStateCovarianceCol = Some(v); this }
+  def setProcessModel(v: DMat): Impl = { processModel = v; this }
+  def setProcessNoise(v: DMat): Impl = { processNoise = v; this }
+  def setMeasurementModel(v: DMat): Impl = { measurementModel = v; this }
+  def setMeasurementNoise(v: DMat): Impl = { measurementNoise = v; this }
+  def setProcessModelCol(v: String): Impl = { processModelCol = Some(v); this }
+  def setProcessNoiseCol(v: String): Impl = { processNoiseCol = Some(v); this }
+  def setMeasurementModelCol(v: String): Impl = { measurementModelCol = Some(v); this }
+  def setMeasurementNoiseCol(v: String): Impl = { measurementNoiseCol = Some(v); this }
+  def setControlCol(v: String): Impl = { controlCol = Some(v); this }
+  def setControlFunctionCol(v: String): Impl = { controlFunctionCol = Some(v); this }
+  def setFadingFactor(v: Double): Impl = { fadingFactor = v; this }
+  def setMultiStepPredict(v: Int): Impl = { multiStepPredict = v; this }
+  def setCalculateLoglikelihood(): Impl = { calcLoglikelihood = true; this }
+  def setCalculateMahalanobis(): Impl = { calcMahalanobis = true; this }
+  def setCalculateSlidingLikelihood(): Impl = { calcSlidingLikelihood = true; this }
+  def setSlidingLikelihoodWindow(v: Int): Impl = { calcSlidingLikelihood = true; slidingLikelihoodWindow = v; this }
+  def setOutputSystemMatrices(): Impl = { outputSystemMatrices = true; this }
+  def setWatermarkDuration(v: String): Impl = { watermarkDuration = Some(v); this }
+  def setStateTimeoutMode(v: String): Impl = {
+    timeoutMode = v match {
+      case "none" => NoTimeout
+      case "process" => ProcessTimeout
+      case "event" => EventTimeout
+      case other => throw new IllegalArgumentException(s"unsupported timeout mode $other")
+    }
+    this
+  }
+  def setStateTimeoutDuration(v: String): Impl = { timeoutDuration = Some(v); this }
+  def setEnableMultipleModelAdaptiveEstimation(): Impl = { mmaeEnabled = true; this }
+  def setMultipleModelMeasurementWindowDuration(v: String): Impl = { mmaeWindowDuration = Some(v); this }
+
+  protected def compute: KalmanCompute
+
+  protected def storeResidual: Boolean = calcLoglikelihood || calcMahalanobis || calcSlidingLikelihood
+
+  private def matCol(colName: Option[String], default: DMat): Column = colName match {
+    case Some(c) => col(c)
+    case None => typedLit(default)
+  }
+
+  /** Wire user columns/defaults into the canonical KalmanIn shape. */
+  protected def toKalmanInput(df: DataFrame): Dataset[KalmanIn] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyExpr = stateKeyCol.map(c => col(c).cast("string")).getOrElse(lit(getClass.getSimpleName + ".default"))
+    val timeExpr = eventTimeCol.map(c => col(c).cast("timestamp")).getOrElse(lit(null).cast("timestamp"))
+    df.select(
+      keyExpr.as("stateKey"),
+      timeExpr.as("eventTime"),
+      col(measurementCol).cast("array<double>").as("measurement"),
+      matCol(measurementModelCol, measurementModel).as("measurementModel"),
+      matCol(measurementNoiseCol, measurementNoise).as("measurementNoise"),
+      matCol(processModelCol, processModel).as("processModel"),
+      matCol(processNoiseCol, processNoise).as("processNoise"),
+      controlCol.map(c => col(c).cast("array<double>")).getOrElse(lit(null).cast("array<double>")).as("control"),
+      controlFunctionCol.map(col).getOrElse(lit(null).cast("struct<numRows:int,numCols:int,values:array<double>>")).as("controlFunction"),
+      initialStateMeanCol.map(c => col(c).cast("array<double>")).getOrElse(typedLit(initialStateMean)).as("initialMean"),
+      initialStateCovarianceCol.map(col).getOrElse(typedLit(initialStateCovariance)).as("initialCovariance")
+    ).as[KalmanIn]
+  }
+
+  protected def spec: KalmanSpec = new KalmanSpec(
+    compute, storeResidual, slidingLikelihoodWindow, multiStepPredict,
+    calcLoglikelihood, calcMahalanobis, calcSlidingLikelihood)
+
+  /** Run the filter; batch or streaming chosen from the input DataFrame. */
+  def transform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val conf = StageConf(timeoutMode, timeoutDuration, watermarkDuration)
+    val outDs = StatefulStage.run(toKalmanInput(df), spec, conf)
+    val out = finalizeColumns(outDs.toDF())
+    if (mmaeEnabled) mmaeAggregate(out) else out
+  }
+
+  private def finalizeColumns(df: DataFrame): DataFrame = {
+    var out = df
+    if (!calcLoglikelihood) out = out.drop("loglikelihood")
+    if (!calcMahalanobis) out = out.drop("mahalanobis")
+    if (!calcSlidingLikelihood) out = out.drop("slidingLikelihood")
+    if (!storeResidual) out = out.drop("residualMean", "residualCovariance")
+    stateKeyCol.foreach(c => out = out.withColumnRenamed("stateKey", c))
+    eventTimeCol match {
+      case Some(c) => out = out.withColumnRenamed("eventTime", c)
+      case None => out = out.drop("eventTime")
+    }
+    out
+  }
+
+  /**
+   * MMAE: likelihood-weighted average of the filter bank's states per
+   * stateIndex (optionally windowed by event time). Declarative aggregation:
+   * weighted element-wise array sums via higher-order functions — stays in
+   * whole-stage codegen, one shuffle on the (window, stateIndex) key.
+   */
+  private def mmaeAggregate(df: DataFrame): DataFrame = {
+    require(calcSlidingLikelihood, "MMAE requires sliding likelihood")
+    val groupKeys: Seq[Column] = (mmaeWindowDuration match {
+      case Some(d) => Seq(window(col(eventTimeCol.getOrElse("eventTime")), d).as("eventWindow"))
+      case None => Seq.empty
+    }) :+ col("stateIndex")
+
+    val n = stateSize
+    val wMean = expr("transform(stateMean, x -> x * slidingLikelihood)")
+    val wCov = expr("transform(stateCovariance.values, x -> x * slidingLikelihood)")
+    df.withColumn("wMean", wMean).withColumn("wCov", wCov)
+      .groupBy(groupKeys: _*)
+      .agg(
+        sum(col("slidingLikelihood")).as("wSum"),
+        array((0 until n).map(i => sum(col("wMean")(i))): _*).as("meanSum"),
+        array((0 until n * n).map(i => sum(col("wCov")(i))): _*).as("covSum"))
+      .withColumn("stateMean", expr("transform(meanSum, x -> x / wSum)"))
+      .withColumn("stateCovariance",
+        struct(lit(n).as("numRows"), lit(n).as("numCols"),
+          expr("transform(covSum, x -> x / wSum)").as("values")))
+      .drop("wSum", "meanSum", "covSum")
+  }
+}
+
+/**
+ * Linear Kalman Filter — model-parallel online state estimation over batch or
+ * streaming DataFrames; the workhorse of the family.
+ */
+class LinearKalmanFilter(stateSize: Int, measurementSize: Int)
+    extends KalmanFilterBase[LinearKalmanFilter](stateSize, measurementSize) {
+  protected def compute: KalmanCompute = new LinearKalmanCompute(stateSize, measurementSize, fadingFactor)
+}
+

