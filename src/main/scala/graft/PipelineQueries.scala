@@ -1,0 +1,516 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{ExactDedup, MinHashLSH, SimHash}
+import graft.sim.Similarity
+import graft.text.TextFunctions
+
+/**
+ * LLM-training-data pipeline operators (SURVEY.md §2 #14-29) as driver-gate
+ * queries with DuckDB oracles. Every oracle replays the same integer/double
+ * arithmetic as the Spark-side declarative expressions, so comparisons are
+ * exact (rounding is only a final hash-stability guard).
+ */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  /** documents ∪ a truncated copy (ids offset by 100000) — injects known
+    * near-duplicates so dedup operators have positives to find. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("n_chars") > 120)
+      .select(col("doc_id"), col("text"))
+    docs.unionAll(docs.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      col("text").substr(lit(1), length(col("text")) - 30).as("text")))
+  }
+
+  private val nearDupCorpusSql =
+    """SELECT doc_id, text FROM documents WHERE n_chars > 120
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, substring(text, 1, CAST(length(text) - 30 AS INT)) AS text
+      |FROM documents WHERE n_chars > 120""".stripMargin
+
+  // ------------------------------------------------- shared DuckDB fragments
+
+  private val P = TextFunctions.P // 2147483647
+  private def duckToks(te: String = "text") =
+    s"list_filter(string_split_regex(lower($te), '[^a-z0-9]+'), t -> t != '')"
+  private def duckHash(e: String) =
+    s"(CAST(('0x' || substring(md5($e),1,8)) AS BIGINT) % $P)"
+  private def duckShingleSet(te: String = "text", n: Int = 3) =
+    s"""list_distinct(list_transform(
+       |  CASE WHEN len(${duckToks(te)}) >= $n
+       |       THEN list_transform(range(len(${duckToks(te)}) - ${n - 1}),
+       |                           i -> array_to_string(list_slice(${duckToks(te)}, i+1, i+$n), ' '))
+       |       ELSE [] END,
+       |  sh -> ${duckHash("sh")}))""".stripMargin
+
+  // =================================================================== queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      ExactDedup.groups(corpus, "doc_id", "text")
+        .select(col("content_hash"), col("canonical_id"), col("n_copies"))
+        .orderBy(col("content_hash"))
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      new MinHashLSH(32, 8, 3).nearDuplicates(corpus, "doc_id", "text", 0.4)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      SimHash.nearDuplicates(corpus, "doc_id", "text", 3)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // exact char-3-gram Jaccard for all pairs in a deterministic slice
+      val d = t(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"),
+          array_distinct(
+            when(length(lower(col("text"))) >= 3,
+              transform(
+                sequence(lit(1), length(lower(col("text"))) - 2),
+                i => TextFunctions.stableHash(lower(col("text")).substr(i, lit(3)))))
+              .otherwise(array().cast("array<bigint>"))).as("grams"))
+      val l = d.select(col("doc_id").as("a"), col("grams").as("ga"))
+      val r = d.select(col("doc_id").as("b"), col("grams").as("gb"))
+      l.crossJoin(r).where(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            (size(col("ga")) + size(col("gb")) - size(array_intersect(col("ga"), col("gb")))).cast("double"),
+            6).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_embed_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.42, planes = 8, dim = 64)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "qid", "qv", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.lshTopK(emb, q, "vec_id", "embedding", "qid", "qv", k = 10, planes = 6, dim = 64)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+          col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.langScore(col("text"), "en").as("s_en"),
+          TextFunctions.langScore(col("text"), "de").as("s_de"),
+          TextFunctions.langScore(col("text"), "es").as("s_es"),
+          TextFunctions.langScore(col("text"), "fr").as("s_fr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+          col("doc_id"),
+          TextFunctions.charLen(col("text")).cast("long").as("n_chars_c"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextFunctions.punctCount(col("text")).as("n_punct"),
+          round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TextFunctions.meanTokenLen(col("text")), 6).as("mean_tok_len"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+          col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_alnum"),
+          size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_ws"),
+          size(array_distinct(TextFunctions.tokens(col("text")))).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_window_agg" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(window(col("tsm"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+          col("sum_value"), col("avg_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("user_id"), col("ts")) // ts = raw ns long
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val flagged = ev.withColumn("new_s",
+        when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L || lag(col("ts"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      val sess = flagged.withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(
+          timestamp_micros(expr("min(ts) div 1000")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          expr("(max(ts) - min(ts)) div 1000000000").as("dur_sec"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "q1_pricing" -> ((s, dir) => {
+      val d2 = "decimal(12,2)"
+      val one = lit(1).cast(d2)
+      val li = t(s, dir, "lineitem").where(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(d2)).cast("decimal(30,2)").as("dq"),
+          sum(col("l_extendedprice").cast(d2)).cast("decimal(30,2)").as("db"),
+          sum(col("l_extendedprice").cast(d2) * (one - col("l_discount").cast(d2)))
+            .cast("decimal(30,4)").as("dd"),
+          sum(col("l_extendedprice").cast(d2) * (one - col("l_discount").cast(d2)) * (one + col("l_tax").cast(d2)))
+            .cast("decimal(38,6)").as("dc"),
+          count(lit(1)).as("count_order"))
+        // exact decimal sums, exported as doubles (one deterministic cast)
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("dq").cast("double").as("sum_qty"),
+          col("db").cast("double").as("sum_base"),
+          col("dd").cast("double").as("sum_disc_price"),
+          col("dc").cast("double").as("sum_charge"),
+          col("count_order"),
+          (col("dq").cast("double") / col("count_order")).as("avg_qty"),
+          (col("db").cast("double") / col("count_order")).as("avg_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_shipping" -> ((s, dir) => {
+      val d2 = "decimal(12,2)"
+      val one = lit(1).cast(d2)
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast(d2) * (one - col("l_discount").cast(d2)))
+          .cast("decimal(30,4)").cast("double").as("revenue"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  // ================================================================== oracles
+
+  private def minhashSigSql: String = {
+    val sigs = (0 until 32).map { i =>
+      val a = MinHashLSH.coefA(i); val b = MinHashLSH.coefB(i)
+      s"coalesce(list_min(list_transform(sset, x -> ($a*x + $b) % $P)), $P)"
+    }
+    s"[${sigs.mkString(",\n    ")}]"
+  }
+
+  private def minhashOracle: String = {
+    val bandSelects = (0 until 8).map { bIdx =>
+      val parts = (1 to 4).map(r => s"sig[${bIdx * 4 + r}]")
+      s"SELECT doc_id, $bIdx AS band, concat_ws('_', ${parts.mkString(", ")}) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |$nearDupCorpusSql
+       |),
+       |sets AS (
+       |  SELECT doc_id, ${duckShingleSet()} AS sset FROM corpus
+       |),
+       |sigs AS (
+       |  SELECT doc_id, sset, $minhashSigSql AS sig FROM sets
+       |),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, ROUND(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+       |       CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE), 6) AS jaccard
+       |FROM cands JOIN sets sa ON cands.a = sa.doc_id JOIN sets sb ON cands.b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+       |      CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) >= 0.4
+       |ORDER BY a, b""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val h60 = "CAST(('0x' || substring(md5(t),1,15)) AS BIGINT)"
+    val bitTerms = (0 until 60).map { j =>
+      s"CASE WHEN coalesce(list_sum(list_transform(toks, h -> ((h >> $j) & 1)*2 - 1)), 0) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n    + ")
+    val chunkSelects = (0 until 4).map { c =>
+      s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${c * 15}) & ${(1L << 15) - 1} AS cval FROM sims"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |$nearDupCorpusSql
+       |),
+       |toksT AS (
+       |  SELECT doc_id, list_transform(${duckToks()}, t -> $h60) AS toks FROM corpus
+       |),
+       |sims AS (
+       |  SELECT doc_id, $bitTerms AS simhash FROM toksT
+       |),
+       |chunks AS (
+       |  $chunkSelects
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |         CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+       |  FROM chunks l JOIN chunks r ON l.chunk = r.chunk AND l.cval = r.cval AND l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+  }
+
+  private def cosineSql(a: String, b: String): String = {
+    val prod = s"list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))"
+    val sq = (v: String) => s"list_transform(range(len($v)), i -> CAST($v[i+1] AS DOUBLE) * CAST($v[i+1] AS DOUBLE))"
+    val fold = (l: String) => s"list_reduce($l, (x, y) -> x + y)"
+    s"""(CASE WHEN sqrt(${fold(sq(a))}) > 0.0 AND sqrt(${fold(sq(b))}) > 0.0
+       | THEN ${fold(prod)} / (sqrt(${fold(sq(a))}) * sqrt(${fold(sq(b))})) ELSE 0.0 END)""".stripMargin
+  }
+
+  /** LSH bucket replay: same LCG planes, same left-fold dot product. */
+  private def lshBucketSql(vec: String, planes: Int, dim: Int): String = {
+    val bits = (0 until planes).map { j =>
+      val comps = (0 until dim).map { d =>
+        s"CAST(${Similarity.lcg(j * dim + d) % 2001L} - 1000 AS DOUBLE)/1000.0"
+      }
+      val planeArr = s"[${comps.mkString(", ")}]"
+      s"""CASE WHEN list_reduce(list_transform(range($dim), i -> CAST($vec[i+1] AS DOUBLE) * list_extract($planeArr, i+1)), (x,y) -> x + y) >= 0.0
+         | THEN ${1L << j} ELSE 0 END""".stripMargin
+    }
+    bits.mkString("(", "\n + ", ")")
+  }
+
+  private def annTopkOracle: String =
+    s"""WITH c AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.qid, c.vec_id, ROUND(${cosineSql("c.embedding", "q.qv")}, 6) AS sim
+       |  FROM c CROSS JOIN q WHERE c.vec_id != q.qid
+       |),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  private def annLshOracle: String =
+    s"""WITH cb AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 6, 64)} AS bucket FROM embeddings),
+       |qb AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM cb WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT qb.qid, cb.vec_id, ROUND(${cosineSql("cb.embedding", "qb.qv")}, 6) AS sim
+       |  FROM cb JOIN qb ON cb.bucket = qb.bucket WHERE cb.vec_id != qb.qid
+       |),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  private def embedNearDupOracle: String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 8, 64)} AS bucket FROM embeddings)
+       |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+       |       ROUND(${cosineSql("l.embedding", "r.embedding")}, 6) AS sim
+       |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE ROUND(${cosineSql("l.embedding", "r.embedding")}, 6) >= 0.42
+       |ORDER BY a, b""".stripMargin
+
+  private def langIdOracle: String = {
+    val scores = TextFunctions.LangStopwords.filter(_._2.nonEmpty).map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      l -> s"CAST(len(list_filter(${duckToks()}, t -> t IN ($inList))) AS BIGINT)"
+    }
+    val names = TextFunctions.LangStopwords.map(_._1)
+    val scoreExpr = names.map(l => scores.toMap.getOrElse(l, "CAST(0 AS BIGINT)"))
+    val caseChain = names.zipWithIndex.foldRight("'und'") { case ((l, i), els) =>
+      val conds = scoreExpr.zipWithIndex.filter(_._2 != i).map { case (_, jj) => s"s_$i >= s_$jj" }
+      s"CASE WHEN ${conds.mkString(" AND ")} THEN '$l' ELSE $els END"
+    }
+    val selScores = scoreExpr.zipWithIndex.map { case (e, i) => s"$e AS s_$i" }.mkString(",\n    ")
+    s"""WITH sc AS (
+       |  SELECT doc_id, $selScores FROM documents
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN ${names.indices.map(i => s"s_$i").mkString(" + ")} = 0 THEN 'und' ELSE $caseChain END AS lang_pred,
+       |  s_0 AS s_en, s_1 AS s_de, s_2 AS s_es, s_3 AS s_fr
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  private def qualityOracle: String = {
+    val stop = TextFunctions.EnStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, ${duckToks()} AS toks,
+       |    CAST(length(text) AS BIGINT) AS n_chars_c,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+       |  FROM documents
+       |),
+       |m AS (
+       |  SELECT doc_id, n_chars_c, CAST(len(toks) AS BIGINT) AS n_tokens, n_punct,
+       |    CASE WHEN len(toks) > 0
+       |         THEN CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |         ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN len(toks) > 0
+       |         THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |         ELSE 0.0 END AS mean_tok_len
+       |  FROM base
+       |)
+       |SELECT doc_id, n_chars_c, n_tokens, n_punct,
+       |  ROUND(stop_ratio, 6) AS stop_ratio,
+       |  ROUND(mean_tok_len, 6) AS mean_tok_len,
+       |  ROUND(
+       |    (least(CAST(n_chars_c AS DOUBLE)/500.0, 1.0) * 0.3)
+       |    + ((1.0 - least((CASE WHEN n_chars_c > 0 THEN CAST(n_punct AS DOUBLE)/CAST(n_chars_c AS DOUBLE) ELSE 0.0 END) * 10.0, 1.0)) * 0.2)
+       |    + (least(stop_ratio * 3.0, 1.0) * 0.3)
+       |    + ((CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.2)
+       |  , 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents
+         |)
+         |SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM corpus GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_simhash" -> simhashOracle,
+
+    "q_ngram_jaccard" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      CASE WHEN length(lower(text)) >= 3
+         |           THEN list_transform(range(1, length(lower(text)) - 1), i -> substring(lower(text), i, 3))
+         |           ELSE [] END,
+         |      s -> ${duckHash("s")})) AS grams
+         |  FROM documents WHERE doc_id < 60
+         |)
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |  ROUND(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
+         |        CAST(len(l.grams) + len(r.grams) - len(list_intersect(l.grams, r.grams)) AS DOUBLE), 6) AS jaccard
+         |FROM g l CROSS JOIN g r WHERE l.doc_id < r.doc_id
+         |ORDER BY a, b""".stripMargin,
+
+    "q_embed_neardup" -> embedNearDupOracle,
+    "q_ann_topk" -> annTopkOracle,
+    "q_ann_lsh" -> annLshOracle,
+    "q_lang_id" -> langIdOracle,
+    "q_quality" -> qualityOracle,
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${duckToks()}) AS BIGINT) AS n_alnum,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS BIGINT) AS n_ws,
+         |  CAST(len(list_distinct(${duckToks()})) AS BIGINT) AS n_distinct
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT), list_transform(${duckToks()}, t -> ${duckHash("t")})),
+         |    (acc, h) -> (acc * 31 + h) % $P) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n, ROUND(sum(value), 4) AS sum_value, ROUND(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ns FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, ns,
+        |    CASE WHEN lag(ns) OVER w IS NULL OR ns - lag(ns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns)
+        |),
+        |sess AS (
+        |  SELECT user_id, ns,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ns ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id,
+        |  make_timestamp(min(ns) // 1000) AS session_start,
+        |  count(*) AS n_events,
+        |  (max(ns) - min(ns)) // 1000000000 AS dur_sec
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE) AS sum_base,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

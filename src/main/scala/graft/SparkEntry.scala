@@ -44,7 +44,9 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = filterQueries ++ PipelineQueries.queries
+
+  private def filterQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lkf_llt" -> ((s, dir) => {
       // Local-level Kalman filter per user over event values; final state per key.
       val ev = events(s, dir)
@@ -290,5 +292,5 @@ object SparkEntry {
     "q_lkf_blr" -> blrOracle,
     "q_rls" -> rlsOracle,
     "q_lms" -> lmsOracle
-  )
+  ) ++ PipelineQueries.oracleSql
 }

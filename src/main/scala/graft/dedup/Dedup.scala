@@ -1,0 +1,175 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/**
+ * Exact deduplication by content hash. One hash-aggregation shuffle on the
+ * md5 of the text — the canonical 100 TB dedup first pass. Output keeps the
+ * smallest id per content group plus the duplicate count.
+ */
+object ExactDedup {
+
+  /** One row per distinct content: canonical (min) id and group size. */
+  def groups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Deduplicated dataset: keeps exactly the canonical row per content. */
+  def dedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = groups(df, idCol, textCol).select(col("canonical_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+}
+
+/**
+ * MinHash + banded LSH near-duplicate detection, fully declarative:
+ *
+ *   shingle -> 31-bit hash set -> k minhashes -> b bands -> band-bucket
+ *   self-join -> distinct candidate pairs -> exact Jaccard verify
+ *
+ * Scale design: the only shuffles are (1) the band-bucket equi-join whose
+ * key cardinality is ~corpus x bands (band id is part of the key, so bucket
+ * skew is bounded per band), and (2) the semi-join pulling shingle sets for
+ * verification. Signatures are k longs/doc regardless of doc size.
+ *
+ * Hash family: h_i(x) = (a_i * x + b_i) mod P on 31-bit shingle hashes, with
+ * deterministic LCG-derived coefficients so any engine can replay them.
+ */
+class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: Int = 3) {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  val rowsPerBand: Int = numHashes / bands
+
+  /** Deterministic hash coefficients (shared with oracle replay). */
+  def coefA(i: Int): Long = MinHashLSH.coefA(i)
+  def coefB(i: Int): Long = MinHashLSH.coefB(i)
+
+  /** Adds `sig` (array of numHashes minhash values). The shingle set is
+    * materialized in its own projection first so tokenization+md5 runs ONCE
+    * per row, not once per hash function (CollapseProject keeps multi-use
+    * aliases separate, so the 32 minhash expressions share it). */
+  def withSignature(df: DataFrame, textCol: String): DataFrame = {
+    val withSet = df.withColumn("_sset", shingleHashSet(col(textCol), shingleSize))
+    val sig = array((0 until numHashes).map { i =>
+      val a = coefA(i); val b = coefB(i)
+      // empty docs get sentinel P (impossible minhash value)
+      coalesce(array_min(transform(col("_sset"), x => (lit(a) * x + lit(b)) % P)), lit(P))
+    }: _*)
+    withSet.withColumn("sig", sig).drop("_sset")
+  }
+
+  /** Adds (band, bucket) pairs, one row per band. */
+  def banded(df: DataFrame, textCol: String): DataFrame = {
+    val withSig = withSignature(df, textCol)
+    val bandCols = array((0 until bands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col("sig")(bIdx * rowsPerBand + r)): _*).as("bucket"))
+    }: _*)
+    withSig.withColumn("bb", explode(bandCols))
+      .select(df.columns.map(col) :+ col("sig") :+ col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
+  }
+
+  /**
+   * Distinct candidate id pairs (a < b) sharing at least one band bucket.
+   */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val b = banded(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("band"), col("bucket"))
+    val l = b.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val r = b.select(col(idCol).as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /**
+   * Near-duplicate pairs with exact Jaccard >= threshold on the distinct
+   * shingle sets of the candidates.
+   */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val cands = candidatePairs(df, idCol, textCol)
+    val sets = df.select(col(idCol).as("sid"), shingleHashSet(col(textCol), shingleSize).as("sset"))
+    cands
+      .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
+      .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
+      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+}
+
+object MinHashLSH {
+  import graft.text.TextFunctions.P
+
+  /** LCG-derived multiplier, guaranteed in [1, P-1]. */
+  def coefA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % (P - 1) + 1L
+
+  /** LCG-derived offset in [0, P-1]. */
+  def coefB(i: Int): Long = (69069L * (i + 1) + 1234567L) % P
+}
+
+/**
+ * SimHash near-duplicate detection: 60-bit fingerprint (bit j set when the
+ * signed sum of token-hash bit j over the document is positive), candidate
+ * generation by exact match on one of four 15-bit chunks (guarantees recall
+ * for hamming distance <= 3), verification by bit_count(xor).
+ */
+object SimHash {
+
+  val Bits = 60
+  val Chunks = 4
+  val ChunkBits: Int = Bits / Chunks
+
+  /** 60-bit hash of one token string (15 hex chars of md5). */
+  def tokenHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Simhash from a pre-materialized token-hash array column: ONE pass over
+    * the tokens folding a 60-counter array (integer arithmetic, so the result
+    * is identical to the per-bit formulation but codegen is ~60x smaller). */
+  def simhashFromToks(toks: Column): Column = {
+    val bitIdx = sequence(lit(0), lit(Bits - 1))
+    val counts = aggregate(toks, array_repeat(lit(0L), Bits),
+      (acc, h) => zip_with(acc, bitIdx,
+        (c, j) => c + (call_function("shiftright", h, j).bitwiseAND(1L) * 2L - 1L)))
+    aggregate(
+      zip_with(counts, bitIdx,
+        (c, j) => when(c > 0L, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** The 60-bit simhash fingerprint of a document. */
+  def simhash(text: Column): Column =
+    simhashFromToks(transform(tokens(text), tokenHash60 _))
+
+  /** One row per chunk: (id, chunk index, 15-bit chunk value, simhash).
+    * Token hashes materialize in their own projection so the 60 per-bit
+    * aggregates share one tokenization pass. */
+  def chunked(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withSim = df
+      .select(col(idCol), transform(tokens(col(textCol)), tokenHash60 _).as("_toks"))
+      .select(col(idCol), simhashFromToks(col("_toks")).as("simhash"))
+    val chunks = array((0 until Chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * ChunkBits).bitwiseAND((1L << ChunkBits) - 1L).as("cval"))
+    }: _*)
+    withSim.withColumn("cc", explode(chunks))
+      .select(col(idCol), col("simhash"), col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
+  }
+
+  /** Near-dup pairs with hamming distance <= maxHamming. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val ch = chunked(df, idCol, textCol)
+    val l = ch.select(col(idCol).as("a"), col("simhash").as("sim_a"), col("chunk"), col("cval"))
+    val r = ch.select(col(idCol).as("b"), col("simhash").as("sim_b"), col("chunk"), col("cval"))
+    l.join(r, Seq("chunk", "cval"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}
