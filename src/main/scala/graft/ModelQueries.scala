@@ -1,0 +1,549 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.filter._
+import graft.linalg.DMat
+import graft.mixture.{BernoulliMixture, MultivariateGaussianMixture, PoissonMixture}
+import graft.multimodal.Multimodal
+import graft.smoother.LinearKalmanSmoother
+
+/**
+ * Driver-gate queries for the nonlinear filters, smoother, MMAE, mixtures,
+ * multi-step prediction, vector functions and multimodal plumbing
+ * (SURVEY.md §2 #5-13, 27, 30). Nonlinear-filter oracles replay the exact
+ * IEEE operation sequence (+,-,*,/ and sqrt are all correctly rounded, so
+ * sigma-point recursions replay bit-exact in SQL); mixtures and MMAE use
+ * exp/log whose last-ulp behavior is libm-specific, so they are rows-only
+ * with ScalaTest convergence coverage instead.
+ */
+object ModelQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** unique (user_id, ts) measurement stream, z = avg event value. */
+  private def userStream(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(col("user_id"), col("ts")).agg(avg(col("value")).as("z"))
+
+  private val userStreamSql =
+    """SELECT user_id, ts, avg(value) AS z,
+      |       row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |FROM events GROUP BY user_id, ts""".stripMargin
+
+  private val regressionStreamSql =
+    """SELECT l_suppkey AS key, l_shipdate AS ts,
+      |       avg(l_quantity) AS x, avg(l_extendedprice)/1000 AS y,
+      |       row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS rn
+      |FROM lineitem GROUP BY l_suppkey, l_shipdate""".stripMargin
+
+  private def regressionStream(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_shipdate"))
+      .agg(avg(col("l_quantity")).as("x"), (avg(col("l_extendedprice")) / 1000).as("y"))
+
+  // ================================================================= queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_ekf" -> ((s, dir) => {
+      // EKF with polynomial measurement h(th) = (th0 + th1*x)^2 per supplier
+      // (data rides in through the measurement model matrix, like the
+      // reference's GLM examples).
+      val ms = regressionStream(s, dir)
+        .withColumn("meas", array(col("y")))
+        .withColumn("hmat",
+          struct(lit(1).as("numRows"), lit(2).as("numCols"),
+            array(lit(1.0), col("x")).as("values")))
+      val ekf = new ExtendedKalmanFilter(2, 1)
+        .setStateKeyCol("l_suppkey")
+        .setEventTimeCol("l_shipdate")
+        .setMeasurementCol("meas")
+        .setMeasurementModelCol("hmat")
+        .setMeasurementFunction((st, h) => {
+          val x = h.values(1)
+          val u = st(0) + st(1) * x
+          Array(u * u)
+        })
+        .setMeasurementStateJacobian((st, h) => {
+          val x = h.values(1)
+          val u = st(0) + st(1) * x
+          DMat(1, 2, Array(2.0 * u, (2.0 * u) * x))
+        })
+        .setInitialStateMean(Array(5.0, 0.0))
+        .setInitialStateCovariance(DMat.of(2, 2, 10.0, 0.0, 0.0, 10.0))
+        .setProcessNoise(DMat.zeros(2, 2))
+        .setMeasurementNoise(DMat.of(1, 1, 10.0))
+      ekf.transform(ms)
+        .groupBy(col("l_suppkey"))
+        .agg(max_by(col("stateMean"), col("stateIndex")).as("th"))
+        .select(
+          col("l_suppkey").cast("long").as("key"),
+          round(col("th")(0), 6).as("th0"),
+          round(col("th")(1), 6).as("th1"))
+        .orderBy(col("key"))
+    }),
+
+    "q_ukf" -> ((s, dir) => {
+      // 1-state UKF (merwe) tracking sqrt of the event value: z = x^2 + noise
+      val ukf = new UnscentedKalmanFilter(1, 1)
+        .setStateKeyCol("user_id")
+        .setEventTimeCol("ts")
+        .setMeasurementCol("meas")
+        .setSigmaPoints("merwe")
+        .setMerweAlpha(0.6).setMerweBeta(2.0).setMerweKappa(0.5)
+        .setMeasurementFunction((st, _) => Array(st(0) * st(0)))
+        .setInitialStateMean(Array(5.0))
+        .setInitialStateCovariance(DMat.of(1, 1, 5.0))
+        .setProcessNoise(DMat.of(1, 1, 0.1))
+        .setMeasurementNoise(DMat.of(1, 1, 25.0))
+      ukf.transform(userStream(s, dir).withColumn("meas", array(col("z"))))
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("stateMean")(0), col("stateIndex")).as("m"),
+          max_by(col("stateCovariance.values")(0), col("stateIndex")).as("p"))
+        .select(col("user_id").cast("long").as("key"),
+          round(col("m"), 5).as("state_mean"), round(col("p"), 5).as("state_cov"))
+        .orderBy(col("key"))
+    }),
+
+    "q_ckf" -> ((s, dir) => {
+      val ckf = new CubatureKalmanFilter(1, 1)
+        .setStateKeyCol("user_id")
+        .setEventTimeCol("ts")
+        .setMeasurementCol("meas")
+        .setMeasurementFunction((st, _) => Array(st(0) * st(0)))
+        .setInitialStateMean(Array(5.0))
+        .setInitialStateCovariance(DMat.of(1, 1, 5.0))
+        .setProcessNoise(DMat.of(1, 1, 0.1))
+        .setMeasurementNoise(DMat.of(1, 1, 25.0))
+      ckf.transform(userStream(s, dir).withColumn("meas", array(col("z"))))
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("stateMean")(0), col("stateIndex")).as("m"),
+          max_by(col("stateCovariance.values")(0), col("stateIndex")).as("p"))
+        .select(col("user_id").cast("long").as("key"),
+          round(col("m"), 5).as("state_mean"), round(col("p"), 5).as("state_cov"))
+        .orderBy(col("key"))
+    }),
+
+    "q_rts" -> ((s, dir) => {
+      // RTS smoother over the local-level model; smoothed state at every step
+      val sm = new LinearKalmanSmoother(1, 1)
+      sm.setStateKeyCol("user_id")
+        .setEventTimeCol("ts")
+        .setMeasurementCol("meas")
+        .setInitialStateMean(Array(0.0))
+        .setInitialStateCovariance(DMat.of(1, 1, 10.0))
+        .setProcessNoise(DMat.of(1, 1, 1.0))
+        .setMeasurementNoise(DMat.of(1, 1, 4.0))
+      sm.transform(userStream(s, dir).withColumn("meas", array(col("z"))))
+        .select(
+          col("user_id").cast("long").as("key"),
+          col("stateIndex"),
+          round(col("stateMean")(0), 5).as("sm_mean"),
+          round(col("stateCovariance.values")(0), 6).as("sm_cov"))
+        .orderBy(col("key"), col("stateIndex"))
+    }),
+
+    "q_multistep" -> ((s, dir) => {
+      // multi-step predict: LLT filter emitting 2 extra predict-only steps
+      val lkf = new LinearKalmanFilter(1, 1)
+        .setStateKeyCol("user_id")
+        .setEventTimeCol("ts")
+        .setMeasurementCol("meas")
+        .setMultiStepPredict(2)
+        .setInitialStateMean(Array(0.0))
+        .setInitialStateCovariance(DMat.of(1, 1, 10.0))
+        .setProcessNoise(DMat.of(1, 1, 1.0))
+        .setMeasurementNoise(DMat.of(1, 1, 4.0))
+      val out = lkf.transform(userStream(s, dir).withColumn("meas", array(col("z"))))
+      val maxIdx = out.groupBy(col("user_id").as("u")).agg(max(col("stateIndex")).as("mi"))
+      out.join(maxIdx, out("user_id") === maxIdx("u") && out("stateIndex") === maxIdx("mi"))
+        .select(
+          col("user_id").cast("long").as("key"),
+          col("stepIndex").cast("long").as("step"),
+          round(col("stateMean")(0), 5).as("m"),
+          round(col("stateCovariance.values")(0), 5).as("p"))
+        .orderBy(col("key"), col("step"))
+    }),
+
+    "q_mmae" -> ((s, dir) => {
+      // bank of 3 local-level filters with different measurement noises,
+      // MMAE-weighted by sliding likelihood (rows-only oracle; exp/log)
+      val base = userStream(s, dir).where(col("user_id") === 0)
+      val bank = base.crossJoin(
+        s.range(3).select(col("id").as("fid"),
+          expr("struct(1 as numRows, 1 as numCols, array(double(1 + id*4)) as values)").as("rmat")))
+      val lkf = new LinearKalmanFilter(1, 1)
+        .setStateKeyCol("bankKey")
+        .setEventTimeCol("ts")
+        .setMeasurementCol("meas")
+        .setMeasurementNoiseCol("rmat")
+        .setInitialStateCovariance(DMat.of(1, 1, 10.0))
+        .setProcessNoise(DMat.of(1, 1, 1.0))
+        .setSlidingLikelihoodWindow(5)
+        .setEnableMultipleModelAdaptiveEstimation()
+      lkf.transform(
+          bank.withColumn("bankKey", concat(col("user_id"), lit("_"), col("fid")))
+            .withColumn("meas", array(col("z"))))
+        .select(col("stateIndex"), round(col("stateMean")(0), 4).as("m"))
+        .orderBy(col("stateIndex"))
+    }),
+
+    "q_gmm" -> ((s, dir) => {
+      // online 2-component gaussian mixture per event_type over value
+      val gmm = new MultivariateGaussianMixture(2, 1)
+        .setStateKeyCol("event_type")
+        .setEventTimeCol("ts")
+        .setSampleCol("sample")
+        .setStepSize(0.05)
+        .setMinibatchSize(16)
+        .setInitialMeans(Array(Array(50.0), Array(300.0)))
+        .setInitialCovariances(Array(Array(2500.0), Array(2500.0)))
+      gmm.transform(events(s, dir).withColumn("sample", array(col("value"))))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("stateIndex")).as("n_batches"),
+          max_by(col("weights")(0), col("stateIndex")).as("w0"),
+          max_by(col("params")(0)(0), col("stateIndex")).as("mu0"),
+          max_by(col("params")(1)(0), col("stateIndex")).as("mu1"))
+        .select(col("event_type"), col("n_batches"),
+          round(col("w0"), 4).as("w0"), round(col("mu0"), 3).as("mu0"), round(col("mu1"), 3).as("mu1"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_pmm" -> ((s, dir) => {
+      // online poisson mixture over integerized event values
+      val pmm = new PoissonMixture(2)
+        .setStateKeyCol("event_type")
+        .setEventTimeCol("ts")
+        .setSampleCol("k")
+        .setStepSize(0.05)
+        .setMinibatchSize(16)
+        .setInitialRates(Array(10.0, 100.0))
+      pmm.transform(events(s, dir).withColumn("k", expr("CAST(value / 10 AS LONG)")))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("stateIndex")).as("n_batches"),
+          max_by(col("params")(0)(0), col("stateIndex")).as("rate0"),
+          max_by(col("params")(1)(0), col("stateIndex")).as("rate1"))
+        .select(col("event_type"), col("n_batches"),
+          round(col("rate0"), 3).as("rate0"), round(col("rate1"), 3).as("rate1"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_bmm" -> ((s, dir) => {
+      // online bernoulli mixture: success = value above median-ish threshold
+      val bmm = new BernoulliMixture(2)
+        .setStateKeyCol("event_type")
+        .setEventTimeCol("ts")
+        .setSampleCol("b")
+        .setStepSize(0.05)
+        .setMinibatchSize(16)
+        .setInitialProbabilities(Array(0.2, 0.8))
+      bmm.transform(events(s, dir).withColumn("b", (col("value") > 100).cast("double")))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("stateIndex")).as("n_batches"),
+          max_by(col("params")(0)(0), col("stateIndex")).as("p0"),
+          max_by(col("params")(1)(0), col("stateIndex")).as("p1"))
+        .select(col("event_type"), col("n_batches"),
+          round(col("p0"), 3).as("p0"), round(col("p1"), 3).as("p1"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_vector_fns" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 200)
+        .withColumn("v", col("embedding").cast("array<double>"))
+      emb.select(
+          col("vec_id"),
+          round(dotVector(col("v"), col("v")), 6).as("dot_self"),
+          round(normVector(col("v")), 6).as("nrm"),
+          round(aggregate(scalVector(lit(2.0), col("v")), lit(0.0), (a, x) => a + x), 6).as("scal_sum"),
+          round(aggregate(axpyVector(lit(3.0), col("v"), col("v")), lit(0.0), (a, x) => a + x), 6).as("axpy_sum"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_multimodal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withBin = Multimodal.withBinaryPayload(docs, "text")
+      Multimodal.decodeStub(withBin, "doc_id", "payload").toDF()
+        .select(
+          col("doc_id"),
+          col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("feature")(0).as("feat0"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ================================================================= oracles
+
+  /** EKF polynomial-measurement replay (2-state, generalizes the BLR CTE with
+    * linearized H = [j0, j1] and nonlinear residual). */
+  private def ekfOracle: String = {
+    val r = "10.0"
+    // shared subexpressions materialized via nested SELECTs
+    def step(src: String): String =
+      s"""  SELECT key, rn,
+         |    th0 + (k0*resid) AS th0, th1 + (k1*resid) AS th1,
+         |    (((i00*p00) + (i01*p01))*i00 + ((i00*p01) + (i01*p11))*i01) + ((k0*$r)*k0) AS c00,
+         |    0.5*(
+         |      ((((i00*p00) + (i01*p01))*i10 + ((i00*p01) + (i01*p11))*i11) + ((k0*$r)*k1))
+         |      +
+         |      (((i10*p00 + i11*p01)*i00 + (i10*p01 + i11*p11)*i01) + ((k1*$r)*k0))
+         |    ) AS c01,
+         |    (((i10*p00 + i11*p01)*i10 + (i10*p01 + i11*p11)*i11) + ((k1*$r)*k1)) AS c11
+         |  FROM (
+         |    SELECT *, 1.0 + (-1.0*(k0*j0)) AS i00, -(k0*j1) AS i01,
+         |           -(k1*j0) AS i10, 1.0 + (-1.0*(k1*j1)) AS i11
+         |    FROM (
+         |      SELECT *, (pht0*sinv) AS k0, (pht1*sinv) AS k1
+         |      FROM (
+         |        SELECT *, (1.0/(((j0*pht0) + (j1*pht1)) + $r)) AS sinv
+         |        FROM (
+         |          SELECT *, (p00*j0) + (p01*j1) AS pht0, (p01*j0) + (p11*j1) AS pht1
+         |          FROM (
+         |            SELECT *, (2.0*(th0 + (th1*x))) AS j0, ((2.0*(th0 + (th1*x)))*x) AS j1,
+         |                   y - ((th0 + (th1*x)) * (th0 + (th1*x))) AS resid
+         |            FROM $src
+         |          )
+         |        )
+         |      )
+         |    )
+         |  )""".stripMargin
+    s"""WITH RECURSIVE meas AS (
+       |$regressionStreamSql
+       |),
+       |filt AS (
+       |  SELECT key, rn, th0, th1, c00 AS p00, c01 AS p01, c11 AS p11 FROM (
+       |${step("(SELECT key, rn, x, y, 5.0 AS th0, 0.0 AS th1, 10.0 AS p00, 0.0 AS p01, 10.0 AS p11 FROM meas WHERE rn=1)")}
+       |  )
+       |  UNION ALL
+       |  SELECT key, rn, th0, th1, c00 AS p00, c01 AS p01, c11 AS p11 FROM (
+       |${step("(SELECT s.key, s.rn, s.x, s.y, f.th0, f.th1, f.p00, f.p01, f.p11 FROM filt f JOIN meas s ON s.key=f.key AND s.rn=f.rn+1)")}
+       |  )
+       |)
+       |SELECT key, ROUND(th0,6) AS th0, ROUND(th1,6) AS th1
+       |FROM (SELECT *, row_number() OVER (PARTITION BY key ORDER BY rn DESC) rk FROM filt)
+       |WHERE rk=1 ORDER BY key""".stripMargin
+  }
+
+  /** Sigma-point filter replay for 1-state models with h(x)=x^2. `pts3` =
+    * merwe/julier (2n+1 points); otherwise cubature (2n points). */
+  private def sigmaOracle1d(
+      lamExpr: String, wm0: String, wmi: String, wc0: String, wci: String,
+      q: Double, r: Double, m0: Double, p0: Double, threePoints: Boolean): String = {
+    val scale = s"(1.0 + $lamExpr)"
+    def step(src: String): String =
+      if (threePoints)
+        s"""  SELECT user_id, rn,
+           |    m1 + (g*(z - zm)) AS m, p1 - ((g*sm)*g) AS p
+           |  FROM (
+           |    SELECT *, (cross1*(1.0/sm)) AS g
+           |    FROM (
+           |      SELECT *,
+           |        ((($wc0*((z0-zm)*(z0-zm))) + ($wci*((z1-zm)*(z1-zm)))) + ($wci*((z2-zm)*(z2-zm)))) + $r AS sm,
+           |        (($wc0*((m1-m1)*(z0-zm))) + ($wci*(((m1+c2)-m1)*(z1-zm)))) + ($wci*(((m1-c2)-m1)*(z2-zm))) AS cross1
+           |      FROM (
+           |        SELECT *, (($wm0*z0) + ($wmi*z1)) + ($wmi*z2) AS zm
+           |        FROM (
+           |          SELECT *, (m1*m1) AS z0, ((m1+c2)*(m1+c2)) AS z1, ((m1-c2)*(m1-c2)) AS z2
+           |          FROM (
+           |            SELECT *, sqrt($scale*p1) AS c2
+           |            FROM (
+           |              SELECT *,
+           |                $q + ((($wc0*((mp0-mm)*(mp0-mm))) + ($wci*((mp1-mm)*(mp1-mm)))) + ($wci*((mp2-mm)*(mp2-mm)))) AS p1,
+           |                mm AS m1
+           |              FROM (
+           |                SELECT *, (($wm0*mp0) + ($wmi*mp1)) + ($wmi*mp2) AS mm
+           |                FROM (
+           |                  SELECT *, m AS mp0, m + c1 AS mp1, m - c1 AS mp2
+           |                  FROM (SELECT *, sqrt($scale*p) AS c1 FROM $src)
+           |                )
+           |              )
+           |            )
+           |          )
+           |        )
+           |      )
+           |    )
+           |  )""".stripMargin
+      else
+        s"""  SELECT user_id, rn,
+           |    m1 + (g*(z - zm)) AS m, p1 - ((g*sm)*g) AS p
+           |  FROM (
+           |    SELECT *, (cross1*(1.0/sm)) AS g
+           |    FROM (
+           |      SELECT *,
+           |        ((($wci*((z1-zm)*(z1-zm))) + ($wci*((z2-zm)*(z2-zm))))) + $r AS sm,
+           |        (($wci*(((m1+c2)-m1)*(z1-zm)))) + ($wci*(((m1-c2)-m1)*(z2-zm))) AS cross1
+           |      FROM (
+           |        SELECT *, (($wmi*z1)) + ($wmi*z2) AS zm
+           |        FROM (
+           |          SELECT *, ((m1+c2)*(m1+c2)) AS z1, ((m1-c2)*(m1-c2)) AS z2
+           |          FROM (
+           |            SELECT *, sqrt($scale*p1) AS c2
+           |            FROM (
+           |              SELECT *,
+           |                $q + ((($wci*((mp1-mm)*(mp1-mm)))) + ($wci*((mp2-mm)*(mp2-mm)))) AS p1,
+           |                mm AS m1
+           |              FROM (
+           |                SELECT *, (($wmi*mp1)) + ($wmi*mp2) AS mm
+           |                FROM (
+           |                  SELECT *, m + c1 AS mp1, m - c1 AS mp2
+           |                  FROM (SELECT *, sqrt($scale*p) AS c1 FROM $src)
+           |                )
+           |              )
+           |            )
+           |          )
+           |        )
+           |      )
+           |    )
+           |  )""".stripMargin
+    s"""WITH RECURSIVE meas AS (
+       |$userStreamSql
+       |),
+       |filt AS (
+       |${step(s"(SELECT user_id, rn, z, $m0 AS m, $p0 AS p FROM meas WHERE rn=1)")}
+       |  UNION ALL
+       |${step("(SELECT s.user_id, s.rn, s.z, f.m, f.p FROM filt f JOIN meas s ON s.user_id=f.user_id AND s.rn=f.rn+1)")}
+       |)
+       |SELECT user_id AS key, ROUND(m,5) AS state_mean, ROUND(p,5) AS state_cov
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) rk FROM filt)
+       |WHERE rk=1 ORDER BY key""".stripMargin
+  }
+
+  private def ukfOracle: String = {
+    val lam = "(((0.6*0.6)*(1.0+0.5)) - 1.0)"
+    val s = s"(1.0 + $lam)"
+    sigmaOracle1d(
+      lamExpr = lam,
+      wm0 = s"($lam/$s)",
+      wmi = s"(1.0/(2.0*$s))",
+      wc0 = s"(($lam/$s) + ((1.0 - (0.6*0.6)) + 2.0))",
+      wci = s"(1.0/(2.0*$s))",
+      q = 0.1, r = 25.0, m0 = 5.0, p0 = 5.0, threePoints = true)
+  }
+
+  private def ckfOracle: String = {
+    // cubature: scale = n = 1, two points, equal weights 1/2
+    val sql = sigmaOracle1d(
+      lamExpr = "0.0", wm0 = "0.0", wmi = "(1.0/(2.0*1.0))",
+      wc0 = "0.0", wci = "(1.0/(2.0*1.0))",
+      q = 0.1, r = 25.0, m0 = 5.0, p0 = 5.0, threePoints = false)
+    // cubature scale is n (=1), not 1+lam: (1.0 + 0.0) == 1.0 so the shared
+    // generator's scale expression already matches Dense.scale(n, cov)
+    sql
+  }
+
+  /** RTS smoother replay: forward local-level recursion (keeping predicted
+    * moments), then a backward recursive CTE from the last index. */
+  private def rtsOracle: String = {
+    // CAST literals to DOUBLE: bare decimal literals are DECIMAL in DuckDB
+    // and poison the recursive CTE's column types
+    val (q, r, m0, p0) = ("CAST(1.0 AS DOUBLE)", "CAST(4.0 AS DOUBLE)",
+      "CAST(0.0 AS DOUBLE)", "CAST(10.0 AS DOUBLE)")
+    s"""WITH RECURSIVE meas AS (
+       |$userStreamSql
+       |),
+       |fwd AS (
+       |  SELECT user_id, rn, z,
+       |    $m0 AS pm, ($p0+$q) AS pp,
+       |    $m0 + (($p0+$q)*(1.0/(($p0+$q)+$r)))*(z - $m0) AS m,
+       |    ((1.0-(($p0+$q)*(1.0/(($p0+$q)+$r))))*($p0+$q))*(1.0-(($p0+$q)*(1.0/(($p0+$q)+$r)))) + ((($p0+$q)*(1.0/(($p0+$q)+$r)))*$r)*(($p0+$q)*(1.0/(($p0+$q)+$r))) AS p
+       |  FROM meas WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.user_id, s.rn, s.z,
+       |    f.m AS pm, (f.p+$q) AS pp,
+       |    f.m + ((f.p+$q)*(1.0/((f.p+$q)+$r)))*(s.z - f.m) AS m,
+       |    ((1.0-((f.p+$q)*(1.0/((f.p+$q)+$r))))*(f.p+$q))*(1.0-((f.p+$q)*(1.0/((f.p+$q)+$r)))) + (((f.p+$q)*(1.0/((f.p+$q)+$r)))*$r)*((f.p+$q)*(1.0/((f.p+$q)+$r))) AS p
+       |  FROM fwd f JOIN meas s ON s.user_id = f.user_id AND s.rn = f.rn + 1
+       |),
+       |mx AS (SELECT user_id, max(rn) AS mrn FROM fwd GROUP BY user_id),
+       |bwd AS (
+       |  SELECT f.user_id, f.rn, f.m AS sm, f.p AS sp, f.pm, f.pp
+       |  FROM fwd f JOIN mx ON f.user_id = mx.user_id AND f.rn = mx.mrn
+       |  UNION ALL
+       |  SELECT f.user_id, f.rn,
+       |    f.m + ((f.p*(1.0/b.pp))*(b.sm - b.pm)) AS sm,
+       |    f.p + (((f.p*(1.0/b.pp))*(b.sp - b.pp))*(f.p*(1.0/b.pp))) AS sp,
+       |    f.pm, f.pp
+       |  FROM bwd b JOIN fwd f ON f.user_id = b.user_id AND f.rn = b.rn - 1
+       |)
+       |SELECT user_id AS key, rn AS stateIndex, ROUND(sm,5) AS sm_mean, ROUND(sp,6) AS sm_cov
+       |FROM bwd ORDER BY key, stateIndex""".stripMargin
+  }
+
+  /** multi-step predict replay: local-level final state + j predict steps
+    * (mean unchanged, covariance grows by q per step, exact). */
+  private def multistepOracle: String = {
+    val (q, r, m0, p0) = (1.0, 4.0, 0.0, 10.0)
+    def step(m: String, p: String, z: String): (String, String) = {
+      val pp = s"($p+$q)"
+      val k = s"($pp*(1.0/($pp+$r)))"
+      (s"($m + $k*($z - $m))", s"(((1.0-$k)*$pp)*(1.0-$k) + ($k*$r)*$k)")
+    }
+    val (bm, bp) = step(s"$m0", s"$p0", "z")
+    val (rm, rp) = step("f.m", "f.p", "s.z")
+    s"""WITH RECURSIVE meas AS (
+       |$userStreamSql
+       |),
+       |filt AS (
+       |  SELECT user_id, rn, $bm AS m, $bp AS p FROM meas WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.user_id, s.rn, $rm AS m, $rp AS p
+       |  FROM filt f JOIN meas s ON s.user_id = f.user_id AND s.rn = f.rn + 1
+       |),
+       |last AS (
+       |  SELECT user_id, m, p FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) rk FROM filt) WHERE rk=1
+       |)
+       |SELECT user_id AS key, CAST(step AS BIGINT) AS step, ROUND(m,5) AS m,
+       |  ROUND(CASE WHEN step = 0 THEN p WHEN step = 1 THEN $q + p ELSE $q + ($q + p) END, 5) AS p
+       |FROM last, UNNEST([0,1,2]) AS t(step)
+       |ORDER BY key, step""".stripMargin
+  }
+
+  private def vectorFnsOracle: String = {
+    def fold(l: String) = s"list_reduce($l, (a, b) -> a + b)"
+    val v = "list_transform(embedding, e -> CAST(e AS DOUBLE))"
+    val dotSelf = fold(s"list_transform(range(len($v)), i -> ($v[i+1]) * ($v[i+1]))")
+    val scalSum = fold(s"list_transform($v, e -> 2.0 * e)")
+    val axpySum = fold(s"list_transform($v, e -> (3.0 * e) + e)")
+    s"""SELECT vec_id,
+       |  ROUND($dotSelf, 6) AS dot_self,
+       |  ROUND(sqrt($dotSelf), 6) AS nrm,
+       |  ROUND($scalSum, 6) AS scal_sum,
+       |  ROUND($axpySum, 6) AS axpy_sum
+       |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin
+  }
+
+  private def multimodalOracle: String =
+    s"""SELECT doc_id,
+       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       |  CAST(64 + (ascii(substring(text,1,1)) & 127) AS BIGINT) AS width,
+       |  CAST(64 + (ascii(substring(text,2,1)) & 127) AS BIGINT) AS height,
+       |  CAST(CAST(ascii(substring(text,1,1)) AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT) AS feat0
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ekf" -> ekfOracle,
+    "q_ukf" -> ukfOracle,
+    "q_ckf" -> ckfOracle,
+    "q_rts" -> rtsOracle,
+    "q_multistep" -> multistepOracle,
+    "q_vector_fns" -> vectorFnsOracle,
+    "q_multimodal" -> multimodalOracle
+    // q_mmae, q_gmm, q_pmm, q_bmm: rows-only (libm exp/log not portable);
+    // covered by ScalaTest convergence + batch/stream parity specs.
+  )
+}

@@ -44,7 +44,8 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = filterQueries ++ PipelineQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    filterQueries ++ PipelineQueries.queries ++ ModelQueries.queries
 
   private def filterQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lkf_llt" -> ((s, dir) => {
@@ -292,5 +293,5 @@ object SparkEntry {
     "q_lkf_blr" -> blrOracle,
     "q_rls" -> rlsOracle,
     "q_lms" -> lmsOracle
-  ) ++ PipelineQueries.oracleSql
+  ) ++ PipelineQueries.oracleSql ++ ModelQueries.oracleSql
 }

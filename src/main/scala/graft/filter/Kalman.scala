@@ -358,9 +358,18 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
     }) :+ col("stateIndex")
 
     val n = stateSize
+    // max-normalize likelihood weights per group: mathematically identical
+    // after the final divide-by-sum, but immune to exp() underflow when all
+    // bank members are unlikely (weights would otherwise sum to 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupKeys: _*)
+    val wmax = max(col("slidingLikelihood")).over(w)
+    val dfn = df
+      .withColumn("slNorm",
+        when(wmax > 0.0, col("slidingLikelihood") / wmax).otherwise(lit(1.0)))
+      .withColumn("slidingLikelihood", col("slNorm")).drop("slNorm")
     val wMean = expr("transform(stateMean, x -> x * slidingLikelihood)")
     val wCov = expr("transform(stateCovariance.values, x -> x * slidingLikelihood)")
-    df.withColumn("wMean", wMean).withColumn("wCov", wCov)
+    dfn.withColumn("wMean", wMean).withColumn("wCov", wCov)
       .groupBy(groupKeys: _*)
       .agg(
         sum(col("slidingLikelihood")).as("wSum"),

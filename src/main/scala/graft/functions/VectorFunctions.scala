@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * SQL-level vector/matrix helpers — capability parity with the reference's
+ * SparkFunctions (/root/reference/src/main/scala/com/github/ozancicek/artan/ml/SparkFunctions.scala:32),
+ * but expressed over plain `array<double>` + (numRows,numCols,values) structs
+ * with `org.apache.spark.sql.functions` higher-order functions. Everything
+ * stays inside whole-stage codegen (the reference uses row-at-a-time UDFs),
+ * which is the difference between scanning 100 TB at memory bandwidth vs
+ * serializing every row through a Scala closure.
+ */
+object VectorFunctions {
+
+  /** vector of zeros. */
+  def zerosVector(size: Int): Column = array_repeat(lit(0.0), size)
+
+  /** vector of ones. */
+  def onesVector(size: Int): Column = array_repeat(lit(1.0), size)
+
+  /** dot product. */
+  def dotVector(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+
+  /** alpha * x. */
+  def scalVector(alpha: Column, x: Column): Column = transform(x, v => alpha * v)
+
+  /** alpha * x + y. */
+  def axpyVector(alpha: Column, x: Column, y: Column): Column =
+    zip_with(x, y, (a, b) => alpha * a + b)
+
+  /** L2 norm. */
+  def normVector(x: Column): Column = sqrt(dotVector(x, x))
+
+  /** identity matrix as (numRows,numCols,values) struct. */
+  def eyeMatrix(n: Int): Column = matrixStruct(n, n,
+    flatten(transform(sequence(lit(0), lit(n - 1)),
+      i => transform(sequence(lit(0), lit(n - 1)), j => when(i === j, 1.0).otherwise(0.0)))))
+
+  /** zero matrix struct. */
+  def zerosMatrix(rows: Int, cols: Int): Column =
+    matrixStruct(rows, cols, array_repeat(lit(0.0), rows * cols))
+
+  /** diagonal matrix struct from a vector column. */
+  def diagMatrix(diag: Column): Column = {
+    val n = size(diag)
+    struct(n.as("numRows"), n.as("numCols"),
+      flatten(transform(sequence(lit(0), n - 1),
+        i => transform(sequence(lit(0), n - 1),
+          j => when(i === j, element_at(diag, i + 1)).otherwise(lit(0.0))))).as("values"))
+  }
+
+  /** (numRows, numCols, row-major values) struct from parts. */
+  def matrixStruct(rows: Int, cols: Int, values: Column): Column =
+    struct(lit(rows).as("numRows"), lit(cols).as("numCols"), values.as("values"))
+
+  /** array<double> <-> matrix struct round trips. */
+  def arrayToMatrix(rows: Int, cols: Int, values: Column): Column = matrixStruct(rows, cols, values)
+  def matrixToArray(m: Column): Column = m.getField("values")
+
+  /** matrix-vector multiply (row-major struct x array). */
+  def multiplyMatrixVector(m: Column, x: Column): Column = {
+    val rows = m.getField("numRows")
+    val cols = m.getField("numCols")
+    val v = m.getField("values")
+    transform(sequence(lit(0), rows - 1), i =>
+      aggregate(
+        zip_with(slice(v, i * cols + 1, cols), x, (a, b) => a * b),
+        lit(0.0), (acc, p) => acc + p))
+  }
+
+  /** matrix-matrix multiply on row-major structs. */
+  def multiplyMatrix(a: Column, b: Column): Column = {
+    val m = a.getField("numRows")
+    val k = a.getField("numCols")
+    val n = b.getField("numCols")
+    val av = a.getField("values")
+    val bv = b.getField("values")
+    struct(m.as("numRows"), n.as("numCols"),
+      flatten(transform(sequence(lit(0), m - 1), i =>
+        transform(sequence(lit(0), n - 1), j =>
+          aggregate(sequence(lit(0), k - 1), lit(0.0),
+            (acc, p) => acc + element_at(av, i * k + p + 1) * element_at(bv, p * n + j + 1))))).as("values"))
+  }
+
+  /** outer product alpha * x y^T as matrix struct. */
+  def outerProduct(alpha: Column, x: Column, y: Column): Column =
+    struct(size(x).as("numRows"), size(y).as("numCols"),
+      flatten(transform(x, a => transform(y, b => alpha * a * b))).as("values"))
+
+  /** projection A B A^T for row-major structs (via two multiplies). */
+  def projectMatrix(mat: Column, projection: Column): Column =
+    multiplyMatrix(multiplyMatrix(projection, mat), transposeMatrix(projection))
+
+  /** transpose of a row-major matrix struct. */
+  def transposeMatrix(m: Column): Column = {
+    val rows = m.getField("numRows")
+    val cols = m.getField("numCols")
+    val v = m.getField("values")
+    struct(cols.as("numRows"), rows.as("numCols"),
+      flatten(transform(sequence(lit(0), cols - 1), j =>
+        transform(sequence(lit(0), rows - 1), i => element_at(v, i * cols + j + 1)))).as("values"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.smoother
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.filter.{KalmanIn, LinearKalmanCompute, LinearKalmanFilter}
+import graft.linalg.{DMat, Dense}
+import graft.state.{KeyedIn, StateSpec, StatefulStage}
+
+/** Forward-pass record: filtered + predicted moments and the process model,
+  * everything the RTS backward recursion needs. */
+case class FiltRecord(
+    stateKey: String,
+    stateIndex: Long,
+    eventTime: Option[Timestamp],
+    filtMean: Array[Double],
+    filtCov: Array[Double],
+    predMean: Array[Double],
+    predCov: Array[Double],
+    processModel: DMat) extends KeyedIn
+
+case class SmoothedOut(
+    stateKey: String,
+    stateIndex: Long,
+    eventTime: Option[Timestamp],
+    stateMean: Array[Double],
+    stateCovariance: DMat)
+
+private[smoother] case class FwdState(
+    stateIndex: Long, mean: Array[Double], cov: Array[Double]) extends Serializable
+
+/** LKF forward pass that keeps the predicted moments alongside the filtered
+  * ones (the plain filter discards them). */
+private[smoother] class ForwardSpec(compute: LinearKalmanCompute)
+  extends StateSpec[KalmanIn, (FwdState, FiltRecord), FiltRecord] {
+
+  def update(key: String, row: KalmanIn, state: Option[(FwdState, FiltRecord)]): Option[(FwdState, FiltRecord)] = {
+    val cur = state.map(_._1).getOrElse(FwdState(0L, row.initialMean, row.initialCovariance.values))
+    val (pm, pc) = compute.predict(cur.mean, cur.cov, row)
+    val (em, ec) = row.measurement match {
+      case Some(_) =>
+        val (a, b, _, _) = compute.estimate(pm, pc, row)
+        (a, b)
+      case None => (pm, pc)
+    }
+    val rec = FiltRecord(key, cur.stateIndex + 1, row.eventTime, em, ec, pm, pc, row.processModel)
+    Some((FwdState(cur.stateIndex + 1, em, ec), rec))
+  }
+
+  def output(key: String, row: KalmanIn, s: (FwdState, FiltRecord)): List[FiltRecord] = List(s._2)
+}
+
+/**
+ * Rauch-Tung-Striebel smoother over a linear Kalman forward pass:
+ *
+ *   G_k   = P_k^f F_{k+1}^T (P_{k+1}^pred)^-1
+ *   m_k^s = m_k^f + G_k (m_{k+1}^s - m_{k+1}^pred)
+ *   P_k^s = P_k^f + G_k (P_{k+1}^s - P_{k+1}^pred) G_k^T
+ *
+ * Physical plan: forward pass = one shuffle on stateKey + in-order scan;
+ * backward pass = second sort of the SAME partitioning in descending
+ * stateIndex + linear scan. No per-key materialization of history beyond
+ * Spark's external sort, so billion-row keys smooth without OOM.
+ *
+ * Capability parity: /root/reference/src/main/scala/com/github/ozancicek/artan/ml/smoother/LinearKalmanSmoother.scala:1.
+ */
+class LinearKalmanSmoother(stateSize: Int, measurementSize: Int)
+    extends LinearKalmanFilter(stateSize, measurementSize) {
+
+  def smooth(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fwdSpec = new ForwardSpec(new LinearKalmanCompute(stateSize, measurementSize, 1.0))
+    val fwd: Dataset[FiltRecord] = StatefulStage.batch(toKalmanInput(df), fwdSpec)
+    val s = stateSize
+
+    val smoothed = fwd
+      .repartition(col("stateKey"))
+      .sortWithinPartitions(col("stateKey"), col("stateIndex").desc)
+      .mapPartitions { rows =>
+        var curKey: String = null
+        var nextSm: Array[Double] = null // smoothed mean of k+1
+        var nextSmCov: Array[Double] = null
+        var nextRec: FiltRecord = null // record of k+1 (pred moments + F)
+        rows.map { r =>
+          val (sm, sc) =
+            if (r.stateKey != curKey || nextRec == null) (r.filtMean, r.filtCov)
+            else {
+              // G = P_f F^T inv(P_pred_next)
+              val ft = Dense.matmulNT(r.filtCov, nextRec.processModel.values, s, s, s)
+              val pInv = Dense.inverse(nextRec.predCov.clone(), s)
+              val g = Dense.matmul(ft, pInv, s, s, s)
+              val dm = Dense.sub(nextSm, nextRec.predMean)
+              val m = r.filtMean.clone()
+              Dense.axpy(1.0, Dense.matvec(g, dm, s, s), m)
+              val dc = Dense.sub(nextSmCov, nextRec.predCov)
+              val gdc = Dense.matmul(g, dc, s, s, s)
+              val gdcgt = Dense.matmulNT(gdc, g, s, s, s)
+              val c = Dense.add(r.filtCov, gdcgt)
+              (m, Dense.symmetrize(c, s))
+            }
+          curKey = r.stateKey
+          nextSm = sm; nextSmCov = sc; nextRec = r
+          SmoothedOut(r.stateKey, r.stateIndex, r.eventTime, sm, DMat(s, s, sc))
+        }
+      }
+
+    var out = smoothed.toDF()
+    stateKeyCol.foreach(c => out = out.withColumnRenamed("stateKey", c))
+    eventTimeCol match {
+      case Some(c) => out = out.withColumnRenamed("eventTime", c)
+      case None => out = out.drop("eventTime")
+    }
+    out
+  }
+
+  /** Smoothing replaces filtering as this transformer's output. */
+  override def transform(df: DataFrame): DataFrame = smooth(df)
+}

@@ -1,0 +1,139 @@
+package graft.filter
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.linalg.DMat
+import graft.mixture.MultivariateGaussianMixture
+import graft.smoother.LinearKalmanSmoother
+
+class NonlinearSpec extends AnyFunSuite with SparkTestSession {
+
+  import java.sql.Timestamp
+  private def ts(i: Int): Timestamp = new Timestamp(1700000000000L + i * 60000L)
+
+  private def lltData = {
+    import spark.implicits._
+    val zs = Seq(1.0, 4.0, 2.0, 5.0, 3.0, 6.0, 4.0, 7.0)
+    zs.zipWithIndex.map { case (z, i) => ("a", ts(i), Array(z)) }.toDF("key", "t", "meas")
+  }
+
+  private def configure[T <: KalmanFilterBase[T]](f: T): T =
+    f.setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+      .setInitialStateMean(Array(0.0))
+      .setInitialStateCovariance(DMat.of(1, 1, 10.0))
+      .setProcessNoise(DMat.of(1, 1, 1.0))
+      .setMeasurementNoise(DMat.of(1, 1, 4.0))
+
+  private def means(df: org.apache.spark.sql.DataFrame): Seq[Double] = {
+    import spark.implicits._
+    df.orderBy("stateIndex").select(col("stateMean")(0)).as[Double].collect().toSeq
+  }
+
+  test("EKF with default (linear) functions equals LKF exactly") {
+    val lkf = means(configure(new LinearKalmanFilter(1, 1)).transform(lltData))
+    val ekf = means(configure(new ExtendedKalmanFilter(1, 1)).transform(lltData))
+    lkf.zip(ekf).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("UKF on a linear system tracks LKF closely") {
+    val lkf = means(configure(new LinearKalmanFilter(1, 1)).transform(lltData))
+    val ukf = means(configure(new UnscentedKalmanFilter(1, 1)).transform(lltData))
+    lkf.zip(ukf).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+  }
+
+  test("CKF on a linear system tracks LKF closely") {
+    val lkf = means(configure(new LinearKalmanFilter(1, 1)).transform(lltData))
+    val ckf = means(configure(new CubatureKalmanFilter(1, 1)).transform(lltData))
+    lkf.zip(ckf).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+  }
+
+  test("EKF recovers parameters of a polynomial measurement model") {
+    import spark.implicits._
+    // z = (2 + 0.5 x)^2, exact measurements
+    val rows = (1 to 300).map { i =>
+      val x = (i % 10) + 1.0
+      val u = 2.0 + 0.5 * x
+      ("k", ts(i), Array(u * u), Array(1.0, x))
+    }
+    val df = rows.toDF("key", "t", "meas", "hrow")
+      .withColumn("hmat", struct(lit(1).as("numRows"), lit(2).as("numCols"), col("hrow").as("values")))
+    val ekf = new ExtendedKalmanFilter(2, 1)
+      .setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+      .setMeasurementModelCol("hmat")
+      .setMeasurementFunction((st, h) => {
+        val x = h.values(1); val u = st(0) + st(1) * x; Array(u * u)
+      })
+      .setMeasurementStateJacobian((st, h) => {
+        val x = h.values(1); val u = st(0) + st(1) * x
+        DMat(1, 2, Array(2.0 * u, (2.0 * u) * x))
+      })
+      .setInitialStateMean(Array(1.0, 0.1))
+      .setInitialStateCovariance(DMat.of(2, 2, 10.0, 0.0, 0.0, 10.0))
+      .setProcessNoise(DMat.zeros(2, 2))
+      .setMeasurementNoise(DMat.of(1, 1, 0.01))
+    val last = ekf.transform(df).orderBy(desc("stateIndex")).select("stateMean").as[Array[Double]].head()
+    assert(math.abs(last(0) - 2.0) < 0.05, last.mkString(","))
+    assert(math.abs(last(1) - 0.5) < 0.05, last.mkString(","))
+  }
+
+  test("RTS smoother: final state matches filter, variance never larger") {
+    import spark.implicits._
+    val filt = configure(new LinearKalmanFilter(1, 1)).transform(lltData)
+      .orderBy("stateIndex")
+      .select(col("stateMean")(0), col("stateCovariance.values")(0)).as[(Double, Double)].collect()
+    val sm = new LinearKalmanSmoother(1, 1)
+    sm.setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+      .setInitialStateMean(Array(0.0))
+      .setInitialStateCovariance(DMat.of(1, 1, 10.0))
+      .setProcessNoise(DMat.of(1, 1, 1.0))
+      .setMeasurementNoise(DMat.of(1, 1, 4.0))
+    val smoothed = sm.transform(lltData)
+      .orderBy("stateIndex")
+      .select(col("stateMean")(0), col("stateCovariance.values")(0)).as[(Double, Double)].collect()
+    assert(filt.length == smoothed.length)
+    assert(math.abs(filt.last._1 - smoothed.last._1) < 1e-12)
+    filt.zip(smoothed).foreach { case ((_, pf), (_, ps)) =>
+      assert(ps <= pf + 1e-12, s"smoothed var $ps > filtered $pf")
+    }
+  }
+
+  test("MMAE weights the filter bank toward the best-matching noise model") {
+    import spark.implicits._
+    val zs = (1 to 40).map(i => 10.0 + (if (i % 2 == 0) 0.1 else -0.1))
+    val rows = for ((z, i) <- zs.zipWithIndex; fid <- 0 until 2)
+      yield (s"f$fid", ts(i), Array(z), DMat.of(1, 1, if (fid == 0) 0.05 else 100.0))
+    val df = rows.toDF("key", "t", "meas", "rmat")
+    val lkf = new LinearKalmanFilter(1, 1)
+      .setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+      .setMeasurementNoiseCol("rmat")
+      .setInitialStateCovariance(DMat.of(1, 1, 10.0))
+      .setProcessNoise(DMat.of(1, 1, 0.01))
+      .setSlidingLikelihoodWindow(5)
+      .setEnableMultipleModelAdaptiveEstimation()
+    val out = lkf.transform(df)
+    val last = out.orderBy(desc("stateIndex")).select(col("stateMean")(0)).as[Double].head()
+    assert(math.abs(last - 10.0) < 0.5, s"MMAE estimate $last")
+    assert(out.count() == 40)
+  }
+
+  test("online gaussian mixture separates two clusters") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 2000).map { i =>
+      val z = if (rng.nextBoolean()) 5.0 + rng.nextGaussian() else 50.0 + rng.nextGaussian()
+      ("k", ts(i), Array(z))
+    }
+    val gmm = new MultivariateGaussianMixture(2, 1)
+      .setStateKeyCol("key").setEventTimeCol("t").setSampleCol("sample")
+      .setStepSize(0.08).setMinibatchSize(20)
+      .setInitialMeans(Array(Array(0.0), Array(30.0)))
+      .setInitialCovariances(Array(Array(25.0), Array(25.0)))
+    val out = gmm.transform(rows.toDF("key", "t", "sample"))
+    val last = out.orderBy(desc("stateIndex"))
+      .select(col("params")(0)(0), col("params")(1)(0), col("weights")(0)).as[(Double, Double, Double)].head()
+    assert(math.abs(last._1 - 5.0) < 1.5, last.toString)
+    assert(math.abs(last._2 - 50.0) < 1.5, last.toString)
+    assert(math.abs(last._3 - 0.5) < 0.15, last.toString)
+  }
+}
