@@ -48,16 +48,21 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
 
   /** Adds `sig` (array of numHashes minhash values). The shingle set is
     * materialized in its own projection first so tokenization+md5 runs ONCE
-    * per row, not once per hash function (CollapseProject keeps multi-use
-    * aliases separate, so the 32 minhash expressions share it). */
+    * per row; the k minhashes fold in a SINGLE pass over the set (one small
+    * lambda instead of k array traversals — keeps generated code compact and
+    * the scan memory-local). Empty docs keep the sentinel P. */
   def withSignature(df: DataFrame, textCol: String): DataFrame = {
     val withSet = df.withColumn("_sset", shingleHashSet(col(textCol), shingleSize))
-    val sig = array((0 until numHashes).map { i =>
-      val a = coefA(i); val b = coefB(i)
-      // empty docs get sentinel P (impossible minhash value)
-      coalesce(array_min(transform(col("_sset"), x => (lit(a) * x + lit(b)) % P)), lit(P))
-    }: _*)
-    withSet.withColumn("sig", sig).drop("_sset")
+    withSet.withColumn("sig", signatureFromSet(col("_sset"))).drop("_sset")
+  }
+
+  /** k minhashes folded in one pass over a pre-computed shingle-hash set. */
+  def signatureFromSet(sset: Column): Column = {
+    val aArr = typedLit((0 until numHashes).map(coefA).toArray)
+    val bArr = typedLit((0 until numHashes).map(coefB).toArray)
+    aggregate(sset, array_repeat(lit(P), numHashes),
+      (acc, x) => zip_with(acc, typedLit(Array.tabulate(numHashes)(identity)),
+        (c, i) => least(c, (element_at(aArr, i + 1) * x + element_at(bArr, i + 1)) % P)))
   }
 
   /** Adds (band, bucket) pairs, one row per band. */
@@ -88,10 +93,32 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
   /**
    * Near-duplicate pairs with exact Jaccard >= threshold on the distinct
    * shingle sets of the candidates.
+   *
+   * The expensive projection (tokenize -> shingle -> md5 -> signature) is
+   * computed ONCE behind a repartition exchange; the band branch and both
+   * verify branches read the reused exchange instead of re-deriving shingles
+   * from raw text (4x scan cost otherwise — at 100 TB, the difference
+   * between one corpus pass and four).
    */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val cands = candidatePairs(df, idCol, textCol)
-    val sets = df.select(col(idCol).as("sid"), shingleHashSet(col(textCol), shingleSize).as("sset"))
+    val base = df
+      .select(col(idCol), shingleHashSet(col(textCol), shingleSize).as("sset"))
+      .withColumn("sig", signatureFromSet(col("sset")))
+      .repartition(col(idCol)) // materialization point: both branches reuse this exchange
+
+    val bandCols = array((0 until bands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col("sig")(bIdx * rowsPerBand + r)): _*).as("bucket"))
+    }: _*)
+    val bandedBase = base.withColumn("bb", explode(bandCols))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = bandedBase.select(col(idCol).as("a"), col("band"), col("bucket"))
+      .join(bandedBase.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+    val sets = base.select(col(idCol).as("sid"), col("sset"))
     cands
       .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
       .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
@@ -129,15 +156,16 @@ object SimHash {
 
   /** Simhash from a pre-materialized token-hash array column: ONE pass over
     * the tokens folding a 60-counter array (integer arithmetic, so the result
-    * is identical to the per-bit formulation but codegen is ~60x smaller). */
+    * is identical to the per-bit formulation but codegen is ~60x smaller).
+    * Bit tests use bitwiseAND against a literal powers-of-two array — dynamic
+    * shifts would leave whole-stage codegen. */
   def simhashFromToks(toks: Column): Column = {
-    val bitIdx = sequence(lit(0), lit(Bits - 1))
+    val pows = typedLit(Array.tabulate(Bits)(j => 1L << j))
     val counts = aggregate(toks, array_repeat(lit(0L), Bits),
-      (acc, h) => zip_with(acc, bitIdx,
-        (c, j) => c + (call_function("shiftright", h, j).bitwiseAND(1L) * 2L - 1L)))
+      (acc, h) => zip_with(acc, pows,
+        (c, pw) => c + when(h.bitwiseAND(pw) =!= 0L, 1L).otherwise(-1L)))
     aggregate(
-      zip_with(counts, bitIdx,
-        (c, j) => when(c > 0L, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      zip_with(counts, pows, (c, pw) => when(c > 0L, pw).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
   }
 
@@ -160,9 +188,20 @@ object SimHash {
       .select(col(idCol), col("simhash"), col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
   }
 
-  /** Near-dup pairs with hamming distance <= maxHamming. */
+  /** Near-dup pairs with hamming distance <= maxHamming. The simhash
+    * projection materializes once behind a reusable exchange (one corpus
+    * pass; both join branches read the exchange). */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val ch = chunked(df, idCol, textCol)
+    val base = df
+      .select(col(idCol), transform(tokens(col(textCol)), tokenHash60 _).as("_toks"))
+      .select(col(idCol), simhashFromToks(col("_toks")).as("simhash"))
+      .repartition(col(idCol))
+    val chunks = array((0 until Chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * ChunkBits).bitwiseAND((1L << ChunkBits) - 1L).as("cval"))
+    }: _*)
+    val ch = base.withColumn("cc", explode(chunks))
+      .select(col(idCol), col("simhash"), col("cc.chunk").as("chunk"), col("cc.cval").as("cval"))
     val l = ch.select(col(idCol).as("a"), col("simhash").as("sim_a"), col("chunk"), col("cval"))
     val r = ch.select(col(idCol).as("b"), col("simhash").as("sim_b"), col("chunk"), col("cval"))
     l.join(r, Seq("chunk", "cval"))
