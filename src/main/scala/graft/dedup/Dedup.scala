@@ -101,10 +101,15 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
    * between one corpus pass and four).
    */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    // Materialize (id, sset, sig) ONCE: column pruning specializes each
+    // consuming branch to different columns, so exchange reuse can't kick in
+    // — persist is the correct materialization point (disk-backed; ~2 KB/doc
+    // regardless of document size). At petabyte scale, write signatures to a
+    // table instead and feed them back through candidatePairs.
     val base = df
       .select(col(idCol), shingleHashSet(col(textCol), shingleSize).as("sset"))
       .withColumn("sig", signatureFromSet(col("sset")))
-      .repartition(col(idCol)) // materialization point: both branches reuse this exchange
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandCols = array((0 until bands).map { bIdx =>
       struct(
@@ -195,7 +200,7 @@ object SimHash {
     val base = df
       .select(col(idCol), transform(tokens(col(textCol)), tokenHash60 _).as("_toks"))
       .select(col(idCol), simhashFromToks(col("_toks")).as("simhash"))
-      .repartition(col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // 16 bytes/doc; one corpus pass
     val chunks = array((0 until Chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * ChunkBits).bitwiseAND((1L << ChunkBits) - 1L).as("cval"))
