@@ -10,9 +10,12 @@ import graft.state.{KeyedIn, StateSpec, StatefulStage, StageConf, TimeoutMode, N
 import graft.stats.Distributions
 
 /**
- * Input row for Kalman-family filters. System matrices ride per-row so they
- * can vary across measurements/keys; constant settings become literal columns
- * (Catalyst folds them — zero per-row cost in the scan/shuffle).
+ * Input row for Kalman-family filters. System matrices are None when constant
+ * across rows — constants live in [[KalmanDefaults]] inside the spec closure,
+ * so the shuffle carries only the key, time and measurement (at 100 TB,
+ * NOT serializing four matrices per row is the difference between shuffling
+ * measurements and shuffling the model repeatedly). Per-row columns are only
+ * materialized when a *Col setter was used.
  *
  * Semantics match the reference's filter input contract
  * (/root/reference/src/main/scala/com/github/ozancicek/artan/ml/filter/KalmanBase.scala:505).
@@ -21,14 +24,23 @@ case class KalmanIn(
     stateKey: String,
     eventTime: Option[Timestamp],
     measurement: Option[Array[Double]],
+    measurementModel: Option[DMat],
+    measurementNoise: Option[DMat],
+    processModel: Option[DMat],
+    processNoise: Option[DMat],
+    control: Option[Array[Double]],
+    controlFunction: Option[DMat],
+    initialMean: Option[Array[Double]],
+    initialCovariance: Option[DMat]) extends KeyedIn
+
+/** Constant (non-per-row) filter configuration resolved into rows by the spec. */
+case class KalmanDefaults(
     measurementModel: DMat,
     measurementNoise: DMat,
     processModel: DMat,
     processNoise: DMat,
-    control: Option[Array[Double]],
-    controlFunction: Option[DMat],
     initialMean: Array[Double],
-    initialCovariance: DMat) extends KeyedIn
+    initialCovariance: DMat) extends Serializable
 
 /** In-flight per-key filter state (never leaves the executor in batch mode). */
 case class KState(
@@ -79,7 +91,7 @@ class LinearKalmanCompute(val stateSize: Int, val measurementSize: Int, val fadi
 
   def predict(mean: Array[Double], cov: Array[Double], in: KalmanIn): (Array[Double], Array[Double]) = {
     val s = stateSize
-    val f = in.processModel.values
+    val f = in.processModel.get.values
     // x = F x (+ B u)
     val m1 = Dense.matvec(f, mean, s, s)
     (in.control, in.controlFunction) match {
@@ -90,7 +102,7 @@ class LinearKalmanCompute(val stateSize: Int, val measurementSize: Int, val fadi
     val fp = Dense.matmul(f, cov, s, s, s)
     val fpft = Dense.matmulNT(fp, f, s, s, s)
     val a2 = fadingFactor * fadingFactor
-    val p1 = in.processNoise.values.clone()
+    val p1 = in.processNoise.get.values.clone()
     Dense.axpy(a2, fpft, p1)
     (m1, Dense.symmetrize(p1, s))
   }
@@ -99,8 +111,8 @@ class LinearKalmanCompute(val stateSize: Int, val measurementSize: Int, val fadi
     : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
     val s = stateSize
     val m = measurementSize
-    val h = in.measurementModel.values
-    val r = in.measurementNoise.values
+    val h = in.measurementModel.get.values
+    val r = in.measurementNoise.get.values
     val z = in.measurement.get
 
     // residual = z - H x
@@ -134,6 +146,7 @@ class LinearKalmanCompute(val stateSize: Int, val measurementSize: Int, val fadi
  */
 class KalmanSpec(
     compute: KalmanCompute,
+    defaults: KalmanDefaults,
     storeResidual: Boolean,
     likelihoodWindow: Int,
     multiStepPredict: Int,
@@ -142,9 +155,19 @@ class KalmanSpec(
     computeSlidingLikelihood: Boolean)
   extends StateSpec[KalmanIn, KState, KalmanOut] {
 
-  def update(key: String, row: KalmanIn, state: Option[KState]): Option[KState] = {
+  /** Fill constant system matrices into the row once per row (cheap object
+    * plumbing; nothing is serialized). */
+  private def resolve(row: KalmanIn): KalmanIn = row.copy(
+    measurementModel = if (row.measurementModel.isDefined) row.measurementModel else Some(defaults.measurementModel),
+    measurementNoise = if (row.measurementNoise.isDefined) row.measurementNoise else Some(defaults.measurementNoise),
+    processModel = if (row.processModel.isDefined) row.processModel else Some(defaults.processModel),
+    processNoise = if (row.processNoise.isDefined) row.processNoise else Some(defaults.processNoise))
+
+  def update(key: String, rawRow: KalmanIn, state: Option[KState]): Option[KState] = {
+    val row = resolve(rawRow)
     val cur = state.getOrElse(
-      KState(0L, row.initialMean, row.initialCovariance.values, None, None, Nil))
+      KState(0L, rawRow.initialMean.getOrElse(defaults.initialMean),
+        rawRow.initialCovariance.map(_.values).getOrElse(defaults.initialCovariance.values), None, None, Nil))
     val (pm, pc) = compute.predict(cur.mean, cur.cov, row)
     val next = row.measurement match {
       case Some(_) =>
@@ -164,7 +187,8 @@ class KalmanSpec(
     Some(next)
   }
 
-  def output(key: String, row: KalmanIn, state: KState): List[KalmanOut] = {
+  def output(key: String, rawRow: KalmanIn, state: KState): List[KalmanOut] = {
+    val row = resolve(rawRow)
     val m = compute.measurementSize
     val base = toOut(key, row, state, 0)
     if (multiStepPredict <= 0) List(base)
@@ -290,9 +314,11 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
 
   protected def storeResidual: Boolean = calcLoglikelihood || calcMahalanobis || calcSlidingLikelihood
 
-  private def matCol(colName: Option[String], default: DMat): Column = colName match {
+  private val matStructType = "struct<numRows:int,numCols:int,values:array<double>>"
+
+  private def matCol(colName: Option[String]): Column = colName match {
     case Some(c) => col(c)
-    case None => typedLit(default)
+    case None => lit(null).cast(matStructType)
   }
 
   /** Wire user columns/defaults into the canonical KalmanIn shape. */
@@ -305,19 +331,23 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
       keyExpr.as("stateKey"),
       timeExpr.as("eventTime"),
       col(measurementCol).cast("array<double>").as("measurement"),
-      matCol(measurementModelCol, measurementModel).as("measurementModel"),
-      matCol(measurementNoiseCol, measurementNoise).as("measurementNoise"),
-      matCol(processModelCol, processModel).as("processModel"),
-      matCol(processNoiseCol, processNoise).as("processNoise"),
+      matCol(measurementModelCol).as("measurementModel"),
+      matCol(measurementNoiseCol).as("measurementNoise"),
+      matCol(processModelCol).as("processModel"),
+      matCol(processNoiseCol).as("processNoise"),
       controlCol.map(c => col(c).cast("array<double>")).getOrElse(lit(null).cast("array<double>")).as("control"),
-      controlFunctionCol.map(col).getOrElse(lit(null).cast("struct<numRows:int,numCols:int,values:array<double>>")).as("controlFunction"),
-      initialStateMeanCol.map(c => col(c).cast("array<double>")).getOrElse(typedLit(initialStateMean)).as("initialMean"),
-      initialStateCovarianceCol.map(col).getOrElse(typedLit(initialStateCovariance)).as("initialCovariance")
+      controlFunctionCol.map(col).getOrElse(lit(null).cast(matStructType)).as("controlFunction"),
+      initialStateMeanCol.map(c => col(c).cast("array<double>")).getOrElse(lit(null).cast("array<double>")).as("initialMean"),
+      initialStateCovarianceCol.map(col).getOrElse(lit(null).cast(matStructType)).as("initialCovariance")
     ).as[KalmanIn]
   }
 
+  protected def defaults: KalmanDefaults = KalmanDefaults(
+    measurementModel, measurementNoise, processModel, processNoise,
+    initialStateMean, initialStateCovariance)
+
   protected def spec: KalmanSpec = new KalmanSpec(
-    compute, storeResidual, slidingLikelihoodWindow, multiStepPredict,
+    compute, defaults, storeResidual, slidingLikelihoodWindow, multiStepPredict,
     calcLoglikelihood, calcMahalanobis, calcSlidingLikelihood)
 
   /** Run the filter; batch or streaming chosen from the input DataFrame. */

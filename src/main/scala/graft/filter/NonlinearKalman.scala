@@ -21,7 +21,7 @@ class EkfCompute(
 
   override def predict(mean: Array[Double], cov: Array[Double], in: KalmanIn): (Array[Double], Array[Double]) = {
     val s = stateSize
-    val fm = in.processModel
+    val fm = in.processModel.get
     // x = f(x, F) (+ B u)
     val m1 = processFunc.map(f => f(mean, fm)).getOrElse(Dense.matvec(fm.values, mean, s, s))
     (in.control, in.controlFunction) match {
@@ -32,7 +32,7 @@ class EkfCompute(
     val fj = processJac.map(f => f(mean, fm).values).getOrElse(fm.values)
     val fp = Dense.matmul(fj, cov, s, s, s)
     val fpft = Dense.matmulNT(fp, fj, s, s, s)
-    val q = in.processNoise
+    val q = in.processNoise.get
     val qProj = processNoiseJac match {
       case Some(jf) =>
         val j = jf(mean, q)
@@ -48,13 +48,13 @@ class EkfCompute(
     : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
     val s = stateSize
     val m = measurementSize
-    val hm = in.measurementModel
+    val hm = in.measurementModel.get
     val z = in.measurement.get
     // residual = z - h(x, H)
     val hx = measurementFunc.map(f => f(mean, hm)).getOrElse(Dense.matvec(hm.values, mean, m, s))
     val resid = Dense.sub(z, hx)
     val hj = measurementJac.map(f => f(mean, hm).values).getOrElse(hm.values)
-    val r = in.measurementNoise
+    val r = in.measurementNoise.get
     val rProj = measurementNoiseJac match {
       case Some(jf) =>
         val j = jf(mean, r)
@@ -223,8 +223,8 @@ class SigmaPointCompute(
 
   def predict(mean: Array[Double], cov: Array[Double], in: KalmanIn): (Array[Double], Array[Double]) = {
     val s = stateSize
-    val f = (x: Array[Double]) => processFunc.map(fn => fn(x, in.processModel))
-      .getOrElse(Dense.matvec(in.processModel.values, x, s, s))
+    val f = (x: Array[Double]) => processFunc.map(fn => fn(x, in.processModel.get))
+      .getOrElse(Dense.matvec(in.processModel.get.values, x, s, s))
     val sg = sigma(mean, cov, s)
     val moved = sg.points.map(f)
     val m1 = weightedMean(moved, sg.wm, s)
@@ -233,7 +233,7 @@ class SigmaPointCompute(
       case _ =>
     }
     val c0 = weightedCov(moved, m1, sg.wc, s)
-    val p1 = in.processNoise.values.clone()
+    val p1 = in.processNoise.get.values.clone()
     Dense.axpy(fadingFactor * fadingFactor, c0, p1)
     (m1, Dense.symmetrize(p1, s))
   }
@@ -242,8 +242,8 @@ class SigmaPointCompute(
     : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
     val s = stateSize
     val m = measurementSize
-    val h = (x: Array[Double]) => measurementFunc.map(fn => fn(x, in.measurementModel))
-      .getOrElse(Dense.matvec(in.measurementModel.values, x, m, s))
+    val h = (x: Array[Double]) => measurementFunc.map(fn => fn(x, in.measurementModel.get))
+      .getOrElse(Dense.matvec(in.measurementModel.get.values, x, m, s))
     val z = in.measurement.get
 
     val sg = sigma(mean, cov, s)
@@ -251,7 +251,7 @@ class SigmaPointCompute(
     val zMean = weightedMean(zPts, sg.wm, m)
     // S = sum wc (z_i - zMean)(z_i - zMean)^T + R
     val sMat = weightedCov(zPts, zMean, sg.wc, m)
-    Dense.axpy(1.0, in.measurementNoise.values, sMat)
+    Dense.axpy(1.0, in.measurementNoise.get.values, sMat)
     // crossCov = sum wc (x_i - mean)(z_i - zMean)^T
     val cross = new Array[Double](s * m)
     var i = 0

@@ -33,11 +33,20 @@ private[smoother] case class FwdState(
 
 /** LKF forward pass that keeps the predicted moments alongside the filtered
   * ones (the plain filter discards them). */
-private[smoother] class ForwardSpec(compute: LinearKalmanCompute)
+private[smoother] class ForwardSpec(compute: LinearKalmanCompute, defaults: graft.filter.KalmanDefaults)
   extends StateSpec[KalmanIn, (FwdState, FiltRecord), FiltRecord] {
 
-  def update(key: String, row: KalmanIn, state: Option[(FwdState, FiltRecord)]): Option[(FwdState, FiltRecord)] = {
-    val cur = state.map(_._1).getOrElse(FwdState(0L, row.initialMean, row.initialCovariance.values))
+  private def resolve(r: KalmanIn): KalmanIn = r.copy(
+    measurementModel = if (r.measurementModel.isDefined) r.measurementModel else Some(defaults.measurementModel),
+    measurementNoise = if (r.measurementNoise.isDefined) r.measurementNoise else Some(defaults.measurementNoise),
+    processModel = if (r.processModel.isDefined) r.processModel else Some(defaults.processModel),
+    processNoise = if (r.processNoise.isDefined) r.processNoise else Some(defaults.processNoise))
+
+  def update(key: String, rawRow: KalmanIn, state: Option[(FwdState, FiltRecord)]): Option[(FwdState, FiltRecord)] = {
+    val row = resolve(rawRow)
+    val cur = state.map(_._1).getOrElse(FwdState(0L,
+      rawRow.initialMean.getOrElse(defaults.initialMean),
+      rawRow.initialCovariance.map(_.values).getOrElse(defaults.initialCovariance.values)))
     val (pm, pc) = compute.predict(cur.mean, cur.cov, row)
     val (em, ec) = row.measurement match {
       case Some(_) =>
@@ -45,7 +54,7 @@ private[smoother] class ForwardSpec(compute: LinearKalmanCompute)
         (a, b)
       case None => (pm, pc)
     }
-    val rec = FiltRecord(key, cur.stateIndex + 1, row.eventTime, em, ec, pm, pc, row.processModel)
+    val rec = FiltRecord(key, cur.stateIndex + 1, row.eventTime, em, ec, pm, pc, row.processModel.get)
     Some((FwdState(cur.stateIndex + 1, em, ec), rec))
   }
 
@@ -72,7 +81,7 @@ class LinearKalmanSmoother(stateSize: Int, measurementSize: Int)
   def smooth(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val fwdSpec = new ForwardSpec(new LinearKalmanCompute(stateSize, measurementSize, 1.0))
+    val fwdSpec = new ForwardSpec(new LinearKalmanCompute(stateSize, measurementSize, 1.0), defaults)
     val fwd: Dataset[FiltRecord] = StatefulStage.batch(toKalmanInput(df), fwdSpec)
     val s = stateSize
 
