@@ -170,6 +170,70 @@ private[mixture] class MixtureSpec(
     else Nil
 }
 
+/**
+ * Full-batch EM per key: buffers the key's samples, then at end-of-key runs
+ * classic EM iterations until the mean loglikelihood improves by less than
+ * `tol` or `maxIter` is reached. Emits one model per key. Batch-only (uses
+ * the engine's end-of-key flush) — mirrors the reference's batch train mode
+ * (/root/reference/src/main/scala/com/github/ozancicek/artan/ml/mixture/MixtureParams.scala:1).
+ */
+private[mixture] class BatchEmSpec(
+    family: MixtureFamily,
+    k: Int,
+    initWeights: Array[Double],
+    initParams: Array[Array[Double]],
+    maxIter: Int,
+    tol: Double)
+  extends StateSpec[MixIn, (List[Array[Double]], Option[MixIn]), MixtureOut] {
+
+  def update(key: String, row: MixIn, state: Option[(List[Array[Double]], Option[MixIn])])
+    : Option[(List[Array[Double]], Option[MixIn])] =
+    Some((row.sample :: state.map(_._1).getOrElse(Nil), Some(row)))
+
+  def output(key: String, row: MixIn, s: (List[Array[Double]], Option[MixIn])): List[MixtureOut] = Nil
+
+  override def finish(key: String, state: (List[Array[Double]], Option[MixIn])): List[MixtureOut] = {
+    val samples = state._1.reverse
+    val n = samples.length
+    if (n == 0) return Nil
+    var weights = initWeights.clone()
+    var params = initParams.map(_.clone())
+    var prevLL = Double.MinValue
+    var iter = 0
+    var done = false
+    var ll = 0.0
+    while (iter < maxIter && !done) {
+      ll = 0.0
+      val sumW = new Array[Double](k)
+      val sumM = Array.fill(k)(new Array[Double](family.paramSize))
+      samples.foreach { x =>
+        val wl = new Array[Double](k)
+        var i = 0
+        while (i < k) { wl(i) = family.logpdf(params(i), x) + math.log(weights(i)); i += 1 }
+        val mx = wl.max
+        var z = 0.0
+        i = 0
+        while (i < k) { wl(i) = math.exp(wl(i) - mx); z += wl(i); i += 1 }
+        ll += mx + math.log(z)
+        i = 0
+        while (i < k) {
+          val r = wl(i) / z
+          sumW(i) += r / n
+          family.accumulate(params(i), sumM(i), r / n, x)
+          i += 1
+        }
+      }
+      weights = sumW
+      params = sumW.zip(sumM).map { case (w, m) => family.fromMoments(m, math.max(w, 1e-12)) }
+      if ((ll - prevLL) / n < tol) done = true
+      prevLL = ll
+      iter += 1
+    }
+    val lastRow = state._2.get
+    List(MixtureOut(key, iter.toLong, lastRow.eventTime, weights, params, prevLL / n))
+  }
+}
+
 /** Shared builder for the three mixture transformers. */
 abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { self: Impl =>
   protected var stateKeyCol: Option[String] = None
@@ -183,7 +247,13 @@ abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { s
   protected var watermarkDuration: Option[String] = None
   protected var timeoutMode: TimeoutMode = NoTimeout
   protected var timeoutDuration: Option[String] = None
+  protected var batchTrainEnabled: Boolean = false
+  protected var batchTrainMaxIter: Int = 30
+  protected var batchTrainTol: Double = 0.1
 
+  def setEnableBatchTrain(): Impl = { batchTrainEnabled = true; this }
+  def setBatchTrainMaxIter(v: Int): Impl = { batchTrainMaxIter = v; this }
+  def setBatchTrainTol(v: Double): Impl = { batchTrainTol = v; this }
   def setStateKeyCol(v: String): Impl = { stateKeyCol = Some(v); this }
   def setEventTimeCol(v: String): Impl = { eventTimeCol = Some(v); this }
   def setSampleCol(v: String): Impl = { sampleCol = v; this }
@@ -223,8 +293,16 @@ abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { s
       lit(minibatchSize).as("minibatchSize"),
       lit(updateHoldout).as("updateHoldout")
     ).as[MixIn]
-    val spec = new MixtureSpec(family, mixtureCount, initialWeights, initialParams)
-    val out = StatefulStage.run(in, spec, StageConf(timeoutMode, timeoutDuration, watermarkDuration)).toDF()
+    val out = (if (batchTrainEnabled) {
+      require(!df.isStreaming, "batch EM training requires a batch DataFrame")
+      StatefulStage.batch(in,
+        new BatchEmSpec(family, mixtureCount, initialWeights, initialParams,
+          batchTrainMaxIter, batchTrainTol)).toDF()
+    } else {
+      StatefulStage.run(in,
+        new MixtureSpec(family, mixtureCount, initialWeights, initialParams),
+        StageConf(timeoutMode, timeoutDuration, watermarkDuration)).toDF()
+    })
     var res = out
     stateKeyCol.foreach(c => res = res.withColumnRenamed("stateKey", c))
     eventTimeCol match {

@@ -28,6 +28,64 @@ case class SmoothedOut(
     stateMean: Array[Double],
     stateCovariance: DMat)
 
+/** Fixed-lag output: one row per (measurement, window position). */
+case class RtsLagOut(
+    stateKey: String,
+    stateIndex: Long,
+    stepIndex: Long,
+    eventTime: Option[Timestamp],
+    stateMean: Array[Double],
+    stateCovariance: DMat)
+
+/**
+ * Fixed-lag RTS: keeps the last `lag` forward-pass records per key and
+ * replays the backward recursion over the window on every step (streaming-
+ * friendly: state is bounded at lag x stateSize², mirroring the reference's
+ * design, /root/reference/src/main/scala/com/github/ozancicek/artan/ml/smoother/LinearKalmanSmoother.scala:96).
+ * Emits `lag` smoothed estimates per measurement once the window fills.
+ */
+private[smoother] class FixedLagSpec(lag: Int, s: Int)
+  extends StateSpec[FiltRecord, List[FiltRecord], RtsLagOut] {
+
+  def update(key: String, row: FiltRecord, state: Option[List[FiltRecord]]): Option[List[FiltRecord]] = {
+    val cur = state.getOrElse(Nil)
+    Some((row :: cur).take(lag)) // newest first
+  }
+
+  def output(key: String, row: FiltRecord, state: List[FiltRecord]): List[RtsLagOut] = {
+    if (state.size < lag) Nil
+    else {
+      // newest first: smoothed(newest) = filtered; then fold backwards
+      val newest = state.head
+      var sm = newest.filtMean
+      var sc = newest.filtCov
+      var newer = newest
+      var outs = List(RtsLagOut(key, newest.stateIndex, (lag - 1).toLong, newest.eventTime,
+        sm, DMat(s, s, sc)))
+      var rest = state.tail
+      var step = lag - 2
+      while (rest.nonEmpty) {
+        val r = rest.head
+        val ft = Dense.matmulNT(r.filtCov, newer.processModel.values, s, s, s)
+        val pInv = Dense.inverse(newer.predCov.clone(), s)
+        val g = Dense.matmul(ft, pInv, s, s, s)
+        val dm = Dense.sub(sm, newer.predMean)
+        val m = r.filtMean.clone()
+        Dense.axpy(1.0, Dense.matvec(g, dm, s, s), m)
+        val dc = Dense.sub(sc, newer.predCov)
+        val gdc = Dense.matmul(g, dc, s, s, s)
+        val gdcgt = Dense.matmulNT(gdc, g, s, s, s)
+        val c = Dense.symmetrize(Dense.add(r.filtCov, gdcgt), s)
+        outs = RtsLagOut(key, r.stateIndex, step.toLong, r.eventTime, m, DMat(s, s, c)) :: outs
+        sm = m; sc = c; newer = r
+        rest = rest.tail
+        step -= 1
+      }
+      outs
+    }
+  }
+}
+
 private[smoother] case class FwdState(
     stateIndex: Long, mean: Array[Double], cov: Array[Double]) extends Serializable
 
@@ -78,6 +136,30 @@ private[smoother] class ForwardSpec(compute: LinearKalmanCompute, defaults: graf
 class LinearKalmanSmoother(stateSize: Int, measurementSize: Int)
     extends LinearKalmanFilter(stateSize, measurementSize) {
 
+  private var fixedLag: Option[Int] = None
+
+  /** Switch to fixed-lag smoothing (bounded state; streaming-capable). */
+  def setFixedLag(v: Int): this.type = { require(v > 1); fixedLag = Some(v); this }
+
+  /** Fixed-lag smoothing: forward filter chained into a bounded-window
+    * backward replay; both stages run on the shared stateful engine, so the
+    * same code serves batch and streaming. */
+  def smoothFixedLag(df: DataFrame, lag: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fwdSpec = new ForwardSpec(new LinearKalmanCompute(stateSize, measurementSize, 1.0), defaults)
+    val fwd: Dataset[FiltRecord] =
+      graft.state.StatefulStage.run(toKalmanInput(df), fwdSpec)
+    val lagged = graft.state.StatefulStage.run(fwd, new FixedLagSpec(lag, stateSize))
+    var out = lagged.toDF()
+    stateKeyCol.foreach(c => out = out.withColumnRenamed("stateKey", c))
+    eventTimeCol match {
+      case Some(c) => out = out.withColumnRenamed("eventTime", c)
+      case None => out = out.drop("eventTime")
+    }
+    out
+  }
+
   def smooth(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -125,6 +207,10 @@ class LinearKalmanSmoother(stateSize: Int, measurementSize: Int)
     out
   }
 
-  /** Smoothing replaces filtering as this transformer's output. */
-  override def transform(df: DataFrame): DataFrame = smooth(df)
+  /** Smoothing replaces filtering as this transformer's output: full-pass
+    * RTS by default (batch), fixed-lag when setFixedLag was called. */
+  override def transform(df: DataFrame): DataFrame = fixedLag match {
+    case Some(lag) => smoothFixedLag(df, lag)
+    case None => smooth(df)
+  }
 }

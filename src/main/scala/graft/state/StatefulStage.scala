@@ -20,6 +20,11 @@ trait KeyedIn extends Serializable {
 trait StateSpec[I <: KeyedIn, S, O] extends Serializable {
   def update(key: String, row: I, state: Option[S]): Option[S]
   def output(key: String, row: I, state: S): List[O]
+
+  /** Emitted when a key's rows are exhausted (batch path only — streams have
+    * no end). Default: nothing. Lets specs run whole-group computations
+    * (e.g. batch EM) without a second shuffle. */
+  def finish(key: String, state: S): List[O] = Nil
 }
 
 sealed trait TimeoutMode { def conf: GroupStateTimeout }
@@ -65,14 +70,28 @@ object StatefulStage {
       .mapPartitions { rows =>
         var curKey: String = null
         var state: Option[S] = None
-        rows.flatMap { r =>
+        val perRow = rows.flatMap { r =>
           val k = r.stateKey
+          val boundary =
+            if (k != curKey && curKey != null) state.map(s => spec.finish(curKey, s)).getOrElse(Nil)
+            else Nil
           if (k != curKey) { curKey = k; state = None }
           state = spec.update(k, r, state)
-          state match {
+          boundary ++ (state match {
             case Some(s) => spec.output(k, r, s)
             case None => Nil
+          })
+        }
+        // flush the final key after the partition's rows are exhausted
+        perRow ++ new Iterator[O] {
+          private var done = false
+          private var pending: List[O] = Nil
+          private def materialize(): Unit = if (!done) {
+            done = true
+            pending = if (curKey != null) state.map(s => spec.finish(curKey, s)).getOrElse(Nil) else Nil
           }
+          def hasNext: Boolean = { materialize(); pending.nonEmpty }
+          def next(): O = { materialize(); val h = pending.head; pending = pending.tail; h }
         }
       }
   }

@@ -136,4 +136,47 @@ class NonlinearSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(last._2 - 50.0) < 1.5, last.toString)
     assert(math.abs(last._3 - 0.5) < 0.15, last.toString)
   }
+
+  test("fixed-lag smoother: newest window estimate equals the filter, batch=stream shape") {
+    import spark.implicits._
+    val sm = new LinearKalmanSmoother(1, 1).setFixedLag(3)
+    sm.setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+      .setInitialStateCovariance(DMat.of(1, 1, 10.0))
+      .setProcessNoise(DMat.of(1, 1, 1.0))
+      .setMeasurementNoise(DMat.of(1, 1, 4.0))
+    val out = sm.transform(lltData)
+    // 8 measurements, lag 3: windows complete from step 3 on -> 6 * 3 rows
+    assert(out.count() == 18)
+    val filt = configure(new LinearKalmanFilter(1, 1)).transform(lltData)
+      .select(col("stateIndex"), col("stateMean")(0)).as[(Long, Double)].collect().toMap
+    // within each window the newest step equals the filtered estimate
+    val newest = out.where(col("stepIndex") === 2)
+      .select(col("stateIndex"), col("stateMean")(0)).as[(Long, Double)].collect()
+    newest.foreach { case (i, m) => assert(m == filt(i), s"step $i") }
+    // an interior smoothed estimate differs from the filter (uses future info)
+    val interior = out.where(col("stepIndex") === 0 && col("stateIndex") === 3)
+      .select(col("stateMean")(0)).as[Double].head()
+    assert(interior != filt(3L))
+  }
+
+  test("batch EM mixture separates clusters and beats holdout-free online start") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 600).map { i =>
+      val z = if (i % 2 == 0) 4.0 + rng.nextGaussian() else 40.0 + rng.nextGaussian()
+      ("k", ts(i), Array(z))
+    }
+    val gmm = new MultivariateGaussianMixture(2, 1)
+      .setStateKeyCol("key").setEventTimeCol("t").setSampleCol("sample")
+      .setEnableBatchTrain().setBatchTrainMaxIter(50).setBatchTrainTol(1e-4)
+      .setInitialMeans(Array(Array(0.0), Array(20.0)))
+      .setInitialCovariances(Array(Array(30.0), Array(30.0)))
+    val out = gmm.transform(rows.toDF("key", "t", "sample"))
+    assert(out.count() == 1) // one converged model per key
+    val m = out.select(col("params")(0)(0), col("params")(1)(0), col("weights")(0))
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(m._1 - 4.0) < 0.5, m.toString)
+    assert(math.abs(m._2 - 40.0) < 0.5, m.toString)
+    assert(math.abs(m._3 - 0.5) < 0.05, m.toString)
+  }
 }
