@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+
+/**
+ * Guards the physical-plan properties the 100 TB design depends on:
+ * predicate pushdown and column pruning reaching the parquet scans, broadcast
+ * joins for small dimensions, and broadcast of the ANN query side. Runs on
+ * sf0.001 (plan shape, not data volume).
+ */
+class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_pricing pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("q1_pricing prunes the scan to the referenced columns only") {
+    val p = plan("q1_pricing")
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(schema.contains("l_quantity") && schema.contains("l_returnflag"))
+    assert(!schema.contains("l_orderkey") && !schema.contains("l_partkey"), schema)
+  }
+
+  test("q3_shipping broadcasts the filtered customer dimension") {
+    val p = plan("q3_shipping")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q3_shipping pushes the orderdate filter to the orders scan") {
+    val p = plan("q3_shipping")
+    assert(p.contains("LessThan(o_orderdate"), p.take(2000))
+  }
+
+  test("brute-force ANN broadcasts the query side (single corpus scan)") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("stateful filter plan has exactly one exchange before the stateful map") {
+    // the LKF input side: pre-agg shuffle + stateKey repartition; the
+    // repartition must hash-partition on stateKey
+    val p = plan("q_lkf_llt")
+    assert(p.contains("hashpartitioning(stateKey"), p.take(3000))
+  }
+}
