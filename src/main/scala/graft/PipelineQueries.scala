@@ -122,6 +122,15 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfTopK(emb, q, "vec_id", "embedding", "qid", "qv",
+          k = 10, stride = 40, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(
@@ -340,6 +349,35 @@ object PipelineQueries {
        |)
        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  private def annIvfOracle: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 7
+       |),
+       |cells AS (
+       |  SELECT vec_id, cv, cell FROM (
+       |    SELECT e.vec_id, e.embedding AS cv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rk
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rk = 1
+       |),
+       |probes AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.embedding", "c.cvec")} DESC, c.cid ASC) AS pr
+       |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE pr <= 2
+       |),
+       |scored AS (
+       |  SELECT p.qid, s.vec_id, ROUND(${cosineSql("s.cv", "p.qv")}, 6) AS sim
+       |  FROM probes p JOIN cells s ON s.cell = p.cell WHERE s.vec_id != p.qid
+       |),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   private def annLshOracle: String =
     s"""WITH cb AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 6, 64)} AS bucket FROM embeddings),
        |qb AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM cb WHERE vec_id < 5),
@@ -444,6 +482,7 @@ object PipelineQueries {
     "q_embed_neardup" -> embedNearDupOracle,
     "q_ann_topk" -> annTopkOracle,
     "q_ann_lsh" -> annLshOracle,
+    "q_ann_ivf" -> annIvfOracle,
     "q_lang_id" -> langIdOracle,
     "q_quality" -> qualityOracle,
 
