@@ -227,6 +227,23 @@ object PipelineQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // temporal alignment: each lineitem picks the most recent order (by
+      // orderdate <= shipdate) in its group; groups interleave in time so
+      // matches are non-trivial and some lineitems have no prior order
+      val l = t(s, dir, "lineitem").where(col("l_suppkey") < 20)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey").as("grp"), col("l_shipdate"))
+      val r = t(s, dir, "orders")
+        .withColumn("grp", pmod(col("o_orderkey"), lit(100)))
+        .groupBy(col("grp"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("ro_key"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("ro_price"))
+      graft.operators.AsOfJoin.backward(l, r, "grp", "grp", "l_shipdate", "o_orderdate")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("ro_key"), col("ro_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q3_shipping" -> ((s, dir) => {
       val d2 = "decimal(12,2)"
       val one = lit(1).cast(d2)
@@ -539,6 +556,20 @@ object PipelineQueries {
         |WHERE l_shipdate <= TIMESTAMP '1999-12-31'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey AS grp, l_shipdate
+        |  FROM lineitem WHERE l_suppkey < 20
+        |),
+        |r AS (
+        |  SELECT o_orderkey % 100 AS grp, o_orderdate,
+        |         max(o_orderkey) AS ro_key, arg_max(o_totalprice, o_orderkey) AS ro_price
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, r.ro_key, r.ro_price
+        |FROM l ASOF LEFT JOIN r ON l.grp = r.grp AND l.l_shipdate >= r.o_orderdate
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q3_shipping" ->
       """SELECT o_orderkey, o_orderdate,
