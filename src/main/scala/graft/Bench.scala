@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Prints ONE JSON line on stdout (and mirrors it to
+  * bench.json) with the per-query median over up to SPARK_GRAFT_BENCH_REPS
+  * passes (default 3; single-run timings on a shared host proved 20×-noisy
+  * in round 1). Pass 1 always covers every query; further passes run while
+  * the SPARK_GRAFT_BENCH_BUDGET_S soft deadline allows. Failures are
+  * reported by name+error and make the exit code nonzero — a broken query
+  * must not masquerade as a fast one. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1800").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,20 +23,51 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - t0) / 1e9
     // Warm the JVM (catalyst, codegen, shuffle machinery) outside the timed
     // region so per-query numbers reflect steady-state throughput.
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     try SparkEntry.queries("q_lkf_llt")(spark, sfDir).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map[String, String]()
+    for (rep <- 1 to reps; name <- names) {
+      // pass 1 must cover every query; later passes respect the soft budget
+      if (rep == 1 || elapsedS < budgetS) {
+        val s0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          val dt = (System.nanoTime() - s0) / 1e9
+          times(name) = dt :: times(name)
+          System.err.println(f"[bench] rep$rep $name ${dt}%.2fs (total ${elapsedS}%.1fs)")
+        } catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          System.err.println(s"[bench] rep$rep $name FAILED: ${errors(name)}")
+        }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val medians = names.flatMap(n => times(n) match {
+      case Nil => None
+      case xs  => Some(n -> median(xs))
+    })
+    val qs = medians.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.toSeq.sorted.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":${jq(sfDir)}}"""
+    println(line)
+    Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

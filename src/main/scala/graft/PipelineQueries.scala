@@ -127,7 +127,7 @@ object PipelineQueries {
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfTopK(emb, q, "vec_id", "embedding", "qid", "qv",
-          k = 10, stride = 40, nprobe = 2)
+          k = 10, numCentroids = 32, nprobe = 2)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -368,7 +368,8 @@ object PipelineQueries {
 
   private def annIvfOracle: String =
     s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 7
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  ORDER BY (1103515245*(vec_id+7)+12345) % 2147483647, vec_id LIMIT 32
        |),
        |cells AS (
        |  SELECT vec_id, cv, cell FROM (

@@ -1,27 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Hardened after round 1 (CORRECTNESS_r01.json came back `{}`):
+  *  - oracle_sql.json is written FIRST, so a partial run (driver timeout)
+  *    still yields per-query gate entries for everything completed.
+  *  - queries run cheap-first, so a timeout truncates the expensive tail,
+  *    not a random prefix.
+  *  - per-query wall time + running total on stderr for postmortems.
+  *  - optional soft deadline (SPARK_GRAFT_VERIFY_BUDGET_S): once exceeded,
+  *    remaining queries are skipped loudly instead of blowing the budget.
+  */
 object Verify {
+  // Ascending expected cost at sf0.01 (measured locally); unknown names sort last.
+  private val costOrder: Seq[String] = Seq(
+    "q_vector_fns", "q_fingerprint", "q_quality", "q_token_count", "q_lang_id",
+    "q_dedup_exact", "q_window_agg", "q_sessionize", "q1_pricing", "q3_shipping",
+    "q_ngram_jaccard", "q_pmm", "q_ann_topk", "q_ukf", "q_ckf", "q_rts",
+    "q_gmm", "q_bmm", "q_asof_join", "q_ann_lsh", "q_embed_neardup", "q_rls",
+    "q_multistep", "q_multimodal", "q_lkf_blr", "q_ekf", "q_lkf_llt", "q_lms",
+    "q_dedup_simhash", "q_mmae", "q_ann_ivf", "q_dedup_minhash")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET_S", "2400").toDouble
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,6 +47,36 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    System.err.println(s"[verify] oracle_sql.json written (${SparkEntry.oracleSql.size} oracles)")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def elapsedS: Double = (System.nanoTime() - t0) / 1e9
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
+      val i = costOrder.indexOf(n); (if (i < 0) Int.MaxValue else i, n)
+    }
+    var failures = 0
+    ordered.foreach { case (name, fn) =>
+      if (elapsedS > budgetS) {
+        System.err.println(f"[verify] $name SKIPPED (budget ${budgetS}%.0fs exceeded at ${elapsedS}%.1fs)")
+      } else {
+        val s0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          System.err.println(f"[verify] $name ok in ${(System.nanoTime() - s0) / 1e9}%.1fs (total ${elapsedS}%.1fs)")
+        } catch { case e: Throwable =>
+          failures += 1
+          System.err.println(s"[verify] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }
+    System.err.println(f"[verify] done: ${ordered.size - failures}/${ordered.size} written in ${elapsedS}%.1fs")
     spark.stop()
   }
 }

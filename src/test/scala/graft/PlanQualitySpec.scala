@@ -44,6 +44,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(2000))
   }
 
+  test("IVF ANN: fixed-k quantizer, map-side assignment, corpus never shuffled") {
+    val p = plan("q_ann_ivf")
+    // probes (queries × nprobe) are broadcast to the assigned corpus
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(3000))
+    // round-1 defect: cell assignment via groupBy(vec_id) shuffled the corpus;
+    // the fixed-k literal-centroid projection must not
+    assert(!p.contains("hashpartitioning(vec_id"), p.take(3000))
+  }
+
   test("stateful filter plan has exactly one exchange before the stateful map") {
     // the LKF input side: pre-agg shuffle + stateKey repartition; the
     // repartition must hash-partition on stateKey
