@@ -51,7 +51,9 @@ case class KState(
     residualCov: Option[Array[Double]],
     slidingLL: List[Double]) extends Serializable
 
-/** Per-measurement filter output. */
+/** Per-measurement filter output. The four system-matrix fields are only
+  * populated (and kept as columns) when `setOutputSystemMatrices` was called —
+  * they echo the RESOLVED per-row matrices (constants or per-row columns). */
 case class KalmanOut(
     stateKey: String,
     stateIndex: Long,
@@ -63,7 +65,11 @@ case class KalmanOut(
     residualCovariance: Option[DMat],
     loglikelihood: Option[Double],
     mahalanobis: Option[Double],
-    slidingLikelihood: Option[Double])
+    slidingLikelihood: Option[Double],
+    processModel: Option[DMat] = None,
+    processNoise: Option[DMat] = None,
+    measurementModel: Option[DMat] = None,
+    measurementNoise: Option[DMat] = None)
 
 /**
  * Predict/estimate cycle contract. Implementations (linear, extended,
@@ -152,7 +158,8 @@ class KalmanSpec(
     multiStepPredict: Int,
     computeLoglikelihood: Boolean,
     computeMahalanobis: Boolean,
-    computeSlidingLikelihood: Boolean)
+    computeSlidingLikelihood: Boolean,
+    emitSystemMatrices: Boolean = false)
   extends StateSpec[KalmanIn, KState, KalmanOut] {
 
   /** Fill constant system matrices into the row once per row (cheap object
@@ -225,7 +232,11 @@ class KalmanSpec(
       key, s.stateIndex, stepIndex, row.eventTime,
       s.mean, DMat(n, n, s.cov),
       s.residualMean, s.residualCov.map(rc => DMat(compute.measurementSize, compute.measurementSize, rc)),
-      ll, maha, slid)
+      ll, maha, slid,
+      if (emitSystemMatrices) row.processModel else None,
+      if (emitSystemMatrices) row.processNoise else None,
+      if (emitSystemMatrices) row.measurementModel else None,
+      if (emitSystemMatrices) row.measurementNoise else None)
   }
 }
 
@@ -244,6 +255,7 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
   protected var initialStateCovariance: DMat = DMat.eye(stateSize)
   protected var initialStateMeanCol: Option[String] = None
   protected var initialStateCovarianceCol: Option[String] = None
+  protected var initialStateDistributionCol: Option[String] = None
   protected var processModel: DMat = DMat.eye(stateSize)
   protected var processNoise: DMat = DMat.eye(stateSize)
   protected var measurementModel: DMat = {
@@ -279,6 +291,10 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
   def setInitialStateCovariance(v: DMat): Impl = { initialStateCovariance = v; this }
   def setInitialStateMeanCol(v: String): Impl = { initialStateMeanCol = Some(v); this }
   def setInitialStateCovarianceCol(v: String): Impl = { initialStateCovarianceCol = Some(v); this }
+  /** Single struct column `(mean: array<double>, covariance: matrix-struct)`
+    * carrying the initial state distribution — the batch-posterior →
+    * streaming-prior warm-start mechanism (reference KalmanBase.scala:87). */
+  def setInitialStateDistributionCol(v: String): Impl = { initialStateDistributionCol = Some(v); this }
   def setProcessModel(v: DMat): Impl = { processModel = v; this }
   def setProcessNoise(v: DMat): Impl = { processNoise = v; this }
   def setMeasurementModel(v: DMat): Impl = { measurementModel = v; this }
@@ -337,8 +353,12 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
       matCol(processNoiseCol).as("processNoise"),
       controlCol.map(c => col(c).cast("array<double>")).getOrElse(lit(null).cast("array<double>")).as("control"),
       controlFunctionCol.map(col).getOrElse(lit(null).cast(matStructType)).as("controlFunction"),
-      initialStateMeanCol.map(c => col(c).cast("array<double>")).getOrElse(lit(null).cast("array<double>")).as("initialMean"),
-      initialStateCovarianceCol.map(col).getOrElse(lit(null).cast(matStructType)).as("initialCovariance")
+      initialStateDistributionCol.map(c => col(c).getField("mean").cast("array<double>"))
+        .orElse(initialStateMeanCol.map(c => col(c).cast("array<double>")))
+        .getOrElse(lit(null).cast("array<double>")).as("initialMean"),
+      initialStateDistributionCol.map(c => col(c).getField("covariance").cast(matStructType))
+        .orElse(initialStateCovarianceCol.map(col))
+        .getOrElse(lit(null).cast(matStructType)).as("initialCovariance")
     ).as[KalmanIn]
   }
 
@@ -348,7 +368,7 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
 
   protected def spec: KalmanSpec = new KalmanSpec(
     compute, defaults, storeResidual, slidingLikelihoodWindow, multiStepPredict,
-    calcLoglikelihood, calcMahalanobis, calcSlidingLikelihood)
+    calcLoglikelihood, calcMahalanobis, calcSlidingLikelihood, outputSystemMatrices)
 
   /** Run the filter; batch or streaming chosen from the input DataFrame. */
   def transform(df: DataFrame): DataFrame = {
@@ -366,6 +386,8 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
     if (!calcMahalanobis) out = out.drop("mahalanobis")
     if (!calcSlidingLikelihood) out = out.drop("slidingLikelihood")
     if (!storeResidual) out = out.drop("residualMean", "residualCovariance")
+    if (!outputSystemMatrices)
+      out = out.drop("processModel", "processNoise", "measurementModel", "measurementNoise")
     stateKeyCol.foreach(c => out = out.withColumnRenamed("stateKey", c))
     eventTimeCol match {
       case Some(c) => out = out.withColumnRenamed("eventTime", c)

@@ -86,7 +86,10 @@ private[mixture] case class MixIn(
     stepSize: Double,
     decayRate: Double, // negative = no decay (use stepSize)
     minibatchSize: Int,
-    updateHoldout: Int) extends KeyedIn
+    updateHoldout: Int,
+    // per-key warm start (initialMixtureModelCol); None -> builder constants
+    initialWeights: Option[Array[Double]] = None,
+    initialParams: Option[Array[Array[Double]]] = None) extends KeyedIn
 
 private[mixture] case class MixState(
     stateIndex: Long,
@@ -112,16 +115,18 @@ private[mixture] class MixtureSpec(
     initParams: Array[Array[Double]])
   extends StateSpec[MixIn, MixState, MixtureOut] {
 
-  private def initState: MixState = {
+  private def initState(row: MixIn): MixState = {
+    val w0 = row.initialWeights.getOrElse(initWeights)
+    val p0 = row.initialParams.getOrElse(initParams)
     // summary starts as the weight-scaled initial params (so the first
     // M-step's divide-by-weight returns the initial params unchanged)
-    val moments = Array.tabulate(k)(i => family.fromMoments(initParams(i), 1.0 / initWeights(i)))
-    MixState(0L, Nil, initWeights.clone(), moments,
-      initWeights.clone(), initParams.map(_.clone()), Double.MinValue)
+    val moments = Array.tabulate(k)(i => family.fromMoments(p0(i), 1.0 / w0(i)))
+    MixState(0L, Nil, w0.clone(), moments,
+      w0.clone(), p0.map(_.clone()), Double.MinValue)
   }
 
   def update(key: String, row: MixIn, state: Option[MixState]): Option[MixState] = {
-    val cur = state.getOrElse(initState)
+    val cur = state.getOrElse(initState(row))
     val buf = row.sample :: cur.buffer
     if (buf.size < row.minibatchSize) {
       Some(cur.copy(buffer = buf))
@@ -196,8 +201,9 @@ private[mixture] class BatchEmSpec(
     val samples = state._1.reverse
     val n = samples.length
     if (n == 0) return Nil
-    var weights = initWeights.clone()
-    var params = initParams.map(_.clone())
+    val row0 = state._2.get
+    var weights = row0.initialWeights.getOrElse(initWeights).clone()
+    var params = row0.initialParams.getOrElse(initParams).map(_.clone())
     var prevLL = Double.MinValue
     var iter = 0
     var done = false
@@ -250,6 +256,7 @@ abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { s
   protected var batchTrainEnabled: Boolean = false
   protected var batchTrainMaxIter: Int = 30
   protected var batchTrainTol: Double = 0.1
+  protected var initialMixtureModelCol: Option[String] = None
 
   def setEnableBatchTrain(): Impl = { batchTrainEnabled = true; this }
   def setBatchTrainMaxIter(v: Int): Impl = { batchTrainMaxIter = v; this }
@@ -262,6 +269,10 @@ abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { s
   def setMinibatchSize(v: Int): Impl = { minibatchSize = v; this }
   def setUpdateHoldout(v: Int): Impl = { updateHoldout = v; this }
   def setInitialWeights(v: Array[Double]): Impl = { initialWeights = v; this }
+  /** Single struct column `(weights: array<double>, params: array<array<double>>)`
+    * carrying a per-key initial mixture model — warm start from a previously
+    * trained model (reference MixtureParams.scala:287). */
+  def setInitialMixtureModelCol(v: String): Impl = { initialMixtureModelCol = Some(v); this }
   def setWatermarkDuration(v: String): Impl = { watermarkDuration = Some(v); this }
   def setStateTimeoutMode(v: String): Impl = {
     timeoutMode = v match {
@@ -291,7 +302,11 @@ abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { s
       lit(stepSize).as("stepSize"),
       lit(decayRate).as("decayRate"),
       lit(minibatchSize).as("minibatchSize"),
-      lit(updateHoldout).as("updateHoldout")
+      lit(updateHoldout).as("updateHoldout"),
+      initialMixtureModelCol.map(c => col(c).getField("weights").cast("array<double>"))
+        .getOrElse(lit(null).cast("array<double>")).as("initialWeights"),
+      initialMixtureModelCol.map(c => col(c).getField("params").cast("array<array<double>>"))
+        .getOrElse(lit(null).cast("array<array<double>>")).as("initialParams")
     ).as[MixIn]
     val out = (if (batchTrainEnabled) {
       require(!df.isStreaming, "batch EM training requires a batch DataFrame")
