@@ -113,6 +113,34 @@ object ModelQueries {
         .orderBy(col("key"))
     }),
 
+    "q_raukf" -> ((s, dir) => {
+      // UKF with RAUKF adaptive process noise: same model as q_ukf, noise
+      // inflating when the residual breaches the mahalanobis threshold.
+      // Rows-only oracle (libm exp/log-free but the adaptation path is
+      // spec-covered in NonlinearSpec instead of a SQL replay).
+      val ukf = new UnscentedKalmanFilter(1, 1)
+        .setStateKeyCol("user_id")
+        .setEventTimeCol("ts")
+        .setMeasurementCol("meas")
+        .setSigmaPoints("merwe")
+        .setMerweAlpha(0.6).setMerweBeta(2.0).setMerweKappa(0.5)
+        .setMeasurementFunction((st, _) => Array(st(0) * st(0)))
+        .setInitialStateMean(Array(5.0))
+        .setInitialStateCovariance(DMat.of(1, 1, 5.0))
+        .setProcessNoise(DMat.of(1, 1, 0.1))
+        .setMeasurementNoise(DMat.of(1, 1, 25.0))
+        .setEnableAdaptiveProcessNoise()
+        .setAdaptiveProcessNoiseThreshold(2.0)
+      ukf.transform(userStream(s, dir).withColumn("meas", array(col("z"))))
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("stateMean")(0), col("stateIndex")).as("m"),
+          max_by(col("stateCovariance.values")(0), col("stateIndex")).as("p"))
+        .select(col("user_id").cast("long").as("key"),
+          round(col("m"), 5).as("state_mean"), round(col("p"), 5).as("state_cov"))
+        .orderBy(col("key"))
+    }),
+
     "q_ckf" -> ((s, dir) => {
       val ckf = new CubatureKalmanFilter(1, 1)
         .setStateKeyCol("user_id")
@@ -164,13 +192,18 @@ object ModelQueries {
         .setProcessNoise(DMat.of(1, 1, 1.0))
         .setMeasurementNoise(DMat.of(1, 1, 4.0))
       val out = lkf.transform(userStream(s, dir).withColumn("meas", array(col("z"))))
-      val maxIdx = out.groupBy(col("user_id").as("u")).agg(max(col("stateIndex")).as("mi"))
-      out.join(maxIdx, out("user_id") === maxIdx("u") && out("stateIndex") === maxIdx("mi"))
+      // last stateIndex per (key, step) via max_by: ONE filter pass + one
+      // aggregation (the previous groupBy-max self-join ran the stateful
+      // stage twice when exchange reuse didn't kick in)
+      out.groupBy(col("user_id"), col("stepIndex"))
+        .agg(
+          max_by(col("stateMean")(0), col("stateIndex")).as("m0"),
+          max_by(col("stateCovariance.values")(0), col("stateIndex")).as("p0"))
         .select(
           col("user_id").cast("long").as("key"),
           col("stepIndex").cast("long").as("step"),
-          round(col("stateMean")(0), 5).as("m"),
-          round(col("stateCovariance.values")(0), 5).as("p"))
+          round(col("m0"), 5).as("m"),
+          round(col("p0"), 5).as("p"))
         .orderBy(col("key"), col("step"))
     }),
 
@@ -527,13 +560,20 @@ object ModelQueries {
        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin
   }
 
-  private def multimodalOracle: String =
+  /** Byte-exact replay of the decode stub: the Spark side reads raw UTF-8
+    * BYTES of the payload, so the oracle derives the same bytes from
+    * hex(encode(text)) rather than ascii() code points (which diverge on
+    * multi-byte first characters). */
+  private def multimodalOracle: String = {
+    def byteAt(i: Int) = // 1-based byte index -> unsigned int, 0 past end
+      s"coalesce(try_cast(('0x' || substring(hex(encode(text)), ${2 * i - 1}, 2)) AS INT), 0)"
     s"""SELECT doc_id,
-       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-       |  CAST(64 + (ascii(substring(text,1,1)) & 127) AS BIGINT) AS width,
-       |  CAST(64 + (ascii(substring(text,2,1)) & 127) AS BIGINT) AS height,
-       |  CAST(CAST(ascii(substring(text,1,1)) AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT) AS feat0
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  CAST(64 + (${byteAt(1)} & 127) AS BIGINT) AS width,
+       |  CAST(64 + (${byteAt(2)} & 127) AS BIGINT) AS height,
+       |  CAST(CAST(${byteAt(1)} AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT) AS feat0
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_ekf" -> ekfOracle,

@@ -106,10 +106,9 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
     // — persist is the correct materialization point (disk-backed; ~2 KB/doc
     // regardless of document size). At petabyte scale, write signatures to a
     // table instead and feed them back through candidatePairs.
-    val base = df
+    val base = CachedProjections.swap("minhash", df
       .select(col(idCol), shingleHashSet(col(textCol), shingleSize).as("sset"))
-      .withColumn("sig", signatureFromSet(col("sset")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", signatureFromSet(col("sset"))))
 
     val bandCols = array((0 until bands).map { bIdx =>
       struct(
@@ -130,6 +129,19 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
       .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+}
+
+/** Bounds cached-block accumulation across repeated dedup invocations (e.g.
+  * a bench loop): each operator keeps ONE live cached projection; persisting
+  * a new one unpersists the previous (non-blocking). A caller that needs two
+  * live projections of the same operator should persist/unpersist itself. */
+private[dedup] object CachedProjections {
+  private val live = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def swap(tag: String, df: DataFrame): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(live.put(tag, cached)).filter(_ ne cached).foreach(_.unpersist(blocking = false))
+    cached
   }
 }
 
@@ -197,10 +209,9 @@ object SimHash {
     * projection materializes once behind a reusable exchange (one corpus
     * pass; both join branches read the exchange). */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val base = df
+    val base = CachedProjections.swap("simhash", df
       .select(col(idCol), transform(tokens(col(textCol)), tokenHash60 _).as("_toks"))
-      .select(col(idCol), simhashFromToks(col("_toks")).as("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // 16 bytes/doc; one corpus pass
+      .select(col(idCol), simhashFromToks(col("_toks")).as("simhash"))) // 16 bytes/doc; one corpus pass
     val chunks = array((0 until Chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * ChunkBits).bitwiseAND((1L << ChunkBits) - 1L).as("cval"))

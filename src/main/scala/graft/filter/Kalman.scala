@@ -42,14 +42,19 @@ case class KalmanDefaults(
     initialMean: Array[Double],
     initialCovariance: DMat) extends Serializable
 
-/** In-flight per-key filter state (never leaves the executor in batch mode). */
+/** In-flight per-key filter state (never leaves the executor in batch mode).
+  * `adaptiveQ` holds the RAUKF-inflated process noise when adaptive noise is
+  * enabled and the last residual breached the mahalanobis threshold; it
+  * overrides the static Q on the next predict (reference
+  * UnscentedKalmanFilter.scala:238). */
 case class KState(
     stateIndex: Long,
     mean: Array[Double],
     cov: Array[Double],
     residualMean: Option[Array[Double]],
     residualCov: Option[Array[Double]],
-    slidingLL: List[Double]) extends Serializable
+    slidingLL: List[Double],
+    adaptiveQ: Option[Array[Double]] = None) extends Serializable
 
 /** Per-measurement filter output. The four system-matrix fields are only
   * populated (and kept as columns) when `setOutputSystemMatrices` was called —
@@ -89,6 +94,17 @@ trait KalmanCompute extends Serializable {
    */
   def estimate(mean: Array[Double], cov: Array[Double], in: KalmanIn)
     : (Array[Double], Array[Double], Array[Double], Array[Double])
+
+  /**
+   * Measurement update that may also produce an adapted process noise (RAUKF);
+   * the default delegates to [[estimate]] with no adaptation. `in` carries the
+   * EFFECTIVE Q (static or previously adapted) in `processNoise`.
+   */
+  def estimateWithNoise(mean: Array[Double], cov: Array[Double], in: KalmanIn)
+    : (Array[Double], Array[Double], Array[Double], Array[Double], Option[Array[Double]]) = {
+    val (a, b, c, d) = estimate(mean, cov, in)
+    (a, b, c, d, None)
+  }
 }
 
 /** Standard linear Kalman math with Joseph-form covariance update. */
@@ -171,14 +187,20 @@ class KalmanSpec(
     processNoise = if (row.processNoise.isDefined) row.processNoise else Some(defaults.processNoise))
 
   def update(key: String, rawRow: KalmanIn, state: Option[KState]): Option[KState] = {
-    val row = resolve(rawRow)
+    val resolved = resolve(rawRow)
     val cur = state.getOrElse(
       KState(0L, rawRow.initialMean.getOrElse(defaults.initialMean),
         rawRow.initialCovariance.map(_.values).getOrElse(defaults.initialCovariance.values), None, None, Nil))
+    // adapted process noise (RAUKF) overrides the static Q until the next
+    // below-threshold residual resets it
+    val row = cur.adaptiveQ match {
+      case Some(q) => resolved.copy(processNoise = Some(DMat(compute.stateSize, compute.stateSize, q)))
+      case None => resolved
+    }
     val (pm, pc) = compute.predict(cur.mean, cur.cov, row)
     val next = row.measurement match {
       case Some(_) =>
-        val (em, ec, resid, residCov) = compute.estimate(pm, pc, row)
+        val (em, ec, resid, residCov, newQ) = compute.estimateWithNoise(pm, pc, row)
         val slid =
           if (computeSlidingLikelihood || computeLoglikelihood) {
             val ll = Distributions.mvnLogpdf(resid, new Array[Double](resid.length), residCov.clone())
@@ -187,9 +209,9 @@ class KalmanSpec(
         KState(cur.stateIndex + 1, em, ec,
           if (storeResidual) Some(resid) else None,
           if (storeResidual) Some(residCov) else None,
-          slid)
+          slid, newQ)
       case None =>
-        KState(cur.stateIndex + 1, pm, pc, None, None, cur.slidingLL)
+        KState(cur.stateIndex + 1, pm, pc, None, None, cur.slidingLL, cur.adaptiveQ)
     }
     Some(next)
   }

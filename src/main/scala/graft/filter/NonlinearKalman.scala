@@ -186,6 +186,12 @@ private[filter] class CubatureSigma extends SigmaAlgo {
   }
 }
 
+/** RAUKF adaptive process noise parameters (B. Zheng 2018; reference
+  * UnscentedKalmanFilter.scala:578 defaults: threshold 2.0, lambda 0.9,
+  * alpha 1.0). */
+case class AdaptiveNoiseConf(threshold: Double = 2.0, lambda: Double = 0.9, alpha: Double = 1.0)
+  extends Serializable
+
 /**
  * Sigma-point Kalman compute shared by UKF and CKF: unscented transform for
  * both the time and measurement updates; sigma points re-drawn from the
@@ -196,7 +202,8 @@ class SigmaPointCompute(
     val stateSize: Int, val measurementSize: Int, val fadingFactor: Double,
     sigma: SigmaAlgo,
     processFunc: Option[(Array[Double], DMat) => Array[Double]],
-    measurementFunc: Option[(Array[Double], DMat) => Array[Double]])
+    measurementFunc: Option[(Array[Double], DMat) => Array[Double]],
+    adaptiveNoise: Option[AdaptiveNoiseConf] = None)
   extends KalmanCompute {
 
   private def weightedMean(pts: Array[Array[Double]], w: Array[Double], dim: Int): Array[Double] = {
@@ -240,6 +247,35 @@ class SigmaPointCompute(
 
   def estimate(mean: Array[Double], cov: Array[Double], in: KalmanIn)
     : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val (a, b, c, d, _) = estimateFull(mean, cov, in)
+    (a, b, c, d)
+  }
+
+  /** RAUKF: when the residual's squared mahalanobis against S breaches the
+    * threshold, blend K r rᵀ Kᵀ into the current Q (weight clamped at lambda);
+    * below threshold the adapted noise resets to the static Q. */
+  override def estimateWithNoise(mean: Array[Double], cov: Array[Double], in: KalmanIn)
+    : (Array[Double], Array[Double], Array[Double], Array[Double], Option[Array[Double]]) = {
+    val (em, ec, resid, sMat, gain) = estimateFull(mean, cov, in)
+    val newQ = adaptiveNoise.flatMap { conf =>
+      val s = stateSize
+      val m = measurementSize
+      val sInv = Dense.inverse(sMat.clone(), m)
+      val sqMah = Dense.dot(resid, Dense.matvec(sInv, resid, m, m))
+      if (sqMah > conf.threshold) {
+        val weight = math.max(conf.lambda, (sqMah - conf.alpha * conf.threshold) / sqMah)
+        val update = Dense.outer(weight, resid, resid) // weight * r rᵀ (m x m)
+        val ku = Dense.matmul(gain, update, s, m, m)
+        val noise = Dense.matmulNT(ku, gain, s, m, s) // K update Kᵀ
+        Dense.axpy(1.0 - weight, in.processNoise.get.values, noise)
+        Some(noise)
+      } else None
+    }
+    (em, ec, resid, sMat, newQ)
+  }
+
+  private def estimateFull(mean: Array[Double], cov: Array[Double], in: KalmanIn)
+    : (Array[Double], Array[Double], Array[Double], Array[Double], Array[Double]) = {
     val s = stateSize
     val m = measurementSize
     val h = (x: Array[Double]) => measurementFunc.map(fn => fn(x, in.measurementModel.get))
@@ -270,7 +306,7 @@ class SigmaPointCompute(
     val ks = Dense.matmul(gain, sMat, s, m, m)
     val kskt = Dense.matmulNT(ks, gain, s, m, s)
     val newCov = Dense.sub(cov, kskt)
-    (newMean, Dense.symmetrize(newCov, s), resid, sMat)
+    (newMean, Dense.symmetrize(newCov, s), resid, sMat, gain)
   }
 }
 
@@ -285,6 +321,7 @@ class UnscentedKalmanFilter(stateSize: Int, measurementSize: Int)
   private var julierKappa: Double = 1.0
   private var processFunc: Option[(Array[Double], DMat) => Array[Double]] = None
   private var measurementFunc: Option[(Array[Double], DMat) => Array[Double]] = None
+  private var adaptiveNoise: Option[AdaptiveNoiseConf] = None
 
   def setSigmaPoints(v: String): this.type = {
     require(v == "merwe" || v == "julier", s"unsupported sigma point algorithm $v")
@@ -297,12 +334,28 @@ class UnscentedKalmanFilter(stateSize: Int, measurementSize: Int)
   def setProcessFunction(f: (Array[Double], DMat) => Array[Double]): this.type = { processFunc = Some(f); this }
   def setMeasurementFunction(f: (Array[Double], DMat) => Array[Double]): this.type = { measurementFunc = Some(f); this }
 
+  /** Enable RAUKF adaptive process noise (B. Zheng 2018; reference
+    * UnscentedKalmanFilter.scala:135). */
+  def setEnableAdaptiveProcessNoise(): this.type = {
+    adaptiveNoise = Some(adaptiveNoise.getOrElse(AdaptiveNoiseConf())); this
+  }
+  def setAdaptiveProcessNoiseThreshold(v: Double): this.type = {
+    adaptiveNoise = Some(adaptiveNoise.getOrElse(AdaptiveNoiseConf()).copy(threshold = v)); this
+  }
+  def setAdaptiveProcessNoiseLambda(v: Double): this.type = {
+    adaptiveNoise = Some(adaptiveNoise.getOrElse(AdaptiveNoiseConf()).copy(lambda = v)); this
+  }
+  def setAdaptiveProcessNoiseAlpha(v: Double): this.type = {
+    adaptiveNoise = Some(adaptiveNoise.getOrElse(AdaptiveNoiseConf()).copy(alpha = v)); this
+  }
+
   protected def compute: KalmanCompute = {
     val algo = sigmaAlgoName match {
       case "merwe" => new MerweSigma(merweAlpha, merweBeta, merweKappa)
       case "julier" => new JulierSigma(julierKappa)
     }
-    new SigmaPointCompute(stateSize, measurementSize, fadingFactor, algo, processFunc, measurementFunc)
+    new SigmaPointCompute(stateSize, measurementSize, fadingFactor, algo,
+      processFunc, measurementFunc, adaptiveNoise)
   }
 }
 

@@ -336,8 +336,32 @@ class UnscentedKalmanFilter(override val uid: String)
   final val julierKappa: DoubleParam = new DoubleParam(this, "julierKappa", "julier kappa")
   def setJulierKappa(value: Double): this.type = set(julierKappa, value)
 
+  final val adaptiveProcessNoise: BooleanParam = new BooleanParam(this, "adaptiveProcessNoise",
+    "enable RAUKF adaptive process noise (B. Zheng 2018)")
+  def setEnableAdaptiveProcessNoise(): this.type = set(adaptiveProcessNoise, true)
+
+  final val adaptiveProcessNoiseThreshold: DoubleParam = new DoubleParam(this,
+    "adaptiveProcessNoiseThreshold",
+    "squared-mahalanobis residual threshold activating noise adaptation", ParamValidators.gt(0.0))
+  def setAdaptiveProcessNoiseThreshold(value: Double): this.type =
+    set(adaptiveProcessNoiseThreshold, value)
+
+  final val adaptiveProcessNoiseLambda: DoubleParam = new DoubleParam(this,
+    "adaptiveProcessNoiseLambda",
+    "stability weight floor for noise updates", ParamValidators.inRange(0.0, 1.0))
+  def setAdaptiveProcessNoiseLambda(value: Double): this.type =
+    set(adaptiveProcessNoiseLambda, value)
+
+  final val adaptiveProcessNoiseAlpha: DoubleParam = new DoubleParam(this,
+    "adaptiveProcessNoiseAlpha",
+    "threshold scale in the adaptation weight", ParamValidators.gt(0.0))
+  def setAdaptiveProcessNoiseAlpha(value: Double): this.type =
+    set(adaptiveProcessNoiseAlpha, value)
+
   setDefault(sigmaPoints -> "merwe", merweAlpha -> 0.3, merweBeta -> 2.0,
-    merweKappa -> 0.1, julierKappa -> 1.0)
+    merweKappa -> 0.1, julierKappa -> 1.0, adaptiveProcessNoise -> false,
+    adaptiveProcessNoiseThreshold -> 2.0, adaptiveProcessNoiseLambda -> 0.9,
+    adaptiveProcessNoiseAlpha -> 1.0)
 
   protected def core(): CoreBase[_] = {
     val f = new graft.filter.UnscentedKalmanFilter($(stateSize), $(measurementSize))
@@ -346,6 +370,12 @@ class UnscentedKalmanFilter(override val uid: String)
     f.setMerweBeta($(merweBeta))
     f.setMerweKappa($(merweKappa))
     f.setJulierKappa($(julierKappa))
+    if ($(adaptiveProcessNoise)) {
+      f.setEnableAdaptiveProcessNoise()
+      f.setAdaptiveProcessNoiseThreshold($(adaptiveProcessNoiseThreshold))
+      f.setAdaptiveProcessNoiseLambda($(adaptiveProcessNoiseLambda))
+      f.setAdaptiveProcessNoiseAlpha($(adaptiveProcessNoiseAlpha))
+    }
     get(processFunction).foreach(f.setProcessFunction)
     get(measurementFunction).foreach(f.setMeasurementFunction)
     configure(f)

@@ -29,6 +29,11 @@ object AsOfJoin {
    * @param rightTime event time on the right
    * @return left rows with right columns appended (null when no prior right
    *         row exists); right columns keep their names.
+   *
+   * Null-time semantics (match DuckDB ASOF): right rows with a null time are
+   * ignored — they can never be "the most recent" match; left rows with a
+   * null time sort before every timed right row and so get null right
+   * columns.
    */
   def backward(
       left: DataFrame, right: DataFrame,
@@ -55,7 +60,7 @@ object AsOfJoin {
       Seq(col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_side")) ++
         lSchema.zipWithIndex.map { case (f, i) => col(f.name).as(s"_l$i") } ++
         rSchema.zipWithIndex.map { case (f, i) => lit(null).cast(f.dataType).as(s"_r$i") }: _*)
-    val rPart = right.select(
+    val rPart = right.where(col(rightTime).isNotNull).select(
       Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side")) ++
         lSchema.zipWithIndex.map { case (f, i) => lit(null).cast(f.dataType).as(s"_l$i") } ++
         rSchema.zipWithIndex.map { case (f, i) => col(f.name).as(s"_r$i") }: _*)

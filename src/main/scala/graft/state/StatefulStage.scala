@@ -65,8 +65,15 @@ object StatefulStage {
 
   def batch[I <: KeyedIn, S, O](ds: Dataset[I], spec: StateSpec[I, S, O])(
       implicit ie: Encoder[I], oe: Encoder[O]): Dataset[O] = {
-    ds.repartition(col("stateKey"))
-      .sortWithinPartitions(col("stateKey"), col("eventTime"))
+    // __rowSeq: deterministic tiebreaker for equal/null event times, captured
+    // BEFORE the shuffle so the fold order is stable across runs (input file
+    // order). Without it the external sort's order on ties is whatever the
+    // merge yields that run.
+    ds.withColumn("__rowSeq", org.apache.spark.sql.functions.monotonically_increasing_id())
+      .repartition(col("stateKey"))
+      .sortWithinPartitions(col("stateKey"), col("eventTime"), col("__rowSeq"))
+      .drop("__rowSeq")
+      .as[I](ie)
       .mapPartitions { rows =>
         var curKey: String = null
         var state: Option[S] = None
@@ -99,7 +106,11 @@ object StatefulStage {
   def stream[I <: KeyedIn, S, O](ds: Dataset[I], spec: StateSpec[I, S, O], conf: StageConf)(
       implicit ie: Encoder[I], oe: Encoder[O]): Dataset[O] = {
     import org.apache.spark.sql.{Encoders => Encs}
-    implicit val stateEnc: Encoder[Wrapped[S]] = Encs.javaSerialization[Wrapped[S]]
+    // Kryo state-store encoding: ~5-10x smaller/faster than Java
+    // serialization for the array-heavy filter states (the output rows still
+    // use Spark-native Product encoders; only the opaque state blob is Kryo,
+    // matching the reference's choice, StatefulTransformer.scala:117).
+    implicit val stateEnc: Encoder[Wrapped[S]] = Encs.kryo[Wrapped[S]]
     implicit val keyEnc: Encoder[String] = Encs.STRING
 
     val withWm = conf.watermarkDuration match {

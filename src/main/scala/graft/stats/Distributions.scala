@@ -53,9 +53,13 @@ object Distributions {
     math.sqrt(Dense.dot(z, z))
   }
 
-  /** Poisson log pmf. */
-  def poissonLogpmf(k: Long, rate: Double): Double =
-    k * math.log(rate) - rate - logGamma(k + 1.0)
+  /** Poisson log pmf. The rate is clamped away from zero: a mixture M-step
+    * can drive a component's rate to exactly 0 (all responsibility-weighted
+    * samples zero), and k*log(0) would NaN/-Inf-poison subsequent E-steps. */
+  def poissonLogpmf(k: Long, rate: Double): Double = {
+    val r = math.max(rate, 1e-12)
+    k * math.log(r) - r - logGamma(k + 1.0)
+  }
 
   /** Bernoulli log pmf. */
   def bernoulliLogpmf(x: Boolean, p: Double): Double =

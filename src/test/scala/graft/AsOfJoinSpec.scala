@@ -32,6 +32,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(out("l3").isEmpty)        // b at t=7: right row is at 8 (future)
   }
 
+  test("null-time right rows are ignored; null-time left rows match nothing") {
+    import spark.implicits._
+    val left = Seq(
+      ("a", Some(ts(5)), "l1"), ("a", None, "lnull")
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      ("a", None, "rnull"), // must NOT become anyone's match (DuckDB ASOF semantics)
+      ("a", Some(ts(2)), "r2")
+    ).toDF("k2", "t2", "rv")
+
+    val out = AsOfJoin.backward(left, right, "k", "k2", "t", "t2")
+      .select($"lv", $"rv").as[(String, Option[String])].collect().toMap
+
+    assert(out("l1").contains("r2"))
+    assert(out("lnull").isEmpty)
+  }
+
   test("as-of join plan is one shuffle per side (union + hash partition)") {
     import spark.implicits._
     val left = Seq(("a", ts(1), 1.0)).toDF("k", "t", "x")

@@ -159,6 +159,32 @@ class NonlinearSpec extends AnyFunSuite with SparkTestSession {
     assert(interior != filt(3L))
   }
 
+  test("RAUKF: adaptive process noise inflates on a mahalanobis breach and tracks jumps faster") {
+    import spark.implicits._
+    // steady level then a large jump: the jump residual breaches the
+    // threshold, Q inflates, and the filter re-converges faster than the
+    // static-Q UKF (B. Zheng 2018 behavior; reference UnscentedKalmanFilterSpec)
+    val zs = Seq.fill(10)(1.0) ++ Seq.fill(10)(30.0)
+    val df = zs.zipWithIndex.map { case (z, i) => ("a", ts(i), Array(z)) }.toDF("key", "t", "meas")
+
+    def ukf() = new UnscentedKalmanFilter(1, 1)
+      .setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+      .setInitialStateMean(Array(1.0))
+      .setInitialStateCovariance(DMat.of(1, 1, 1.0))
+      .setProcessNoise(DMat.of(1, 1, 0.01))
+      .setMeasurementNoise(DMat.of(1, 1, 1.0))
+
+    val staticMeans = means(ukf().transform(df))
+    val adaptiveMeans = means(ukf().setEnableAdaptiveProcessNoise().transform(df))
+
+    // identical before the jump (no breach -> no adaptation)
+    (0 until 10).foreach(i => assert(staticMeans(i) == adaptiveMeans(i), s"pre-jump step $i"))
+    // after the jump the adaptive filter closes the gap to 30 faster
+    assert(adaptiveMeans(12) > staticMeans(12) + 1.0,
+      s"adaptive ${adaptiveMeans(12)} vs static ${staticMeans(12)}")
+    assert(math.abs(adaptiveMeans.last - 30.0) < math.abs(staticMeans.last - 30.0))
+  }
+
   test("batch EM mixture separates clusters and beats holdout-free online start") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
