@@ -305,6 +305,29 @@ object ModelQueries {
         .orderBy(col("vec_id"))
     }),
 
+    "q_rand_gaussian" -> ((s, dir) => {
+      // Seeded multivariate-gaussian sampling (reference SparkFunctions
+      // randMultiGaussian parity). Rows-only oracle: Spark's XORShift randn
+      // stream is not replayable in DuckDB; seeded determinism + moment
+      // recovery are asserted in RandomFunctionsSpec instead. Per event_type,
+      // draw one sample per event row and report sample moments, which also
+      // exercises the per-row-parameter (UDF cholesky) path.
+      import graft.functions.VectorFunctions._
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+        .withColumn("mu", array(col("value") * 0.0, col("value") * 0.0))
+        .withColumn("sigma", matrixStruct(2, 2,
+          array(lit(4.0), lit(1.2), lit(1.2), lit(1.0))))
+      ev.withColumn("x", randMultiGaussianWithCol(col("mu"), col("sigma"), 2, seed = 97L))
+        .select(col("event_type"),
+          element_at(col("x"), 1).as("x0"), element_at(col("x"), 2).as("x1"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("x0")), 1).as("m0"),
+          round(var_samp(col("x0")), 0).as("v0"),
+          round(covar_samp(col("x0"), col("x1")), 0).as("c01"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val withBin = Multimodal.withBinaryPayload(docs, "text")

@@ -19,6 +19,7 @@ object Verify {
   private val costOrder: Seq[String] = Seq(
     "q_vector_fns", "q_fingerprint", "q_quality", "q_token_count", "q_lang_id",
     "q_dedup_exact", "q_window_agg", "q_sessionize", "q1_pricing", "q3_shipping",
+    "q_rand_gaussian",
     "q_ngram_jaccard", "q_pmm", "q_ann_topk", "q_ukf", "q_raukf", "q_ckf", "q_rts",
     "q_gmm", "q_bmm", "q_asof_join", "q_ann_lsh", "q_embed_neardup", "q_rls",
     "q_multistep", "q_multimodal", "q_lkf_blr", "q_ekf", "q_lkf_llt", "q_lms",

@@ -103,4 +103,81 @@ object VectorFunctions {
       flatten(transform(sequence(lit(0), cols - 1), j =>
         transform(sequence(lit(0), rows - 1), i => element_at(v, i * cols + j + 1)))).as("values"))
   }
+
+  // ------------------------------------------------------------- sampling
+  // Parity with the reference's randMultiGaussian / randMultiGaussianWithCol
+  // (/root/reference/src/main/scala/com/github/ozancicek/artan/ml/SparkFunctions.scala:242,256).
+  // `randn` is NONDETERMINISTIC: placing it inside a higher-order-function
+  // lambda would re-draw per array element, so the draws here are either
+  // unrolled into a single flat projection (literal params — stays in
+  // whole-stage codegen) or pre-evaluated as UDF arguments (column params).
+
+  /** Vector of independent standard-normal draws; seeds i-th entry with seed+i. */
+  def randnVector(n: Int, seed: Long): Column =
+    array((0 until n).map(i => randn(seed + i)): _*)
+
+  /**
+   * mean + covRoot * normal. Pure expressions; `normal` MUST be a materialized
+   * column (e.g. `.withColumn("z", randnVector(...))` first) — a raw randn
+   * expression would be re-drawn for every output coordinate.
+   */
+  def scaleToMultiGaussian(mean: Column, covRoot: Column, normal: Column): Column =
+    zip_with(mean, multiplyMatrixVector(covRoot, normal), (a, b) => a + b)
+
+  /**
+   * Sample from N(mean, cov) with literal parameters. Cholesky runs once on
+   * the driver; the per-row work unrolls to `mean_i + sum_j L_ij * randn(seed+j)`
+   * — every randn(seed+j) instance shares the seed and is evaluated exactly
+   * once per row in the same projection, so the draws agree across coordinates
+   * and the whole sampler stays inside whole-stage codegen (no UDF).
+   * (The reference's literal variant forgets to use its Cholesky root —
+   * SparkFunctions.scala:243-244 — we scale by L, which is what gives the
+   * sample covariance L L^T = cov.)
+   */
+  def randMultiGaussian(mean: Array[Double], cov: Array[Double], seed: Long = 0): Column = {
+    val n = mean.length
+    require(cov.length == n * n, s"covariance must be ${n}x$n row-major")
+    val l = graft.linalg.Dense.cholesky(cov, n)
+    require(l != null, "covariance is not positive definite")
+    array((0 until n).map { i =>
+      (0 to i).foldLeft(lit(mean(i))) { (acc, j) =>
+        if (l(i * n + j) == 0.0) acc else acc + lit(l(i * n + j)) * randn(seed + j)
+      }
+    }: _*)
+  }
+
+  private val cholValuesUdf = udf { (n: Int, values: Seq[Double]) =>
+    Option(graft.linalg.Dense.cholesky(values.toArray, n)).map(_.toSeq).orNull
+  }
+
+  /** Per-row lower-triangular Cholesky factor of an SPD matrix struct (UDF; null when not PD). */
+  def cholMatrix(m: Column): Column = {
+    val n = m.getField("numRows")
+    struct(n.as("numRows"), m.getField("numCols").as("numCols"),
+      cholValuesUdf(n, m.getField("values")).as("values"))
+  }
+
+  private val scaleGaussianUdf = udf { (mean: Seq[Double], n: Int, cov: Seq[Double], z: Seq[Double]) =>
+    val l = graft.linalg.Dense.cholesky(cov.toArray, n)
+    if (l == null) null
+    else {
+      val out = mean.toArray
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j <= i) { out(i) += l(i * n + j) * z(j); j += 1 }
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /**
+   * Sample from N(meanCol, covCol) with per-row distribution parameters.
+   * The normal draws are UDF *arguments* (evaluated once per row before the
+   * call), so per-row Cholesky + scaling sees a consistent draw vector.
+   */
+  def randMultiGaussianWithCol(meanCol: Column, covCol: Column, size: Int, seed: Long = 0): Column =
+    scaleGaussianUdf(meanCol, covCol.getField("numRows"), covCol.getField("values"),
+      randnVector(size, seed))
 }
