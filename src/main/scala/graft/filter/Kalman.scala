@@ -426,34 +426,44 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
    */
   private def mmaeAggregate(df: DataFrame): DataFrame = {
     require(calcSlidingLikelihood, "MMAE requires sliding likelihood")
+    val evCol = eventTimeCol.getOrElse("eventTime")
+    val base = if (df.isStreaming) {
+      // flatMapGroupsWithState(Append) output carries no watermark metadata,
+      // so re-apply it here; streaming MMAE needs the windowed variant.
+      require(mmaeWindowDuration.isDefined && watermarkDuration.isDefined,
+        "streaming MMAE requires setMultipleModelMeasurementWindowDuration and setWatermarkDuration")
+      df.withWatermark(evCol, watermarkDuration.get)
+    } else df
     val groupKeys: Seq[Column] = (mmaeWindowDuration match {
-      case Some(d) => Seq(window(col(eventTimeCol.getOrElse("eventTime")), d).as("eventWindow"))
+      case Some(d) => Seq(window(col(evCol), d).as("eventWindow"))
       case None => Seq.empty
     }) :+ col("stateIndex")
 
     val n = stateSize
-    // max-normalize likelihood weights per group: mathematically identical
-    // after the final divide-by-sum, but immune to exp() underflow when all
-    // bank members are unlikely (weights would otherwise sum to 0)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupKeys: _*)
-    val wmax = max(col("slidingLikelihood")).over(w)
-    val dfn = df
-      .withColumn("slNorm",
-        when(wmax > 0.0, col("slidingLikelihood") / wmax).otherwise(lit(1.0)))
-      .withColumn("slidingLikelihood", col("slNorm")).drop("slNorm")
-    val wMean = expr("transform(stateMean, x -> x * slidingLikelihood)")
-    val wCov = expr("transform(stateCovariance.values, x -> x * slidingLikelihood)")
-    dfn.withColumn("wMean", wMean).withColumn("wCov", wCov)
-      .groupBy(groupKeys: _*)
-      .agg(
-        sum(col("slidingLikelihood")).as("wSum"),
-        array((0 until n).map(i => sum(col("wMean")(i))): _*).as("meanSum"),
-        array((0 until n * n).map(i => sum(col("wCov")(i))): _*).as("covSum"))
-      .withColumn("stateMean", expr("transform(meanSum, x -> x / wSum)"))
+    // One shuffle: collect each group's bank (bounded by the bank size — the
+    // number of models, not the corpus) and weight inside array expressions.
+    // Likelihoods are max-normalized per group (identical after the final
+    // divide-by-sum, but immune to exp() underflow when every bank member is
+    // unlikely); array_sort makes the FP summation order deterministic. No
+    // window function, so the same plan runs in batch and streaming.
+    base.groupBy(groupKeys: _*)
+      .agg(array_sort(collect_list(struct(
+        col("slidingLikelihood").as("sl"),
+        col("stateMean").as("m"),
+        col("stateCovariance.values").as("cv")))).as("bank"))
+      .withColumn("wts", expr(
+        "transform(bank, b -> CASE WHEN array_max(transform(bank, x -> x.sl)) > 0D" +
+          " THEN b.sl / array_max(transform(bank, x -> x.sl)) ELSE 1D END)"))
+      .withColumn("wSum", expr("aggregate(wts, 0D, (a, x) -> a + x)"))
+      .withColumn("stateMean", expr(
+        s"transform(sequence(0, ${n - 1}), i -> " +
+          "aggregate(zip_with(wts, bank, (w, b) -> w * b.m[i]), 0D, (a, x) -> a + x) / wSum)"))
       .withColumn("stateCovariance",
         struct(lit(n).as("numRows"), lit(n).as("numCols"),
-          expr("transform(covSum, x -> x / wSum)").as("values")))
-      .drop("wSum", "meanSum", "covSum")
+          expr(s"transform(sequence(0, ${n * n - 1}), i -> " +
+            "aggregate(zip_with(wts, bank, (w, b) -> w * b.cv[i]), 0D, (a, x) -> a + x) / wSum)")
+            .as("values")))
+      .drop("bank", "wts", "wSum")
   }
 }
 

@@ -65,11 +65,15 @@ object StatefulStage {
 
   def batch[I <: KeyedIn, S, O](ds: Dataset[I], spec: StateSpec[I, S, O])(
       implicit ie: Encoder[I], oe: Encoder[O]): Dataset[O] = {
-    // __rowSeq: deterministic tiebreaker for equal/null event times, captured
-    // BEFORE the shuffle so the fold order is stable across runs (input file
-    // order). Without it the external sort's order on ties is whatever the
-    // merge yields that run.
-    ds.withColumn("__rowSeq", org.apache.spark.sql.functions.monotonically_increasing_id())
+    // __rowSeq: deterministic tiebreaker for equal/null event times. A full-row
+    // hash (not monotonically_increasing_id: Spark rejects that expression
+    // anywhere in a streaming query's plan, which would poison batch->stream
+    // compositions like stream-batch init) — stable across runs AND across
+    // input repartitionings; rows colliding on (key, time, hash) are either
+    // identical (order irrelevant) or a 2^-64 event. Without it the external
+    // sort's order on ties is whatever the merge yields that run.
+    ds.withColumn("__rowSeq",
+        org.apache.spark.sql.functions.xxhash64(ds.columns.map(col): _*))
       .repartition(col("stateKey"))
       .sortWithinPartitions(col("stateKey"), col("eventTime"), col("__rowSeq"))
       .drop("__rowSeq")
