@@ -329,14 +329,33 @@ object ModelQueries {
     }),
 
     "q_multimodal" -> ((s, dir) => {
+      // Real codec path: text bytes -> valid BMP payload -> javax.imageio
+      // decode -> raster features. width/height/feat0 come from the DECODED
+      // image; the oracle predicts them from the payload-builder contract.
       val docs = t(s, dir, "documents")
-      val withBin = Multimodal.withBinaryPayload(docs, "text")
-      Multimodal.decodeStub(withBin, "doc_id", "payload").toDF()
+      val withBin = Multimodal.withImagePayload(docs, "text")
+      Multimodal.decodeImages(withBin, "doc_id", "payload").toDF()
         .select(
           col("doc_id"),
           col("n_bytes"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
+          col("feature")(0).as("feat0"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_multimodal_audio" -> ((s, dir) => {
+      // Real RIFF/WAVE PCM16 decode via javax.sound.sampled; the exact
+      // sample sum (feature 0) is oracle-predictable from the text bytes.
+      val docs = t(s, dir, "documents")
+      val withWav = Multimodal.withAudioPayload(docs, "text")
+      Multimodal.decodeAudio(withWav, "doc_id", "payload").toDF()
+        .select(
+          col("doc_id"),
+          col("n_bytes"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_samples"),
           col("feature")(0).as("feat0"))
         .orderBy(col("doc_id"))
     })
@@ -587,16 +606,48 @@ object ModelQueries {
     * BYTES of the payload, so the oracle derives the same bytes from
     * hex(encode(text)) rather than ascii() code points (which diverge on
     * multi-byte first characters). */
-  private def multimodalOracle: String = {
-    def byteAt(i: Int) = // 1-based byte index -> unsigned int, 0 past end
-      s"coalesce(try_cast(('0x' || substring(hex(encode(text)), ${2 * i - 1}, 2)) AS INT), 0)"
-    s"""SELECT doc_id,
-       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       |  CAST(64 + (${byteAt(1)} & 127) AS BIGINT) AS width,
-       |  CAST(64 + (${byteAt(2)} & 127) AS BIGINT) AS height,
-       |  CAST(CAST(${byteAt(1)} AS FLOAT) / CAST(255 AS FLOAT) AS FLOAT) AS feat0
-       |FROM documents ORDER BY doc_id""".stripMargin
-  }
+  /** Replays the BMP payload-builder contract (Multimodal.buildBmp): the
+    * decoded width/height/pixel-sum are fully determined by the text bytes,
+    * so DuckDB can predict what the real javax.imageio decode must return. */
+  private def multimodalOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+       |), d AS (
+       |  SELECT doc_id, hx, n,
+       |    4 + (coalesce(try_cast(('0x' || substring(hx, 1, 2)) AS INT), 0) % 8) AS w,
+       |    4 + (coalesce(try_cast(('0x' || substring(hx, 3, 2)) AS INT), 0) % 8) AS ht
+       |  FROM b
+       |)
+       |SELECT doc_id,
+       |  CAST(54 + ((3 * w + 3) // 4) * 4 * ht AS BIGINT) AS n_bytes,
+       |  CAST(w AS BIGINT) AS width,
+       |  CAST(ht AS BIGINT) AS height,
+       |  CAST(CASE WHEN n = 0 THEN 0 ELSE
+       |    list_sum(list_transform(generate_series(0, w * ht - 1),
+       |      i -> coalesce(try_cast(('0x' || substring(hx, 2 * (i % n) + 1, 2)) AS INT), 0)))
+       |  END AS FLOAT) AS feat0
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Replays the WAV payload-builder contract (Multimodal.buildWav); feat0 is
+    * the exact PCM sample sum / 256 = sum of (byte - 128). */
+  private def multimodalAudioOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+       |), d AS (
+       |  SELECT doc_id, hx, n,
+       |    64 + (coalesce(try_cast(('0x' || substring(hx, 1, 2)) AS INT), 0) % 64) AS ns
+       |  FROM b
+       |)
+       |SELECT doc_id,
+       |  CAST(44 + 2 * ns AS BIGINT) AS n_bytes,
+       |  CAST(8000 AS BIGINT) AS sample_rate,
+       |  CAST(1 AS BIGINT) AS channels,
+       |  CAST(ns AS BIGINT) AS n_samples,
+       |  CAST(CASE WHEN n = 0 THEN 0 ELSE
+       |    list_sum(list_transform(generate_series(0, ns - 1),
+       |      i -> coalesce(try_cast(('0x' || substring(hx, 2 * (i % n) + 1, 2)) AS INT), 0) - 128))
+       |  END AS FLOAT) AS feat0
+       |FROM d ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_ekf" -> ekfOracle,
@@ -605,7 +656,8 @@ object ModelQueries {
     "q_rts" -> rtsOracle,
     "q_multistep" -> multistepOracle,
     "q_vector_fns" -> vectorFnsOracle,
-    "q_multimodal" -> multimodalOracle
+    "q_multimodal" -> multimodalOracle,
+    "q_multimodal_audio" -> multimodalAudioOracle
     // q_mmae, q_gmm, q_pmm, q_bmm: rows-only (libm exp/log not portable);
     // covered by ScalaTest convergence + batch/stream parity specs.
   )

@@ -1,62 +1,233 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /**
- * Multimodal column plumbing: media ride through the pipeline as opaque
- * `binary` columns plus typed metadata, partition-friendly and spillable.
- * The actual decoders (image/audio/video libs) are NOT available in this
- * environment, so `decodeStub` derives deterministic fake features — the
- * Spark-side contract (schema, batching via mapPartitions, partition
- * pruning on metadata) is real and tested.
+ * Multimodal column pipeline: media ride through the engine as opaque
+ * `binary` columns plus typed metadata; decode / feature-extract / resize run
+ * as narrow mapPartitions stages (no shuffle), so the corpus is scanned once
+ * and decode only touches rows that survive metadata pushdown.
  *
- * At 100 TB: binaries stay columnar in parquet, metadata predicates push
- * down to the scan (so decode only touches selected rows), and the decode
- * stage is a narrow mapPartitions (no shuffle).
+ * The decoders are REAL: images go through javax.imageio (the JDK's BMP/PNG/
+ * JPEG codecs) and audio through javax.sound.sampled (RIFF/WAVE PCM) — no
+ * external libraries. Since the test corpus has no stored media, the
+ * *payload builders* fabricate deterministic-but-valid BMP / WAV files from
+ * document text, which the oracle can predict byte-for-byte while the decode
+ * side still exercises a genuine codec (header parse, raster access, resize).
+ *
+ * At 100 TB: binaries stay columnar in parquet (they compress and split per
+ * row group), metadata predicates push to the scan, decode parallelism is
+ * partition-count, and per-row work is bounded by media size, not corpus
+ * size. Capability parity target: the reference has no media path at all —
+ * this is part of the training-data-pipeline surface.
  */
 object Multimodal {
 
-  /** Typed record for a decoded media batch row. */
+  /** Typed record for a decoded image row. */
   case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,
-      header: Array[Byte], // first bytes, e.g. magic number
-      width: Int, // stub-derived
+      header: Array[Byte], // leading magic bytes ("BM")
+      width: Int, // from the decoded image, not the metadata
       height: Int,
-      feature: Array[Float]) // stub embedding
+      feature: Array[Float]) // [pixelSum, rMean, gMean, bMean, 2x2 thumb luma]
 
-  /** Attach a binary payload column derived from text (stand-in for real
-    * media bytes; deterministic). */
+  /** Typed record for a decoded audio row. */
+  case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      feature: Array[Float]) // [sampleSum/256, meanAbs/256, peak/256]
+
+  // ------------------------------------------------------------ image side
+
+  /** Deterministic w/h in [4, 11] from the first payload-source bytes. */
+  private def dims(b: Array[Byte]): (Int, Int) = {
+    val b0 = if (b.length > 0) b(0) & 0xff else 0
+    val b1 = if (b.length > 1) b(1) & 0xff else 0
+    (4 + b0 % 8, 4 + b1 % 8)
+  }
+
+  /** A valid 24-bit bottom-up BMP whose gray pixel (x,y) = src[(y*w+x) mod n]
+    * (0 when src is empty). 54-byte header + 4-byte-aligned rows. */
+  private[multimodal] def buildBmp(src: Array[Byte]): Array[Byte] = {
+    val (w, h) = dims(src)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val total = 54 + rowSize * h
+    val out = new Array[Byte](total)
+    def putIntLE(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putIntLE(2, total)
+    putIntLE(10, 54) // pixel data offset
+    putIntLE(14, 40) // BITMAPINFOHEADER size
+    putIntLE(18, w)
+    putIntLE(22, h)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    putIntLE(34, rowSize * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowSize // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val v: Byte =
+          if (src.length == 0) 0 else src((y * w + x) % src.length)
+        val p = rowOff + 3 * x
+        out(p) = v; out(p + 1) = v; out(p + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private val bmpUdf = udf { src: Array[Byte] =>
+    Option(src).map(buildBmp).getOrElse(buildBmp(Array.emptyByteArray))
+  }
+
+  /** Adds a `payload` column holding a real BMP built from the text bytes. */
+  def withImagePayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", bmpUdf(encode(col(textCol), "UTF-8")))
+
+  /** Kept name from round 1: binary payload stand-in (now a decodable BMP). */
   def withBinaryPayload(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+    withImagePayload(df, textCol)
 
   /**
-   * Deterministic decode STUB standing in for an image decoder: real
-   * implementations replace `fakeDecode` only — batching shape, schema and
-   * the narrow-plan contract stay identical.
+   * REAL image decode + feature extraction, batched per partition:
+   * javax.imageio parses the container and hands back a raster; features are
+   * the exact pixel sum (oracle-predictable), per-channel means, and a 2x2
+   * area-averaged thumbnail — a genuine resize over the decoded raster.
    */
-  def decodeStub(df: DataFrame, idCol: String, payloadCol: String)(implicit dummy: DummyImplicit): Dataset[MediaFeatures] = {
-    val spark = df.sparkSession
+  def decodeImages(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeatures] = {
     implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows => rows.map { case (id, bytes) => decodeOne(id, bytes) } }
+  }
+
+  /** Round-1 name, kept for source compatibility; decode is no longer a stub. */
+  def decodeStub(df: DataFrame, idCol: String, payloadCol: String)(implicit d: DummyImplicit): Dataset[MediaFeatures] =
+    decodeImages(df, idCol, payloadCol)
+
+  private def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload for doc $id (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sumR += (rgb >> 16) & 0xff; sumG += (rgb >> 8) & 0xff; sumB += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val nPix = (w * h).toFloat
+    // 2x2 thumbnail: area-average resize over the decoded raster
+    val thumb = new Array[Float](4)
+    var q = 0
+    while (q < 4) {
+      val (x0, x1) = (if (q % 2 == 0) (0, w / 2) else (w / 2, w))
+      val (y0, y1) = (if (q / 2 == 0) (0, h / 2) else (h / 2, h))
+      var s = 0L; var cnt = 0
+      var yy = y0
+      while (yy < y1) {
+        var xx = x0
+        while (xx < x1) { s += img.getRGB(xx, yy) & 0xff; cnt += 1; xx += 1 }
+        yy += 1
+      }
+      thumb(q) = if (cnt == 0) 0f else s.toFloat / cnt / 255f
+      q += 1
+    }
+    MediaFeatures(id, bytes.length.toLong, bytes.take(2), w, h,
+      Array(sumR.toFloat, sumR / nPix / 255f, sumG / nPix / 255f, sumB / nPix / 255f) ++ thumb)
+  }
+
+  // ------------------------------------------------------------ audio side
+
+  private val SampleRate = 8000
+
+  /** A valid RIFF/WAVE PCM16 mono file: sample k = (src[k mod n] - 128) * 256,
+    * with 64 + (src[0] % 64) samples (64 zero samples when src is empty). */
+  private[multimodal] def buildWav(src: Array[Byte]): Array[Byte] = {
+    val b0 = if (src.length > 0) src(0) & 0xff else 0
+    val nSamples = 64 + b0 % 64
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putIntLE(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putTag(off: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, i) => out(off + i) = c.toByte }
+    putTag(0, "RIFF"); putIntLE(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putIntLE(16, 16)
+    out(20) = 1 // PCM
+    out(22) = 1 // mono
+    putIntLE(24, SampleRate)
+    putIntLE(28, SampleRate * 2) // byte rate
+    out(32) = 2 // block align
+    out(34) = 16 // bits/sample
+    putTag(36, "data"); putIntLE(40, dataLen)
+    var k = 0
+    while (k < nSamples) {
+      val v = if (src.length == 0) 0 else ((src(k % src.length) & 0xff) - 128) * 256
+      out(44 + 2 * k) = (v & 0xff).toByte
+      out(44 + 2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    out
+  }
+
+  private val wavUdf = udf { src: Array[Byte] =>
+    Option(src).map(buildWav).getOrElse(buildWav(Array.emptyByteArray))
+  }
+
+  /** Adds a `payload` column holding a real PCM16 WAV built from text bytes. */
+  def withAudioPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", wavUdf(encode(col(textCol), "UTF-8")))
+
+  /** REAL audio decode via javax.sound.sampled: container/format parse, then
+    * PCM frame scan for exact sample sum (oracle-predictable), mean |s|, peak. */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String): Dataset[AudioFeatures] = {
+    implicit val enc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          fakeDecode(id, bytes)
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val data = in.readAllBytes()
+          in.close()
+          var sum = 0L; var sumAbs = 0L; var peak = 0L
+          var k = 0
+          while (k + 1 < data.length) {
+            val s = ((data(k) & 0xff) | (data(k + 1) << 8)).toShort.toLong
+            sum += s; sumAbs += math.abs(s); peak = math.max(peak, math.abs(s))
+            k += 2
+          }
+          val n = math.max(1L, frames)
+          AudioFeatures(id, bytes.length.toLong, fmt.getSampleRate.toInt, fmt.getChannels,
+            frames, Array(sum.toFloat / 256f, sumAbs.toFloat / n / 256f, peak.toFloat / 256f))
         }
       }
-  }
-
-  /** ??? in spirit: a deterministic fake decoder. A real deployment links an
-    * image/audio codec here; everything else is production plumbing. */
-  private def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    val n = bytes.length
-    val header = bytes.take(4)
-    // pretend the first bytes encode dimensions
-    val w = 64 + (if (n > 0) (bytes(0) & 0x7f) else 0)
-    val h = 64 + (if (n > 1) (bytes(1) & 0x7f) else 0)
-    val feat = Array.tabulate(8)(i => (if (n > i) (bytes(i % n) & 0xff) else 0).toFloat / 255f)
-    MediaFeatures(id, n.toLong, header, w, h, feat)
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.multimodal.Multimodal
+
+/** Round-trips the REAL codec path: payload builders emit valid BMP/WAV
+  * containers and the JDK codecs (javax.imageio / javax.sound.sampled) must
+  * decode them back to the predicted geometry and exact pixel/sample sums. */
+class MultimodalSpec extends AnyFunSuite with SparkTestSession {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "hello world"),
+      (2L, ""),                       // empty doc -> 4x4 zero image, 64 zero samples
+      (3L, "中文 multibyte first char"), // multi-byte UTF-8 leading bytes
+      (4L, "x")
+    ).toDF("doc_id", "text")
+  }
+
+  test("BMP payloads decode to the contract geometry and exact pixel sum") {
+    val out = Multimodal.decodeImages(
+        Multimodal.withImagePayload(docs, "text"), "doc_id", "payload")
+      .collect().map(f => f.doc_id -> f).toMap
+
+    val hello = "hello world".getBytes("UTF-8")
+    val (w, h) = (4 + (hello(0) & 0xff) % 8, 4 + (hello(1) & 0xff) % 8)
+    assert(out(1L).width == w && out(1L).height == h)
+    assert(new String(out(1L).header) == "BM")
+    val expectedSum = (0 until w * h).map(i => hello(i % hello.length) & 0xff).sum
+    assert(out(1L).feature(0) == expectedSum.toFloat)
+    // all three channels carry the same gray value
+    assert(out(1L).feature(1) == out(1L).feature(2) && out(1L).feature(2) == out(1L).feature(3))
+
+    assert(out(2L).width == 4 && out(2L).height == 4 && out(2L).feature(0) == 0f)
+
+    val zh = "中文 multibyte first char".getBytes("UTF-8")
+    assert(out(3L).width == 4 + (zh(0) & 0xff) % 8) // 0xE4 -> width from the raw byte, not the code point
+  }
+
+  test("2x2 thumbnail is an area average of the decoded raster") {
+    val f = Multimodal.decodeImages(
+        Multimodal.withImagePayload(docs.where(col("doc_id") === 4), "text"), "doc_id", "payload")
+      .head()
+    // "x" = byte 120 everywhere -> every quadrant average is 120/255
+    (4 until 8).foreach(i => assert(math.abs(f.feature(i) - 120f / 255f) < 1e-6f))
+  }
+
+  test("WAV payloads decode to PCM16 mono 8kHz with the exact sample sum") {
+    val out = Multimodal.decodeAudio(
+        Multimodal.withAudioPayload(docs, "text"), "doc_id", "payload")
+      .collect().map(f => f.doc_id -> f).toMap
+
+    val hello = "hello world".getBytes("UTF-8")
+    val ns = 64 + (hello(0) & 0xff) % 64
+    assert(out(1L).sample_rate == 8000 && out(1L).channels == 1)
+    assert(out(1L).n_samples == ns)
+    val expectedSum = (0 until ns).map(k => (hello(k % hello.length) & 0xff) - 128).sum
+    assert(out(1L).feature(0) == expectedSum.toFloat)
+
+    assert(out(2L).n_samples == 64 && out(2L).feature(0) == 0f)
+  }
+
+  test("decode plan is narrow: no shuffle between scan and decode") {
+    val plan = Multimodal.decodeImages(
+      Multimodal.withImagePayload(docs, "text"), "doc_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode stage must not shuffle:\n$plan")
+  }
+}
