@@ -52,18 +52,16 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
     * lambda instead of k array traversals — keeps generated code compact and
     * the scan memory-local). Empty docs keep the sentinel P. */
   def withSignature(df: DataFrame, textCol: String): DataFrame = {
-    val withSet = df.withColumn("_sset", shingleHashSet(col(textCol), shingleSize))
+    val withSet = df.withColumn("_sset",
+      graft.functions.HashExpressions.shingleHashSet(col(textCol), shingleSize))
     withSet.withColumn("sig", signatureFromSet(col("_sset"))).drop("_sset")
   }
 
-  /** k minhashes folded in one pass over a pre-computed shingle-hash set. */
-  def signatureFromSet(sset: Column): Column = {
-    val aArr = typedLit((0 until numHashes).map(coefA).toArray)
-    val bArr = typedLit((0 until numHashes).map(coefB).toArray)
-    aggregate(sset, array_repeat(lit(P), numHashes),
-      (acc, x) => zip_with(acc, typedLit(Array.tabulate(numHashes)(identity)),
-        (c, i) => least(c, (element_at(aArr, i + 1) * x + element_at(bArr, i + 1)) % P)))
-  }
+  /** k minhashes folded in one pass over a pre-computed shingle-hash set —
+    * a native codegen'd expression (the HOF aggregate/zip_with formulation
+    * runs interpreted and allocates a k-array per shingle). */
+  def signatureFromSet(sset: Column): Column =
+    graft.functions.HashExpressions.minhashSignature(sset, numHashes)
 
   /** Adds (band, bucket) pairs, one row per band. */
   def banded(df: DataFrame, textCol: String): DataFrame = {
@@ -107,7 +105,8 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
     // regardless of document size). At petabyte scale, write signatures to a
     // table instead and feed them back through candidatePairs.
     val base = CachedProjections.swap("minhash", df
-      .select(col(idCol), shingleHashSet(col(textCol), shingleSize).as("sset"))
+      .select(col(idCol),
+        graft.functions.HashExpressions.shingleHashSet(col(textCol), shingleSize).as("sset"))
       .withColumn("sig", signatureFromSet(col("sset"))))
 
     val bandCols = array((0 until bands).map { bIdx =>
@@ -172,30 +171,21 @@ object SimHash {
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Simhash from a pre-materialized token-hash array column: ONE pass over
-    * the tokens folding a 60-counter array (integer arithmetic, so the result
-    * is identical to the per-bit formulation but codegen is ~60x smaller).
-    * Bit tests use bitwiseAND against a literal powers-of-two array — dynamic
-    * shifts would leave whole-stage codegen. */
-  def simhashFromToks(toks: Column): Column = {
-    val pows = typedLit(Array.tabulate(Bits)(j => 1L << j))
-    val counts = aggregate(toks, array_repeat(lit(0L), Bits),
-      (acc, h) => zip_with(acc, pows,
-        (c, pw) => c + when(h.bitwiseAND(pw) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(counts, pows, (c, pw) => when(c > 0L, pw).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
-  }
+    * the tokens folding a 60-counter array, as a native codegen'd expression
+    * (the HOF formulation runs interpreted with a 60-array per token). */
+  def simhashFromToks(toks: Column): Column =
+    graft.functions.HashExpressions.simhashFingerprint(toks, Bits)
 
   /** The 60-bit simhash fingerprint of a document. */
   def simhash(text: Column): Column =
-    simhashFromToks(transform(tokens(text), tokenHash60 _))
+    simhashFromToks(graft.functions.HashExpressions.tokenHashes(text, Bits))
 
   /** One row per chunk: (id, chunk index, 15-bit chunk value, simhash).
     * Token hashes materialize in their own projection so the 60 per-bit
     * aggregates share one tokenization pass. */
   def chunked(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withSim = df
-      .select(col(idCol), transform(tokens(col(textCol)), tokenHash60 _).as("_toks"))
+      .select(col(idCol), graft.functions.HashExpressions.tokenHashes(col(textCol), Bits).as("_toks"))
       .select(col(idCol), simhashFromToks(col("_toks")).as("simhash"))
     val chunks = array((0 until Chunks).map { c =>
       struct(lit(c).as("chunk"),
@@ -210,7 +200,7 @@ object SimHash {
     * pass; both join branches read the exchange). */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     val base = CachedProjections.swap("simhash", df
-      .select(col(idCol), transform(tokens(col(textCol)), tokenHash60 _).as("_toks"))
+      .select(col(idCol), graft.functions.HashExpressions.tokenHashes(col(textCol), Bits).as("_toks"))
       .select(col(idCol), simhashFromToks(col("_toks")).as("simhash"))) // 16 bytes/doc; one corpus pass
     val chunks = array((0 until Chunks).map { c =>
       struct(lit(c).as("chunk"),

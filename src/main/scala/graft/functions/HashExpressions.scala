@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.TextFunctions.P
+
+/**
+ * Native codegen'd folds for the dedup hot paths. Spark's higher-order
+ * functions (aggregate/zip_with/transform) are CodegenFallback — the per-
+ * element lambdas run interpreted with a fresh accumulator array per step.
+ * At 100 TB the signature fold runs per shingle per document, so these two
+ * expressions generate tight primitive loops instead (no allocation inside
+ * the loop, stays inside whole-stage codegen).
+ *
+ * Semantics are bit-identical to the HOF formulations they replace
+ * (local_verify's exact oracles prove it): the DuckDB replay SQL in the
+ * oracles is unchanged.
+ */
+
+/** k min-hashes of a shingle-hash set in one pass: sig_j = min over x of
+  * (A_j * x + B_j) mod P, sentinel P for empty sets. Coefficients derive
+  * deterministically from j (MinHashLSH.coefA/coefB), so equal expressions
+  * canonicalize equal. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val as: Array[Long] = Array.tabulate(numHashes)(graft.dedup.MinHashLSH.coefA)
+  @transient private lazy val bs: Array[Long] = Array.tabulate(numHashes)(graft.dedup.MinHashLSH.coefB)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(P)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = (as(j) * x + bs(j)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    val (numEl, sig, i, j, x, v) = (ctx.freshName("numEl"), ctx.freshName("sig"),
+      ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("x"), ctx.freshName("v"))
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |int $numEl = $c.numElements();
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, ${P}L);
+         |for (int $i = 0; $i < $numEl; $i++) {
+         |  long $x = $c.getLong($i);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $v = ($aRef[$j] * $x + $bRef[$j]) % ${P}L;
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 60-bit simhash of a token-hash array in one pass: bit j of the result is
+  * set when the count of tokens with bit j set exceeds half (signed-sum
+  * formulation folded into one counter array). */
+case class SimHashFingerprint(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_fingerprint"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Long](bits)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < bits) {
+        counts(j) += (if ((h & (1L << j)) != 0L) 1L else -1L)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0L) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (numEl, counts, i, j, j2, h, res) = (ctx.freshName("numEl"), ctx.freshName("counts"),
+      ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("j2"), ctx.freshName("h"), ctx.freshName("res"))
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |int $numEl = $c.numElements();
+         |long[] $counts = new long[$bits];
+         |for (int $i = 0; $i < $numEl; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    $counts[$j] += (($h & (1L << $j)) != 0L) ? 1L : -1L;
+         |  }
+         |}
+         |long $res = 0L;
+         |for (int $j2 = 0; $j2 < $bits; $j2++) {
+         |  if ($counts[$j2] > 0L) $res |= (1L << $j2);
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFingerprint =
+    copy(child = newChild)
+}
+
+/** Distinct word-n-gram shingle hashes of a text column, computed by a JVM
+  * kernel (HashKernels.shingleHashSet) inside whole-stage codegen. Returns an
+  * EMPTY array (never null) for null text or docs shorter than n tokens,
+  * matching TextFunctions.shingleHashSet exactly. */
+case class ShingleHashSetExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingle_hash_set"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    HashKernels.INSTANCE.shingleHashSet(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("hashKernels", HashKernels.INSTANCE, "graft.functions.HashKernels")
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = $kernels.shingleHashSet(
+          ${childGen.isNull} ? null : ${childGen.value}, $n);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSetExpr =
+    copy(child = newChild)
+}
+
+/** Per-token md5-derived hashes (31-bit mod-P or top-60-bit) of a text
+  * column via the JVM kernel; null text stays null, matching
+  * `transform(tokens(text), hash)`. */
+case class TokenHashArrayExpr(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits == 31 || bits == 60, "bits must be 31 or 60")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hash_array"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.INSTANCE.tokenHashes(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("hashKernels", HashKernels.INSTANCE, "graft.functions.HashKernels")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernels.tokenHashes($c, $bits);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashArrayExpr =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  /** Column wrapper: distinct word-n-gram shingle-hash set of a text column. */
+  def shingleHashSet(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashSetExpr(Bridge.expression(text), n))
+
+  /** Column wrapper: per-token hash array (bits = 31 or 60) of a text column. */
+  def tokenHashes(text: Column, bits: Int): Column =
+    Bridge.column(TokenHashArrayExpr(Bridge.expression(text), bits))
+
+  /** Column wrapper: k-minhash signature of an array<long> shingle-hash set. */
+  def minhashSignature(sset: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(sset), numHashes))
+
+  /** Column wrapper: simhash fingerprint of an array<long> token-hash column. */
+  def simhashFingerprint(toks: Column, bits: Int): Column =
+    Bridge.column(SimHashFingerprint(Bridge.expression(toks), bits))
+}

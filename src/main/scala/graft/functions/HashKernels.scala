@@ -1,0 +1,97 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.text.TextFunctions.P
+
+/**
+ * JVM kernels behind the native text-hash expressions. Each method is
+ * bit-identical to the declarative TextFunctions formulation it accelerates
+ * (HashExpressionsSpec asserts equality; the DuckDB oracles replay the same
+ * math independently):
+ *
+ *  - tokens: `filter(split(lower(text), "[^a-z0-9]+"), _ != "")` — lowercase
+ *    via UTF8String.toLowerCase (the exact collation Spark's `lower` uses),
+ *    then the same Java regex.
+ *  - stableHash(s): first 8 hex chars of md5(s) as unsigned int, mod P.
+ *  - tokenHash60(s): first 15 hex chars of md5(s) = top 60 bits.
+ *
+ * One MessageDigest per thread (digest.reset() per value); outputs are
+ * UnsafeArrayData so downstream codegen reads primitives without boxing.
+ */
+class HashKernels extends Serializable {
+
+  // @transient: the anonymous ThreadLocal subclass is not serializable; the
+  // lazy val re-initializes after the kernel instance ships to executors.
+  @transient private lazy val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def tokenize(text: UTF8String): Array[String] =
+    text.toLowerCase.toString.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** Unsigned 32-bit value of the first 4 md5 bytes, mod P. */
+  private def hash31(bytes: Array[Byte]): Long = {
+    val d = md5.get().digest(bytes)
+    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P
+  }
+
+  /** Top 60 bits of md5 (= first 15 hex chars parsed base 16). */
+  private def hash60(bytes: Array[Byte]): Long = {
+    val d = md5.get().digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Distinct word-n-gram shingle hashes, first-occurrence order; EMPTY array
+    * for null text or fewer than n tokens (matching the
+    * `when(...).otherwise(array())` of the declarative form). */
+  def shingleHashSet(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val toks = tokenize(text)
+    if (toks.length < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val seen = new java.util.HashSet[Long](toks.length * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val v = hash31(sb.toString.getBytes(StandardCharsets.UTF_8))
+      if (seen.add(v)) out += v
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out.toArray)
+  }
+
+  /** Per-token hashes in token order (31-bit mod-P or 60-bit md5 prefix);
+    * null stays null (matching `transform(tokens(text), hash)`). */
+  def tokenHashes(text: UTF8String, bits: Int): ArrayData = {
+    if (text == null) return null
+    val toks = tokenize(text)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes(StandardCharsets.UTF_8)
+      out(i) = if (bits == 60) hash60(b) else hash31(b)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+object HashKernels {
+  val INSTANCE = new HashKernels
+}

@@ -59,10 +59,11 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     aggregate(tokenHashes(text), lit(0L), (acc, h) => (acc * 31L + h) % P)
 
-  /** Jaccard similarity of two pre-deduplicated arrays. */
+  /** Jaccard similarity of two pre-deduplicated arrays (single shared
+    * array_intersect subtree; codegen CSE evaluates it once). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
 
   // ----------------------------------------------------------- quality

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.functions.HashExpressions
+import graft.text.TextFunctions
+
+/** The native codegen kernels must be bit-identical to the declarative
+  * TextFunctions formulations they replace — checked on real corpus docs
+  * (unicode, punctuation, multi-byte) plus edge cases. */
+class HashExpressionsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def docs = {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(300)
+    val edges = Seq(
+      (9001L, null.asInstanceOf[String]),
+      (9002L, ""),
+      (9003L, "one two"), // fewer than 3 tokens -> empty shingle set
+      (9004L, "ONE one ONE one repeated Repeated"),
+      (9005L, "中文文档 mixed 中文 ascii tokens 123 !!!"),
+      (9006L, "  \t punct---only???  ")
+    ).toDF("doc_id", "text")
+    corpus.unionByName(edges)
+  }
+
+  test("native shingleHashSet equals the declarative formulation") {
+    val d = docs
+    val diff = d.select(
+        TextFunctions.shingleHashSet(col("text"), 3).as("hof"),
+        HashExpressions.shingleHashSet(col("text"), 3).as("native"))
+      .where(not(col("hof") <=> col("native")))
+    assert(diff.count() == 0)
+  }
+
+  test("native tokenHashes(31) equals transform(tokens, stableHash)") {
+    val d = docs
+    val diff = d.select(
+        transform(TextFunctions.tokens(col("text")), TextFunctions.stableHash _).as("hof"),
+        HashExpressions.tokenHashes(col("text"), 31).as("native"))
+      .where(not(col("hof") <=> col("native")))
+    assert(diff.count() == 0)
+  }
+
+  test("native tokenHashes(60) equals transform(tokens, tokenHash60)") {
+    val d = docs
+    val diff = d.select(
+        transform(TextFunctions.tokens(col("text")), graft.dedup.SimHash.tokenHash60 _).as("hof"),
+        HashExpressions.tokenHashes(col("text"), 60).as("native"))
+      .where(not(col("hof") <=> col("native")))
+    assert(diff.count() == 0)
+  }
+
+  test("native minhash signature equals the aggregate/zip_with fold") {
+    val mh = new graft.dedup.MinHashLSH(32, 8, 3)
+    val aArr = typedLit((0 until 32).map(mh.coefA).toArray)
+    val bArr = typedLit((0 until 32).map(mh.coefB).toArray)
+    val hofSig = {
+      val sset = HashExpressions.shingleHashSet(col("text"), 3)
+      aggregate(sset, array_repeat(lit(TextFunctions.P), 32),
+        (acc, x) => zip_with(acc, typedLit(Array.tabulate(32)(identity)),
+          (c, i) => least(c, (element_at(aArr, i + 1) * x + element_at(bArr, i + 1)) % TextFunctions.P)))
+    }
+    val diff = docs.select(
+        hofSig.as("hof"),
+        mh.signatureFromSet(HashExpressions.shingleHashSet(col("text"), 3)).as("native"))
+      .where(not(col("hof") <=> col("native")))
+    assert(diff.count() == 0)
+  }
+
+  test("expressions stay inside whole-stage codegen") {
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(
+        HashExpressions.shingleHashSet(col("text"), 3).as("s"),
+        HashExpressions.tokenHashes(col("text"), 60).as("t"))
+      .queryExecution.executedPlan
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(plan.toString.startsWith("*("), plan.toString)
+  }
+}
