@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/**
+ * SparkSessionExtensions registering graft's native expressions in the
+ * function registry, so the SQL surface can use them directly:
+ *
+ *   spark.sql("SELECT shingle_hash_set(text, 3) FROM docs")
+ *
+ * Enable with:
+ *   SparkSession.builder()
+ *     .withExtensions(new GraftExtensions)                       // code
+ *   // or: --conf spark.sql.extensions=graft.functions.GraftExtensions
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hash_set"),
+      new ExpressionInfo(classOf[ShingleHashSetExpr].getName, "shingle_hash_set"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "shingle_hash_set(text, n)")
+        ShingleHashSetExpr(args.head, intArg(args(1), "shingle_hash_set"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("token_hash_array"),
+      new ExpressionInfo(classOf[TokenHashArrayExpr].getName, "token_hash_array"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "token_hash_array(text, bits)")
+        TokenHashArrayExpr(args.head, intArg(args(1), "token_hash_array"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "minhash_signature(sset, numHashes)")
+        MinHashSignature(args.head, intArg(args(1), "minhash_signature"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_fingerprint"),
+      new ExpressionInfo(classOf[SimHashFingerprint].getName, "simhash_fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "simhash_fingerprint(toks, bits)")
+        SimHashFingerprint(args.head, intArg(args(1), "simhash_fingerprint"))
+      }))
+  }
+}
