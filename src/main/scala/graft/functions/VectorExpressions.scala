@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/**
+ * Native codegen'd vector similarity for embedding columns. The zip_with/
+ * aggregate formulations these replace are CodegenFallback (interpreted
+ * lambdas, boxed accumulators) — at corpus scale the cosine IS the workload
+ * of every ANN/near-dup query, so it must be a tight primitive loop.
+ *
+ * FP semantics are replayed exactly: each accumulator folds left-to-right in
+ * element order, matching `aggregate(zip_with(...))` — oracle results are
+ * bit-identical (VectorExpressionsSpec + the exact ANN oracles prove it).
+ */
+
+/** Left-fold dot product of two equal-dim array<double> columns. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (n, i, acc) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("acc"))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of an array<double> column (sqrt of left-fold sum of squares). */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_norm"
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getDouble(i); acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (n, i, acc, v) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("acc"), ctx.freshName("v"))
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |int $n = $c.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $c.getDouble($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+}
+
+/** Cosine similarity with the zero-norm guard, one pass over both arrays:
+  * dot, |a|² and |b|² fold in the same element order as the separate
+  * dot/norm/norm expressions, so results are bit-identical. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      d += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val (sa, sb) = (math.sqrt(na), math.sqrt(nb))
+    if (sa > 0.0 && sb > 0.0) d / (sa * sb) else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (n, i, d, na, nb, xv, yv, sa, sb) = (ctx.freshName("n"), ctx.freshName("i"),
+      ctx.freshName("d"), ctx.freshName("na"), ctx.freshName("nb"),
+      ctx.freshName("xv"), ctx.freshName("yv"), ctx.freshName("sa"), ctx.freshName("sb"))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |double $sa = java.lang.Math.sqrt($na);
+         |double $sb = java.lang.Math.sqrt($nb);
+         |${ev.value} = ($sa > 0.0 && $sb > 0.0) ? $d / ($sa * $sb) : 0.0;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Broadcastable centroid table for nearest-centroid assignment. Norms are
+  * precomputed with the same left-fold the per-centroid expression used. */
+class CentroidKernel(val cids: Array[Long], val flat: Array[Double], val dim: Int)
+    extends Serializable {
+  val norms: Array[Double] = Array.tabulate(cids.length) { c =>
+    var acc = 0.0
+    var j = 0
+    while (j < dim) { val v = flat(c * dim + j); acc += v * v; j += 1 }
+    math.sqrt(acc)
+  }
+
+  /** argmax_c cosine(vec, centroid_c); ties -> smallest centroid id
+    * (replaying `array_max(struct(sim, -cid))`). */
+  def nearest(vec: ArrayData): Long = {
+    val n = vec.numElements()
+    var nv2 = 0.0
+    var i = 0
+    while (i < n) { val v = vec.getDouble(i); nv2 += v * v; i += 1 }
+    val nv = math.sqrt(nv2)
+    var bestSim = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var c = 0
+    while (c < cids.length) {
+      var d = 0.0
+      var j = 0
+      val m = math.min(dim, n)
+      while (j < m) { d += vec.getDouble(j) * flat(c * dim + j); j += 1 }
+      val sim = if (norms(c) > 0.0 && nv > 0.0) d / (nv * norms(c)) else 0.0
+      if (sim > bestSim || (sim == bestSim && cids(c) < bestCid)) {
+        bestSim = sim; bestCid = cids(c)
+      }
+      c += 1
+    }
+    bestCid
+  }
+}
+
+/** Nearest-centroid cell id of a vector column against a fixed centroid set
+  * (IVF coarse quantizer assignment). One kernel call per row inside
+  * whole-stage codegen; the centroid matrix rides along as a codegen
+  * reference object, NOT as 40x64 literal sub-expressions. */
+case class NearestCentroidExpr(child: Expression, kernel: CentroidKernel) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.nearest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidKernel", kernel, "graft.functions.CentroidKernel")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.nearest($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def vectorNorm(a: Column): Column =
+    Bridge.column(VectorNorm(Bridge.expression(a)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  def nearestCentroid(vec: Column, cents: Array[(Long, Array[Double])]): Column = {
+    require(cents.nonEmpty, "empty centroid set")
+    val dim = cents.head._2.length
+    val kernel = new CentroidKernel(cents.map(_._1), cents.flatMap(_._2), dim)
+    Bridge.column(NearestCentroidExpr(Bridge.expression(vec), kernel))
+  }
+}
