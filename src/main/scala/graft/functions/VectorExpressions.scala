@@ -185,6 +185,43 @@ case class NearestCentroidExpr(child: Expression, kernel: CentroidKernel) extend
     copy(child = newChild)
 }
 
+/** Broadcastable hyperplane table for sign-bucket LSH. */
+class PlaneKernel(val flat: Array[Double], val planes: Int, val dim: Int) extends Serializable {
+  /** Sign-bit bucket: bit j set when dot(vec, plane_j) >= 0 (left-fold). */
+  def bucket(vec: ArrayData): Long = {
+    val m = math.min(dim, vec.numElements())
+    var b = 0L
+    var j = 0
+    while (j < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < m) { acc += vec.getDouble(d) * flat(j * dim + d); d += 1 }
+      if (acc >= 0.0) b |= (1L << j)
+      j += 1
+    }
+    b
+  }
+}
+
+/** Random-hyperplane LSH bucket of a vector column: all `planes` sign bits
+  * in one kernel call per row (the per-plane HOF dots this replaces were
+  * interpreted and generated code linear in planes x dim). */
+case class HyperplaneBucketExpr(child: Expression, kernel: PlaneKernel) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.bucket(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planeKernel", kernel, "graft.functions.PlaneKernel")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bucket($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
@@ -201,4 +238,8 @@ object VectorExpressions {
     val kernel = new CentroidKernel(cents.map(_._1), cents.flatMap(_._2), dim)
     Bridge.column(NearestCentroidExpr(Bridge.expression(vec), kernel))
   }
+
+  /** Sign-bucket of `vec` against a plane matrix (row-major planes x dim). */
+  def hyperplaneBucket(vec: Column, flat: Array[Double], planes: Int, dim: Int): Column =
+    Bridge.column(HyperplaneBucketExpr(Bridge.expression(vec), new PlaneKernel(flat, planes, dim)))
 }
