@@ -194,10 +194,78 @@ case class TokenHashArrayExpr(child: Expression, bits: Int) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** {ntoks, lensum, hits[]} token statistics of a text column in one kernel
+  * pass; `lists` are the stopword lists counted into `hits` (by position).
+  * Null text stays null (each declarative formula's null behavior is then
+  * identical, since every downstream comparison also nulls out). */
+case class TokenStatsExpr(child: Expression, lists: Seq[Seq[String]]) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ntoks", LongType, nullable = false),
+    StructField("lensum", LongType, nullable = false),
+    StructField("hits", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  @transient private lazy val kernel = new TokenStatsKernel(lists)
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStatsKernel", kernel, "graft.functions.TokenStatsKernel")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.stats($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStatsExpr =
+    copy(child = newChild)
+}
+
+/** Polynomial rolling hash over an array<long>: fold (acc * 31 + h) mod P
+  * from 0 — the document fingerprint fold, natively. */
+case class RollingHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) { acc = (acc * 31L + arr.getLong(i)) % P; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (n, i, acc) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("acc"))
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |int $n = $c.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc = ($acc * 31L + $c.getLong($i)) % ${P}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column wrapper: distinct word-n-gram shingle-hash set of a text column. */
   def shingleHashSet(text: Column, n: Int): Column =
     Bridge.column(ShingleHashSetExpr(Bridge.expression(text), n))
+
+  /** Column wrapper: {ntoks, lensum, hits[]} token statistics. */
+  def tokenStats(text: Column, lists: Seq[Seq[String]]): Column =
+    Bridge.column(TokenStatsExpr(Bridge.expression(text), lists))
+
+  /** Column wrapper: polynomial rolling hash of an array<long> column. */
+  def rollingHash(hashes: Column): Column =
+    Bridge.column(RollingHashExpr(Bridge.expression(hashes)))
 
   /** Column wrapper: per-token hash array (bits = 31 or 60) of a text column. */
   def tokenHashes(text: Column, bits: Int): Column =

@@ -95,3 +95,38 @@ class HashKernels extends Serializable {
 object HashKernels {
   val INSTANCE = new HashKernels
 }
+
+/** Per-document token statistics in ONE tokenize pass: token count, sum of
+  * token lengths, and per-stopword-list hit counts. Powers stopwordRatio /
+  * meanTokenLen / qualityScore / langId without interpreted per-token
+  * lambdas. Tokenization is identical to HashKernels (lower + regex split). */
+class TokenStatsKernel(listsSeq: Seq[Seq[String]]) extends Serializable {
+  private val lists: Array[Array[String]] = listsSeq.map(_.toArray).toArray
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    lists.map { l =>
+      val s = new java.util.HashSet[String](l.length * 2)
+      l.foreach(s.add)
+      s
+    }
+
+  /** Returns {ntoks, lensum, hits[]} as an InternalRow. */
+  def stats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toLowerCase.toString.split("[^a-z0-9]+").filter(_.nonEmpty)
+    var lensum = 0L
+    val hits = new Array[Long](lists.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      lensum += t.length
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(t)) hits(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length.toLong, lensum, UnsafeArrayData.fromPrimitiveArray(hits)))
+  }
+}

@@ -4,14 +4,17 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /**
- * Text-analysis primitives for large-scale corpus processing, built ONLY from
- * `org.apache.spark.sql.functions` higher-order functions so every operator
- * stays inside whole-stage codegen (no UDFs, no serialization breaks) and
- * scales linearly over a 100 TB corpus scan.
+ * Text-analysis primitives for large-scale corpus processing. Token-array
+ * surfaces (tokens, shingles) are `org.apache.spark.sql.functions`
+ * expressions; the per-token folds (stopword hits, length sums, rolling
+ * hashes) run as native codegen'd kernels (graft.functions.HashExpressions)
+ * — Spark's higher-order lambdas are CodegenFallback, and a 100 TB corpus
+ * scan cannot afford interpreted per-token closures.
  *
  * All hashing is integer arithmetic mod 2^31-1 on md5-derived token values,
  * chosen because the identical computation is expressible in other engines
- * (DuckDB oracle) for bit-exact cross-checking.
+ * (DuckDB oracle) for bit-exact cross-checking; HashExpressionsSpec pins the
+ * kernels to these declarative definitions.
  */
 object TextFunctions {
 
@@ -57,7 +60,8 @@ object TextFunctions {
    * token-hash sequence, mod P.
    */
   def fingerprint(text: Column): Column =
-    aggregate(tokenHashes(text), lit(0L), (acc, h) => (acc * 31L + h) % P)
+    graft.functions.HashExpressions.rollingHash(
+      graft.functions.HashExpressions.tokenHashes(text, 31))
 
   /** Jaccard similarity of two pre-deduplicated arrays (single shared
     * array_intersect subtree; codegen CSE evaluates it once). */
@@ -77,34 +81,38 @@ object TextFunctions {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
-  /** Fraction of tokens that are (English) stopwords. */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
-    val toks = tokens(text)
-    when(size(toks) > 0,
-      size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / size(toks).cast("double"))
-      .otherwise(lit(0.0))
+  private def ratioFromStats(st: Column): Column = {
+    val n = st.getField("ntoks")
+    when(n > 0, st.getField("hits")(0).cast("double") / n.cast("double")).otherwise(lit(0.0))
   }
 
-  /** Mean token length (0 for empty docs). */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks).cast("double"))
-      .otherwise(lit(0.0))
+  private def meanLenFromStats(st: Column): Column = {
+    val n = st.getField("ntoks")
+    when(n > 0, st.getField("lensum").cast("double") / n.cast("double")).otherwise(lit(0.0))
   }
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column =
+    ratioFromStats(graft.functions.HashExpressions.tokenStats(text, Seq(stopwords)))
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLen(text: Column): Column =
+    meanLenFromStats(graft.functions.HashExpressions.tokenStats(text, Seq(EnStopwords)))
 
   /**
    * Composite quality score in [0,1]: rewards mid-length docs, mild
    * punctuation, a natural stopword rate and word lengths. The exact formula
    * is arbitrary but FIXED — it is part of the cross-engine contract.
+   * One token-stats kernel pass feeds the stopword and word-length terms.
    */
   def qualityScore(text: Column): Column = {
+    val st = graft.functions.HashExpressions.tokenStats(text, Seq(EnStopwords))
     val lenScore = least(charLen(text).cast("double") / 500.0, lit(1.0))
     val punct = when(charLen(text) > 0,
       punctCount(text).cast("double") / charLen(text).cast("double")).otherwise(lit(0.0))
     val punctScore = lit(1.0) - least(punct * 10.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 3.0, lit(1.0))
-    val wlen = meanTokenLen(text)
+    val stopScore = least(ratioFromStats(st) * 3.0, lit(1.0))
+    val wlen = meanLenFromStats(st)
     val wlenScore = when(wlen >= 3.0 && wlen <= 8.0, lit(1.0)).otherwise(lit(0.5))
     (lenScore * 0.3) + (punctScore * 0.2) + (stopScore * 0.3) + (wlenScore * 0.2)
   }
@@ -125,15 +133,21 @@ object TextFunctions {
   def langScore(text: Column, lang: String): Column = {
     val words = LangStopwords.toMap.apply(lang)
     if (words.isEmpty) lit(0L)
-    else size(filter(tokens(text), t => t.isInCollection(words))).cast("long")
+    else graft.functions.HashExpressions.tokenStats(text, Seq(words)).getField("hits")(0)
   }
 
   /**
    * Predicted language: argmax of stopword hits with fixed priority order
    * (earlier language wins ties); "und" (undetermined) when all scores are 0.
+   * All languages' hit counts come from ONE token-stats kernel pass.
    */
   def langId(text: Column): Column = {
-    val scores = LangStopwords.map { case (l, _) => l -> langScore(text, l) }
+    val nonEmpty = LangStopwords.filter(_._2.nonEmpty)
+    val st = graft.functions.HashExpressions.tokenStats(text, nonEmpty.map(_._2))
+    val hitIdx = nonEmpty.map(_._1).zipWithIndex.toMap
+    val scores = LangStopwords.map { case (l, ws) =>
+      l -> (if (ws.isEmpty) lit(0L) else st.getField("hits")(hitIdx(l)))
+    }
     // deterministic CASE chain: lang i wins if score_i >= score_j for all j
     val names = scores.map(_._1)
     val cols = scores.map(_._2)

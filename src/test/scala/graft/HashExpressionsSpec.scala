@@ -71,6 +71,32 @@ class HashExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(diff.count() == 0)
   }
 
+  test("tokenStats equals the declarative token folds") {
+    val lists = Seq(TextFunctions.EnStopwords, Seq("der", "die", "das"))
+    val st = HashExpressions.tokenStats(col("text"), lists)
+    val toks = TextFunctions.tokens(col("text"))
+    val diff = docs.select(
+        st.getField("ntoks").as("n_n"), size(toks).cast("long").as("n_h"),
+        st.getField("lensum").as("l_n"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("l_h"),
+        st.getField("hits")(0).as("h0_n"),
+        size(filter(toks, t => t.isInCollection(lists(0)))).cast("long").as("h0_h"),
+        st.getField("hits")(1).as("h1_n"),
+        size(filter(toks, t => t.isInCollection(lists(1)))).cast("long").as("h1_h"))
+      .where(not(col("n_n") <=> col("n_h")) or not(col("l_n") <=> col("l_h"))
+        or not(col("h0_n") <=> col("h0_h")) or not(col("h1_n") <=> col("h1_h")))
+    assert(diff.count() == 0)
+  }
+
+  test("rollingHash equals the aggregate fold") {
+    val hashes = HashExpressions.tokenHashes(col("text"), 31)
+    val diff = docs.select(
+        HashExpressions.rollingHash(hashes).as("native"),
+        aggregate(hashes, lit(0L), (acc, h) => (acc * 31L + h) % TextFunctions.P).as("hof"))
+      .where(not(col("native") <=> col("hof")))
+    assert(diff.count() == 0)
+  }
+
   test("expressions stay inside whole-stage codegen") {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(
