@@ -344,6 +344,26 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_multimodal_video" -> ((s, dir) => {
+      // Frame-sampled video-style container: GVID magic + frame count +
+      // length-prefixed real BMP frames (frame f = text bytes rotated by f).
+      // The middle frame is walked to and decoded with javax.imageio; the
+      // oracle predicts container size and the sampled frame's geometry and
+      // pixel sum from the text bytes.
+      val docs = t(s, dir, "documents")
+      val withVid = Multimodal.withVideoPayload(docs, "text")
+      Multimodal.sampleMiddleFrame(withVid, "doc_id", "payload").toDF()
+        .select(
+          col("doc_id"),
+          col("n_bytes"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("feature")(0).as("feat0"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_multimodal_audio" -> ((s, dir) => {
       // Real RIFF/WAVE PCM16 decode via javax.sound.sampled; the exact
       // sample sum (feature 0) is oracle-predictable from the text bytes.
@@ -628,6 +648,44 @@ object ModelQueries {
        |  END AS FLOAT) AS feat0
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Replays the GVID container contract (Multimodal.buildVideo): frame f is
+    * a BMP built from the text bytes rotated by f, the sampled frame is
+    * n_frames/2, and n_bytes sums every frame's predicted BMP size. */
+  private def multimodalVideoOracle: String = {
+    // 0-based byte accessor over the hex dump
+    def b(i: String) = s"coalesce(try_cast(('0x' || substring(hx, 2 * ($i) + 1, 2)) AS INT), 0)"
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+       |), f AS (
+       |  SELECT doc_id, hx, n, 2 + (${b("0")} % 3) AS nf
+       |  FROM b
+       |), g AS (
+       |  SELECT doc_id, hx, n, nf, nf // 2 AS fs,
+       |    CASE WHEN n = 0 THEN 0 ELSE (nf // 2) % n END AS soff
+       |  FROM f
+       |), d AS (
+       |  SELECT doc_id, hx, n, nf, fs, soff,
+       |    CASE WHEN n > 0 THEN 4 + (${b("soff")} % 8) ELSE 4 END AS w,
+       |    CASE WHEN n > 1 THEN 4 + (${b("(soff + 1) % n")} % 8) ELSE 4 END AS ht
+       |  FROM g
+       |)
+       |SELECT doc_id,
+       |  CAST(8 + list_sum(list_transform(generate_series(0, nf - 1), fr ->
+       |    4 + 54 +
+       |    ((3 * (CASE WHEN n > 0 THEN 4 + (${b("fr % n")} % 8) ELSE 4 END) + 3) // 4) * 4 *
+       |    (CASE WHEN n > 1 THEN 4 + (${b("(fr % n + 1) % n")} % 8) ELSE 4 END)
+       |  )) AS BIGINT) AS n_bytes,
+       |  CAST(nf AS BIGINT) AS n_frames,
+       |  CAST(fs AS BIGINT) AS frame_idx,
+       |  CAST(w AS BIGINT) AS width,
+       |  CAST(ht AS BIGINT) AS height,
+       |  CAST(CASE WHEN n = 0 THEN 0 ELSE
+       |    list_sum(list_transform(generate_series(0, w * ht - 1),
+       |      i -> ${b("(soff + (i % n)) % n")}))
+       |  END AS FLOAT) AS feat0
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   /** Replays the WAV payload-builder contract (Multimodal.buildWav); feat0 is
     * the exact PCM sample sum / 256 = sum of (byte - 128). */
   private def multimodalAudioOracle: String =
@@ -657,7 +715,8 @@ object ModelQueries {
     "q_multistep" -> multistepOracle,
     "q_vector_fns" -> vectorFnsOracle,
     "q_multimodal" -> multimodalOracle,
-    "q_multimodal_audio" -> multimodalAudioOracle
+    "q_multimodal_audio" -> multimodalAudioOracle,
+    "q_multimodal_video" -> multimodalVideoOracle
     // q_mmae, q_gmm, q_pmm, q_bmm: rows-only (libm exp/log not portable);
     // covered by ScalaTest convergence + batch/stream parity specs.
   )

@@ -161,6 +161,85 @@ object Multimodal {
       Array(sumR.toFloat, sumR / nPix / 255f, sumG / nPix / 255f, sumB / nPix / 255f) ++ thumb)
   }
 
+  // ------------------------------------------------------------ video side
+
+  /** Typed record for a frame sampled out of a video container. */
+  case class FrameFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      n_frames: Int,
+      frame_idx: Int, // which frame was sampled (middle frame)
+      width: Int,
+      height: Int,
+      feature: Array[Float]) // same layout as MediaFeatures.feature
+
+  /** A simple video container: "GVID" magic, int32-LE frame count, then each
+    * frame as int32-LE length + a valid BMP. Frame f's pixel source is the
+    * text bytes rotated by f (so every frame differs deterministically). */
+  private[multimodal] def buildVideo(src: Array[Byte]): Array[Byte] = {
+    val b0 = if (src.length > 0) src(0) & 0xff else 0
+    val nFrames = 2 + b0 % 3
+    val frames = (0 until nFrames).map { f =>
+      val rot =
+        if (src.length == 0) src
+        else { val off = f % src.length; src.drop(off) ++ src.take(off) }
+      buildBmp(rot)
+    }
+    val total = 8 + frames.map(4 + _.length).sum
+    val out = new Array[Byte](total)
+    def putIntLE(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+    putIntLE(4, nFrames)
+    var pos = 8
+    frames.foreach { b =>
+      putIntLE(pos, b.length)
+      System.arraycopy(b, 0, out, pos + 4, b.length)
+      pos += 4 + b.length
+    }
+    out
+  }
+
+  private val videoUdf = udf { src: Array[Byte] =>
+    Option(src).map(buildVideo).getOrElse(buildVideo(Array.emptyByteArray))
+  }
+
+  /** Adds a `payload` column holding a GVID container of real BMP frames. */
+  def withVideoPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", videoUdf(encode(col(textCol), "UTF-8")))
+
+  private def readIntLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /**
+   * Frame sampling + REAL decode: parses the container, walks the frame
+   * index to the MIDDLE frame (n_frames / 2) without materializing the
+   * others, and runs the sampled frame through javax.imageio. Narrow
+   * mapPartitions; per-row cost is one frame decode, not the whole clip.
+   */
+  def sampleMiddleFrame(df: DataFrame, idCol: String, payloadCol: String): Dataset[FrameFeatures] = {
+    implicit val enc: Encoder[FrameFeatures] = Encoders.product[FrameFeatures]
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          require(bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' && bytes(3) == 'D',
+            s"not a GVID container for doc $id")
+          val nFrames = readIntLE(bytes, 4)
+          val target = nFrames / 2
+          var pos = 8
+          var f = 0
+          while (f < target) { pos += 4 + readIntLE(bytes, pos); f += 1 }
+          val len = readIntLE(bytes, pos)
+          val frame = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len)
+          val m = decodeOne(id, frame)
+          FrameFeatures(id, bytes.length.toLong, nFrames, target, m.width, m.height, m.feature)
+        }
+      }
+  }
+
   // ------------------------------------------------------------ audio side
 
   private val SampleRate = 8000

@@ -64,6 +64,25 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(out(2L).n_samples == 64 && out(2L).feature(0) == 0f)
   }
 
+  test("GVID containers hold decodable frames; middle-frame sampling matches the contract") {
+    val out = Multimodal.sampleMiddleFrame(
+        Multimodal.withVideoPayload(docs, "text"), "doc_id", "payload")
+      .collect().map(f => f.doc_id -> f).toMap
+
+    val hello = "hello world".getBytes("UTF-8")
+    val nf = 2 + (hello(0) & 0xff) % 3
+    val fs = nf / 2
+    assert(out(1L).n_frames == nf && out(1L).frame_idx == fs)
+    val off = fs % hello.length
+    val rot = hello.drop(off) ++ hello.take(off)
+    val (w, h) = (4 + (rot(0) & 0xff) % 8, 4 + (rot(1) & 0xff) % 8)
+    assert(out(1L).width == w && out(1L).height == h)
+    val expectedSum = (0 until w * h).map(i => rot(i % rot.length) & 0xff).sum
+    assert(out(1L).feature(0) == expectedSum.toFloat)
+
+    assert(out(2L).n_frames == 2 && out(2L).width == 4 && out(2L).feature(0) == 0f)
+  }
+
   test("decode plan is narrow: no shuffle between scan and decode") {
     val plan = Multimodal.decodeImages(
       Multimodal.withImagePayload(docs, "text"), "doc_id", "payload")
