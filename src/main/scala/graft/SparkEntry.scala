@@ -48,6 +48,33 @@ object SparkEntry {
     filterQueries ++ PipelineQueries.queries ++ ModelQueries.queries
 
   private def filterQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outlier" -> ((s, dir) => {
+      // Mahalanobis-gated outlier detection on the local-level filter: per
+      // key, how many measurements breach the gate and the worst breach.
+      // (The reference exposes mahalanobis for exactly this workflow.)
+      val ev = events(s, dir)
+        .groupBy(col("user_id"), col("ts")).agg(avg(col("value")).as("z"))
+        .withColumn("meas", array(col("z")))
+      val lkf = new LinearKalmanFilter(1, 1)
+        .setStateKeyCol("user_id")
+        .setEventTimeCol("ts")
+        .setMeasurementCol("meas")
+        .setInitialStateMean(Array(0.0))
+        .setInitialStateCovariance(DMat.of(1, 1, 10.0))
+        .setProcessNoise(DMat.of(1, 1, 1.0))
+        .setMeasurementNoise(DMat.of(1, 1, 4.0))
+        .setCalculateMahalanobis()
+      lkf.transform(ev)
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("stateIndex")).as("n_obs"),
+          sum(when(col("mahalanobis") > 2.5, 1L).otherwise(0L)).as("n_outliers"),
+          round(max(col("mahalanobis")), 5).as("max_maha"))
+        .select(col("user_id").cast("long").as("key"),
+          col("n_obs"), col("n_outliers"), col("max_maha"))
+        .orderBy(col("key"))
+    }),
+
     "q_lkf_llt" -> ((s, dir) => {
       // Local-level Kalman filter per user over event values; final state per key.
       val ev = events(s, dir)
@@ -186,6 +213,39 @@ object SparkEntry {
        |WHERE rk = 1 ORDER BY key""".stripMargin
   }
 
+  /** LLT recursion replay carrying per-row mahalanobis = sqrt(t*t),
+    * t = resid / sqrt(S) — the exact forwardSolve/dot op order of
+    * Distributions.mahalanobis in the 1-D case. */
+  private val outlierOracle: String = {
+    val (q, r, m0, p0) = (1.0, 4.0, 0.0, 10.0)
+    def step(m: String, p: String, z: String): (String, String, String) = {
+      val pp = s"($p+$q)"
+      val s = s"($pp+$r)"
+      val k = s"($pp*(1.0/$s))"
+      (s"($m + $k*($z - $m))",
+        s"(((1.0-$k)*$pp)*(1.0-$k) + ($k*$r)*$k)",
+        s"sqrt((($z - $m)/sqrt($s)) * (($z - $m)/sqrt($s)))")
+    }
+    val (bm, bp, bmaha) = step(s"$m0", s"$p0", "z")
+    val (rm, rp, rmaha) = step("f.m", "f.p", "s.z")
+    s"""WITH RECURSIVE meas AS (
+       |  SELECT user_id, ts, avg(value) AS z,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+       |  FROM events GROUP BY user_id, ts
+       |),
+       |filt AS (
+       |  SELECT user_id, rn, $bm AS m, $bp AS p, $bmaha AS maha FROM meas WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.user_id, s.rn, $rm AS m, $rp AS p, $rmaha AS maha
+       |  FROM filt f JOIN meas s ON s.user_id = f.user_id AND s.rn = f.rn + 1
+       |)
+       |SELECT user_id AS key,
+       |  CAST(max(rn) AS BIGINT) AS n_obs,
+       |  CAST(sum(CASE WHEN maha > 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  ROUND(max(maha), 5) AS max_maha
+       |FROM filt GROUP BY user_id ORDER BY key""".stripMargin
+  }
+
   /** RLS recursion replay: state (th0,th1,p00,p01,p11), forgetting 0.98. */
   private val rlsOracle: String = {
     val lam = "0.98"
@@ -290,6 +350,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_lkf_llt" -> lltOracle,
+    "q_outlier" -> outlierOracle,
     "q_lkf_blr" -> blrOracle,
     "q_rls" -> rlsOracle,
     "q_lms" -> lmsOracle
