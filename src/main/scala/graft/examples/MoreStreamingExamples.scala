@@ -188,6 +188,40 @@ object MMAERateSourceOLS {
   }
 }
 
+/** LKF as streaming OLS: state (intercept, slope) with H = [1, x] per row —
+  * the Kalman route to the same model RLSRateSourceOLS estimates. */
+object LKFRateSourceOLS {
+  def main(args: Array[String]): Unit = {
+    val seconds = args.headOption.map(_.toInt).getOrElse(15)
+    val spark = ExampleSession.build("LKFRateSourceOLS")
+
+    val data = spark.readStream.format("rate").option("rowsPerSecond", "20").load()
+      .withColumn("key", pmod(col("value"), lit(2)).cast("string"))
+      .withColumn("t", col("timestamp"))
+      .withColumn("x", (col("value") % 100).cast("double"))
+      .withColumn("meas", array(lit(3.0) + col("x") * 2.0 + randn(5)))
+      .withColumn("hmat", struct(lit(1).as("numRows"), lit(2).as("numCols"),
+        array(lit(1.0), col("x")).as("values")))
+
+    val lkf = new LinearKalmanFilter(2, 1)
+      .setStateKeyCol("key")
+      .setEventTimeCol("t")
+      .setMeasurementCol("meas")
+      .setMeasurementModelCol("hmat")
+      .setProcessNoise(DMat.zeros(2, 2))
+      .setMeasurementNoise(DMat.of(1, 1, 1.0))
+      .setInitialStateMean(Array(0.0, 0.0))
+      .setInitialStateCovariance(DMat.of(2, 2, 10.0, 0.0, 0.0, 10.0))
+
+    ExampleSession.run(
+      lkf.transform(data).select(col("key"), col("stateIndex"),
+        round(col("stateMean")(0), 3).as("intercept"),
+        round(col("stateMean")(1), 3).as("slope")),
+      seconds)
+    spark.stop()
+  }
+}
+
 /**
  * Batch-train an LKF on historical data, then continue filtering a stream
  * from the batch posterior: the final (mean, covariance) per key becomes the

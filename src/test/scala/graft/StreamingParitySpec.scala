@@ -6,12 +6,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.filter.{RecursiveLeastSquaresFilter, SparkTestSession}
+import graft.filter.{LinearKalmanFilter, RecursiveLeastSquaresFilter, SparkTestSession}
+import graft.linalg.DMat
 import graft.mixture.MultivariateGaussianMixture
 
 /** Batch ≡ streaming for stateful operators beyond the LKF (covered in
-  * FilterSpec): RLS and the online gaussian mixture, across micro-batch
-  * boundaries. */
+  * FilterSpec): RLS, the windowed MMAE bank and the online gaussian mixture,
+  * across micro-batch boundaries. */
 class StreamingParitySpec extends AnyFunSuite with SparkTestSession {
 
   private def ts(i: Int): Timestamp = new Timestamp(1700000000000L + i * 60000L)
@@ -45,6 +46,57 @@ class StreamingParitySpec extends AnyFunSuite with SparkTestSession {
     assert(batch.length == streamed.length)
     batch.zip(streamed).foreach { case ((i1, a1, b1), (i2, a2, b2)) =>
       assert(i1 == i2); assert(a1 == a2, s"idx $i1"); assert(b1 == b2)
+    }
+  }
+
+  test("windowed MMAE streaming equals batch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(7)
+    // 3-filter bank over one measurement stream (bankKey = bank member id)
+    val data = for (i <- 1 to 24; fid <- 0 to 2) yield
+      (s"m_$fid", ts(i), Array(0.5 * i + rng.nextGaussian()), 1.0 + fid * 4.0)
+
+    def mmae = new LinearKalmanFilter(1, 1)
+      .setStateKeyCol("bankKey").setEventTimeCol("t")
+      .setMeasurementCol("meas")
+      .setMeasurementNoiseCol("rmat")
+      .setInitialStateCovariance(DMat.of(1, 1, 10.0))
+      .setProcessNoise(DMat.of(1, 1, 1.0))
+      .setSlidingLikelihoodWindow(5)
+      .setEnableMultipleModelAdaptiveEstimation()
+      .setWatermarkDuration("10 minutes")
+      .setMultipleModelMeasurementWindowDuration("5 minutes")
+
+    def withCols(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rmat", expr("struct(1 as numRows, 1 as numCols, array(r) as values)"))
+      .drop("r")
+
+    val batchIn = withCols(data.toDF("bankKey", "t", "meas", "r"))
+    val batch = mmae.transform(batchIn)
+      .select(col("stateIndex"), round(col("stateMean")(0), 9).as("m"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+
+    val stream = MemoryStream[(String, Timestamp, Array[Double], Double)]
+    val sq = mmae.transform(withCols(stream.toDS().toDF("bankKey", "t", "meas", "r")))
+      .select(col("stateIndex"), round(col("stateMean")(0), 9).as("m"))
+      .writeStream.format("memory").queryName("mmae_parity").outputMode("append").start()
+    stream.addData(data.take(30))
+    sq.processAllAvailable()
+    stream.addData(data.drop(30))
+    sq.processAllAvailable()
+    // advance the watermark far enough to flush every window
+    stream.addData(Seq(("m_0", ts(1000), Array(0.0), 1.0)))
+    sq.processAllAvailable()
+    val streamed = spark.table("mmae_parity")
+      .where(col("stateIndex") <= 24) // drop the watermark-advancing tick
+      .select(col("stateIndex"), col("m"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    sq.stop()
+
+    assert(batch.length == streamed.length, s"${batch.length} vs ${streamed.length}")
+    batch.zip(streamed).foreach { case ((i1, m1), (i2, m2)) =>
+      assert(i1 == i2); assert(m1 == m2, s"stateIndex $i1: $m1 vs $m2")
     }
   }
 
