@@ -82,6 +82,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(sets(0).sameElements(sets(1)))
   }
 
+  test("k-means quantizer keeps k fixed and reduces quantization distortion") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val k = 8
+    val sampled = Similarity.ivfTrain(emb, "vec_id", "v", k)
+    val trained = Similarity.ivfTrainKMeans(emb, "vec_id", "v", k, iters = 3)
+    assert(trained.length == k)
+
+    def meanSim(cents: Array[(Long, Array[Double])]): Double = emb
+      .withColumn("cell", Similarity.ivfCellExpr(col("v"), cents))
+      .join(cents.toSeq.map { case (c, arr) => (c, arr.toSeq) }.toDF("cell", "cvec"), Seq("cell"))
+      .select(avg(Similarity.cosine(col("v"), col("cvec").cast("array<double>"))))
+      .head().getDouble(0)
+
+    val (before, after) = (meanSim(sampled), meanSim(trained))
+    assert(after >= before - 1e-9, s"k-means did not improve assignment: $before -> $after")
+  }
+
   test("brute-force ANN plan broadcasts the query side (no corpus shuffle)") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, Array.fill(8)(i.toFloat / 100))).toDF("vec_id", "embedding")
