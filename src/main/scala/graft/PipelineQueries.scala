@@ -131,6 +131,20 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    "q_ann_ivf_kmeans" -> ((s, dir) => {
+      // Same probe path, Lloyd-refined quantizer. Rows-only oracle: k-means
+      // centroid means depend on float summation order across partitions, so
+      // the model is not bit-replayable — fixed output size (5 queries x
+      // top-10) is the gate check; quantizer quality is spec-asserted.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cents = Similarity.ivfTrainKMeans(emb, "vec_id", "embedding", 32, iters = 2)
+      Similarity.ivfTopKWith(cents, emb, q, "vec_id", "embedding", "qid", "qv",
+          k = 10, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(

@@ -24,7 +24,7 @@ object Verify {
     "q_gmm", "q_bmm", "q_asof_join", "q_ann_lsh", "q_embed_neardup", "q_rls",
     "q_multistep", "q_multimodal", "q_multimodal_audio", "q_multimodal_video",
     "q_lkf_blr", "q_ekf", "q_lkf_llt", "q_outlier", "q_lms",
-    "q_dedup_simhash", "q_mmae", "q_ann_ivf", "q_dedup_minhash")
+    "q_dedup_simhash", "q_mmae", "q_ann_ivf", "q_ann_ivf_kmeans", "q_dedup_minhash")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
