@@ -59,4 +59,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     val p = plan("q_lkf_llt")
     assert(p.contains("hashpartitioning(stateKey"), p.take(3000))
   }
+
+  test("LSH bucketing is a map-side projection (bucket computed before the join shuffle)") {
+    val p = plan("q_ann_lsh")
+    // the native hyperplane_bucket expression must appear in a Project, and
+    // the only corpus shuffle is the bucket equi-join key
+    assert(p.contains("hyperplane_bucket"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("rand_gaussian sampling aggregates with partial (map-side) combine") {
+    val p = plan("q_rand_gaussian")
+    assert(p.contains("partial_"), p.take(3000)) // HashAggregate partial pass
+  }
+
+  test("native hash kernels keep the dedup signature projection in codegen") {
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("shingle_hash_set") && p.contains("minhash_signature"), p.take(4000))
+  }
 }
