@@ -64,6 +64,47 @@ class FilterSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("LKF control input shifts the prediction by B*u per step") {
+    import spark.implicits._
+    val zs = Seq(2.0, 4.1, 5.9, 8.2, 10.0) // ramp driven by the control, not the model
+    val rows = zs.zipWithIndex.map { case (z, i) =>
+      ("k", ts(i), Array(z), Array(2.0)) // u = 2.0 every step
+    }
+    val df = rows.toDF("key", "t", "meas", "u")
+      .withColumn("bmat", expr("struct(1 as numRows, 1 as numCols, array(1.0d) as values)"))
+
+    def lkf = new LinearKalmanFilter(1, 1)
+      .setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+      .setInitialStateMean(Array(0.0))
+      .setInitialStateCovariance(DMat.of(1, 1, 10.0))
+      .setProcessNoise(DMat.of(1, 1, 0.1))
+      .setMeasurementNoise(DMat.of(1, 1, 4.0))
+
+    val withControl = lkf.setControlCol("u").setControlFunctionCol("bmat")
+      .transform(df)
+      .select(col("stateIndex"), col("stateMean")(0))
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+
+    // hand recursion: x_pred = x + B*u; covariance untouched by control
+    var m = 0.0; var p = 10.0
+    val expected = zs.map { z =>
+      val mp = m + 1.0 * 2.0
+      val pp = p + 0.1
+      val k = pp / (pp + 4.0)
+      m = mp + k * (z - mp)
+      p = (1 - k) * pp * (1 - k) + k * 4.0 * k
+      m
+    }
+    expected.zip(withControl).foreach { case (e, a) =>
+      assert(math.abs(e - a) < 1e-12, s"$e vs $a")
+    }
+    // and the control genuinely matters: without it the estimates lag the ramp
+    val without = lkf.transform(df) // fresh builder: control cols not set
+      .select(col("stateIndex"), col("stateMean")(0))
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+    assert(math.abs(without.last - expected.last) > 0.5)
+  }
+
   test("LKF missing measurement performs predict-only step") {
     import spark.implicits._
     val df = Seq(
