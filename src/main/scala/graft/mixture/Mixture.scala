@@ -257,6 +257,9 @@ abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { s
   protected var batchTrainMaxIter: Int = 30
   protected var batchTrainTol: Double = 0.1
   protected var initialMixtureModelCol: Option[String] = None
+  protected var stepSizeCol: Option[String] = None
+  protected var minibatchSizeCol: Option[String] = None
+  protected var updateHoldoutCol: Option[String] = None
 
   def setEnableBatchTrain(): Impl = { batchTrainEnabled = true; this }
   def setBatchTrainMaxIter(v: Int): Impl = { batchTrainMaxIter = v; this }
@@ -268,6 +271,13 @@ abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { s
   def setDecayRate(v: Double): Impl = { decayRate = v; this }
   def setMinibatchSize(v: Int): Impl = { minibatchSize = v; this }
   def setUpdateHoldout(v: Int): Impl = { updateHoldout = v; this }
+  // Per-row hyperparameter columns (reference MixtureParams stepSizeCol /
+  // minibatchSizeCol / updateHoldoutCol): heterogeneous tuning per key or
+  // per regime without splitting the DataFrame. Null cells fall back to the
+  // builder constants.
+  def setStepSizeCol(v: String): Impl = { stepSizeCol = Some(v); this }
+  def setMinibatchSizeCol(v: String): Impl = { minibatchSizeCol = Some(v); this }
+  def setUpdateHoldoutCol(v: String): Impl = { updateHoldoutCol = Some(v); this }
   def setInitialWeights(v: Array[Double]): Impl = { initialWeights = v; this }
   /** Single struct column `(weights: array<double>, params: array<array<double>>)`
     * carrying a per-key initial mixture model — warm start from a previously
@@ -285,10 +295,19 @@ abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { s
   }
   def setStateTimeoutDuration(v: String): Impl = { timeoutDuration = Some(v); this }
 
+  protected var initialWeightsCol: Option[String] = None
+  /** Per-key initial component weights column (reference initialWeightsCol);
+    * overrides the composite model column's weights when both are set. */
+  def setInitialWeightsCol(v: String): Impl = { initialWeightsCol = Some(v); this }
+
   protected def family: MixtureFamily
   protected def initialParams: Array[Array[Double]]
   /** sample column cast into array<double> canonical form. */
   protected def sampleExpr: org.apache.spark.sql.Column
+  /** Optional per-key initial params built from family-specific columns
+    * (means/covariances, rates, probabilities); overrides the composite
+    * model column's params when set. */
+  protected def initialParamsColExpr: Option[org.apache.spark.sql.Column] = None
 
   def transform(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -299,13 +318,18 @@ abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { s
       keyExpr.as("stateKey"),
       timeExpr.as("eventTime"),
       sampleExpr.as("sample"),
-      lit(stepSize).as("stepSize"),
+      stepSizeCol.map(c => coalesce(col(c).cast("double"), lit(stepSize)))
+        .getOrElse(lit(stepSize)).as("stepSize"),
       lit(decayRate).as("decayRate"),
-      lit(minibatchSize).as("minibatchSize"),
-      lit(updateHoldout).as("updateHoldout"),
-      initialMixtureModelCol.map(c => col(c).getField("weights").cast("array<double>"))
+      minibatchSizeCol.map(c => coalesce(col(c).cast("int"), lit(minibatchSize)))
+        .getOrElse(lit(minibatchSize)).as("minibatchSize"),
+      updateHoldoutCol.map(c => coalesce(col(c).cast("int"), lit(updateHoldout)))
+        .getOrElse(lit(updateHoldout)).as("updateHoldout"),
+      initialWeightsCol.map(c => col(c).cast("array<double>"))
+        .orElse(initialMixtureModelCol.map(c => col(c).getField("weights").cast("array<double>")))
         .getOrElse(lit(null).cast("array<double>")).as("initialWeights"),
-      initialMixtureModelCol.map(c => col(c).getField("params").cast("array<array<double>>"))
+      initialParamsColExpr
+        .orElse(initialMixtureModelCol.map(c => col(c).getField("params").cast("array<array<double>>")))
         .getOrElse(lit(null).cast("array<array<double>>")).as("initialParams")
     ).as[MixIn]
     val out = (if (batchTrainEnabled) {
@@ -336,31 +360,56 @@ class MultivariateGaussianMixture(mixtureCount: Int, val sampleSize: Int)
   private var initialCovariances: Array[Array[Double]] =
     Array.fill(mixtureCount)(graft.linalg.Dense.eye(sampleSize))
 
+  private var initialMeansCol: Option[String] = None
+  private var initialCovariancesCol: Option[String] = None
+
   def setInitialMeans(v: Array[Array[Double]]): this.type = { initialMeans = v; this }
   /** row-major covariance per component. */
   def setInitialCovariances(v: Array[Array[Double]]): this.type = { initialCovariances = v; this }
+  /** Per-key initial means column: array<array<double>> (one mean per component). */
+  def setInitialMeansCol(v: String): this.type = { initialMeansCol = Some(v); this }
+  /** Per-key initial covariances column: array<array<double>> (row-major per component). */
+  def setInitialCovariancesCol(v: String): this.type = { initialCovariancesCol = Some(v); this }
 
   protected def family: MixtureFamily = new GaussianFamily(sampleSize)
   protected def initialParams: Array[Array[Double]] =
     initialMeans.zip(initialCovariances).map { case (m, c) => m ++ c }
   protected def sampleExpr = col(sampleCol).cast("array<double>")
+  override protected def initialParamsColExpr = (initialMeansCol, initialCovariancesCol) match {
+    case (Some(m), Some(c)) => Some(
+      zip_with(col(m).cast("array<array<double>>"), col(c).cast("array<array<double>>"),
+        (mi, ci) => concat(mi, ci)))
+    case (None, None) => None
+    case _ => throw new IllegalArgumentException(
+      "initialMeansCol and initialCovariancesCol must be set together")
+  }
 }
 
 /** Online Poisson mixture (params row = rate). */
 class PoissonMixture(mixtureCount: Int) extends MixtureBase[PoissonMixture](mixtureCount) {
   private var initialRates: Array[Double] = Array.tabulate(mixtureCount)(i => 1.0 + i)
+  private var initialRatesCol: Option[String] = None
   def setInitialRates(v: Array[Double]): this.type = { initialRates = v; this }
+  /** Per-key initial rates column: array<double> (one rate per component). */
+  def setInitialRatesCol(v: String): this.type = { initialRatesCol = Some(v); this }
   protected def family: MixtureFamily = new PoissonFamily
   protected def initialParams: Array[Array[Double]] = initialRates.map(Array(_))
   protected def sampleExpr = array(col(sampleCol).cast("double"))
+  override protected def initialParamsColExpr =
+    initialRatesCol.map(c => org.apache.spark.sql.functions.transform(col(c).cast("array<double>"), r => array(r)))
 }
 
 /** Online Bernoulli mixture (params row = probability). */
 class BernoulliMixture(mixtureCount: Int) extends MixtureBase[BernoulliMixture](mixtureCount) {
   private var initialProbabilities: Array[Double] =
     Array.tabulate(mixtureCount)(i => (i + 1.0) / (mixtureCount + 1.0))
+  private var initialProbabilitiesCol: Option[String] = None
   def setInitialProbabilities(v: Array[Double]): this.type = { initialProbabilities = v; this }
+  /** Per-key initial probabilities column: array<double> (one per component). */
+  def setInitialProbabilitiesCol(v: String): this.type = { initialProbabilitiesCol = Some(v); this }
   protected def family: MixtureFamily = new BernoulliFamily
   protected def initialParams: Array[Array[Double]] = initialProbabilities.map(Array(_))
   protected def sampleExpr = array(col(sampleCol).cast("double"))
+  override protected def initialParamsColExpr =
+    initialProbabilitiesCol.map(c => org.apache.spark.sql.functions.transform(col(c).cast("array<double>"), p => array(p)))
 }

@@ -178,6 +178,30 @@ class MLPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(f.sameElements(w))
   }
 
+  test("per-field initial columns and per-row hyperparameter columns") {
+    import spark.implicits._
+    import graft.mixture.PoissonMixture
+    val data = (1 to 40).map(i => ("k", i % 2 * 10 + 1.0)).toDF("key", "x")
+      .withColumn("rates0", array(lit(1.0), lit(12.0)))
+      .withColumn("mb", lit(8))
+      .withColumn("ss", lit(0.2))
+
+    val out = new PoissonMixture(2)
+      .setStateKeyCol("key").setSampleCol("x")
+      .setInitialRatesCol("rates0")
+      .setMinibatchSizeCol("mb")
+      .setStepSizeCol("ss")
+      .setMinibatchSize(999) // per-row column must win over this
+      .transform(data)
+    val rows = out.select(col("stateIndex"), col("params")(0)(0), col("params")(1)(0))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    // minibatch 8 over 40 rows -> 5 updates (builder's 999 would give 0 rows)
+    assert(rows.length == 5, s"got ${rows.length}")
+    // components stay anchored near their per-key initial rates (1 and 12)
+    val (_, r0, r1) = rows.last
+    assert(r0 < 6.0 && r1 > 6.0, s"rates drifted: $r0, $r1")
+  }
+
   test("initialMixtureModelCol warm start overrides builder constants") {
     import spark.implicits._
     val rows = (0 until 40).map(i => ("k", ts(i), if (i % 2 == 0) 1.0 else 20.0))
