@@ -47,11 +47,19 @@ class RecursiveLeastSquaresFilter(val featuresSize: Int) {
   private var regularizationMatrix: DMat = DMat(featuresSize, featuresSize,
     Dense.scale(1e5, Dense.eye(featuresSize)))
   private var regularizationMatrixCol: Option[String] = None
+  private var initialStateDistributionCol: Option[String] = None
   private var watermarkDuration: Option[String] = None
   private var timeoutMode: TimeoutMode = NoTimeout
   private var timeoutDuration: Option[String] = None
 
   def setStateKeyCol(v: String): this.type = { stateKeyCol = Some(v); this }
+  /** Single struct column `(mean: array<double>, covariance: matrix struct)`
+    * carrying the per-key prior — e.g. a previously filtered posterior
+    * (stream-batch init; reference RLS initialStateDistributionCol).
+    * Overrides initialEstimateCol / regularizationMatrixCol when set. */
+  def setInitialStateDistributionCol(v: String): this.type = {
+    initialStateDistributionCol = Some(v); this
+  }
   def setEventTimeCol(v: String): this.type = { eventTimeCol = Some(v); this }
   def setLabelCol(v: String): this.type = { labelCol = v; this }
   def setFeaturesCol(v: String): this.type = { featuresCol = v; this }
@@ -85,8 +93,12 @@ class RecursiveLeastSquaresFilter(val featuresSize: Int) {
       timeExpr.as("eventTime"),
       col(labelCol).cast("double").as("label"),
       col(featuresCol).cast("array<double>").as("features"),
-      initialEstimateCol.map(c => col(c).cast("array<double>")).getOrElse(typedLit(initialEstimate)).as("initialMean"),
-      regularizationMatrixCol.map(col).getOrElse(typedLit(regularizationMatrix)).as("initialCovariance")
+      initialStateDistributionCol.map(c => col(c).getField("mean").cast("array<double>"))
+        .orElse(initialEstimateCol.map(c => col(c).cast("array<double>")))
+        .getOrElse(typedLit(initialEstimate)).as("initialMean"),
+      initialStateDistributionCol.map(c => col(c).getField("covariance"))
+        .orElse(regularizationMatrixCol.map(col))
+        .getOrElse(typedLit(regularizationMatrix)).as("initialCovariance")
     ).as[RlsIn]
     val out = StatefulStage.run(in, new RlsSpec(forgettingFactor, featuresSize),
       StageConf(timeoutMode, timeoutDuration, watermarkDuration)).toDF()

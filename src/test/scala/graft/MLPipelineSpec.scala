@@ -202,6 +202,31 @@ class MLPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(r0 < 6.0 && r1 > 6.0, s"rates drifted: $r0, $r1")
   }
 
+  test("RLS initialStateDistributionCol warm start equals the uninterrupted run") {
+    import spark.implicits._
+    import graft.filter.RecursiveLeastSquaresFilter
+    val rows = (1 to 12).map(i => ("k", i, Array(1.0, i.toDouble), 3.0 + 2.0 * i))
+      .toDF("key", "i", "features", "label")
+
+    def rls = new RecursiveLeastSquaresFilter(2)
+      .setStateKeyCol("key").setFeaturesCol("features").setLabelCol("label")
+      .setForgettingFactor(1.0)
+
+    val full = rls.transform(rows).where(col("stateIndex") === 12)
+      .select(col("stateMean")).head().getSeq[Double](0)
+
+    val posterior = rls.transform(rows.where(col("i") <= 6))
+      .groupBy(col("key"))
+      .agg(max_by(struct(col("stateMean").as("mean"),
+        col("stateCovariance").as("covariance")), col("stateIndex")).as("prior"))
+    val resumed = rls.setInitialStateDistributionCol("prior")
+      .transform(rows.where(col("i") > 6).join(posterior, "key"))
+      .where(col("stateIndex") === 6)
+      .select(col("stateMean")).head().getSeq[Double](0)
+
+    full.zip(resumed).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+  }
+
   test("initialMixtureModelCol warm start overrides builder constants") {
     import spark.implicits._
     val rows = (0 until 40).map(i => ("k", ts(i), if (i % 2 == 0) 1.0 else 20.0))
