@@ -105,6 +105,30 @@ class FilterSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(without.last - expected.last) > 0.5)
   }
 
+  test("batch stateful path streams a single hot key (no per-key materialization)") {
+    import spark.implicits._
+    // 200k rows in ONE key exercise the external-sort + iterator fold shape:
+    // a per-key materialization (groupByKey + toList) would churn memory here
+    // and OOM at the 1000x version of this test on a real cluster.
+    val n = 200000
+    val df = spark.range(n).select(
+      lit("hot").as("key"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("t"),
+      array((col("id") % 100).cast("double") / 10.0).as("meas"))
+
+    val out = new LinearKalmanFilter(1, 1)
+      .setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+      .setInitialStateMean(Array(0.0))
+      .setInitialStateCovariance(DMat.of(1, 1, 10.0))
+      .setProcessNoise(DMat.of(1, 1, 1.0))
+      .setMeasurementNoise(DMat.of(1, 1, 4.0))
+      .transform(df)
+
+    val stats = out.agg(count(lit(1)), max(col("stateIndex"))).head()
+    assert(stats.getLong(0) == n)
+    assert(stats.getLong(1) == n)
+  }
+
   test("LKF missing measurement performs predict-only step") {
     import spark.implicits._
     val df = Seq(
