@@ -185,6 +185,40 @@ class NonlinearSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(adaptiveMeans.last - 30.0) < math.abs(staticMeans.last - 30.0))
   }
 
+  test("RAUKF streaming equals batch across micro-batches (adapted Q carried in state)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the jump lands mid-stream so the INFLATED Q must survive the
+    // micro-batch boundary inside the state store
+    val zs = Seq.fill(10)(1.0) ++ Seq.fill(10)(30.0)
+    val data = zs.zipWithIndex.map { case (z, i) => ("a", ts(i), Array(z)) }
+
+    def ukf() = new UnscentedKalmanFilter(1, 1)
+      .setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+      .setInitialStateMean(Array(1.0))
+      .setInitialStateCovariance(DMat.of(1, 1, 1.0))
+      .setProcessNoise(DMat.of(1, 1, 0.01))
+      .setMeasurementNoise(DMat.of(1, 1, 1.0))
+      .setEnableAdaptiveProcessNoise()
+
+    val batch = means(ukf().transform(data.toDF("key", "t", "meas")))
+
+    val stream = MemoryStream[(String, Timestamp, Array[Double])]
+    val sq = ukf().transform(stream.toDS().toDF("key", "t", "meas"))
+      .writeStream.format("memory").queryName("raukf_parity").outputMode("append").start()
+    stream.addData(data.take(11)) // boundary right after the first jump row
+    sq.processAllAvailable()
+    stream.addData(data.drop(11))
+    sq.processAllAvailable()
+    val streamed = spark.table("raukf_parity").orderBy("stateIndex")
+      .select(col("stateMean")(0)).as[Double].collect().toSeq
+    sq.stop()
+
+    assert(batch.length == streamed.length)
+    batch.zip(streamed).foreach { case (b, s) => assert(b == s, s"$b vs $s") }
+  }
+
   test("batch EM mixture separates clusters and beats holdout-free online start") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
