@@ -180,4 +180,33 @@ object VectorFunctions {
   def randMultiGaussianWithCol(meanCol: Column, covCol: Column, size: Int, seed: Long = 0): Column =
     scaleGaussianUdf(meanCol, covCol.getField("numRows"), covCol.getField("values"),
       randnVector(size, seed))
+
+  // -------------------------------------------------- MLlib UDT interop
+  // Users migrating pipelines built on org.apache.spark.ml.linalg types
+  // (the reference's column currency) convert at the boundary; graft's own
+  // operators stay on array<double> / matrix structs, which codegen.
+
+  private val vectorToArrayUdf = udf { v: org.apache.spark.ml.linalg.Vector =>
+    Option(v).map(_.toArray).orNull
+  }
+  private val arrayToVectorUdf = udf { a: Seq[Double] =>
+    Option(a).map(x => org.apache.spark.ml.linalg.Vectors.dense(x.toArray)).orNull
+  }
+  private val matrixToStructUdf = udf { m: org.apache.spark.ml.linalg.Matrix =>
+    // row-major values to match graft's (numRows, numCols, values) structs
+    Option(m).map(x => (x.numRows, x.numCols, x.toDense.rowIter.flatMap(_.toArray).toSeq)).orNull
+  }
+
+  /** MLlib Vector column -> array<double>. */
+  def vectorToArray(v: Column): Column = vectorToArrayUdf(v)
+
+  /** array<double> column -> MLlib dense Vector. */
+  def arrayToVector(a: Column): Column = arrayToVectorUdf(a)
+
+  /** MLlib Matrix column -> graft (numRows, numCols, row-major values) struct. */
+  def matrixToStruct(m: Column): Column = {
+    val t = matrixToStructUdf(m)
+    struct(t.getField("_1").as("numRows"), t.getField("_2").as("numCols"),
+      t.getField("_3").as("values"))
+  }
 }

@@ -79,6 +79,22 @@ class RandomFunctionsSpec extends AnyFunSuite with SparkTestSession {
     assert(row.isNullAt(1))
   }
 
+  test("MLlib UDT interop round-trips vectors and converts matrices row-major") {
+    import org.apache.spark.ml.linalg.{Matrices, Vectors}
+    import spark.implicits._
+    val df = Seq((Vectors.dense(1.0, 2.0, 3.0), Matrices.dense(2, 2, Array(1.0, 3.0, 2.0, 4.0))))
+      .toDF("v", "m")
+    val row = df.select(
+      vectorToArray(col("v")).as("a"),
+      vectorToArray(arrayToVector(vectorToArray(col("v")))).as("rt"),
+      matrixToStruct(col("m")).as("ms")).head()
+    assert(row.getSeq[Double](0) == Seq(1.0, 2.0, 3.0))
+    assert(row.getSeq[Double](1) == Seq(1.0, 2.0, 3.0))
+    val ms = row.getStruct(2)
+    assert(ms.getInt(0) == 2 && ms.getInt(1) == 2)
+    assert(ms.getSeq[Double](2) == Seq(1.0, 2.0, 3.0, 4.0)) // column-major input -> row-major values
+  }
+
   test("scaleToMultiGaussian shifts a materialized draw by mean + L z") {
     val df = spark.range(1)
       .withColumn("z", array(lit(1.0), lit(-1.0)))
