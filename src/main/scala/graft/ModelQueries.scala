@@ -116,8 +116,8 @@ object ModelQueries {
     "q_raukf" -> ((s, dir) => {
       // UKF with RAUKF adaptive process noise: same model as q_ukf, noise
       // inflating when the residual breaches the mahalanobis threshold.
-      // Rows-only oracle (libm exp/log-free but the adaptation path is
-      // spec-covered in NonlinearSpec instead of a SQL replay).
+      // Value-exact oracle: raukfOracle replays the sigma-point recursion
+      // with the effective Q carried through the adaptation algebra.
       val ukf = new UnscentedKalmanFilter(1, 1)
         .setStateKeyCol("user_id")
         .setEventTimeCol("ts")
@@ -529,6 +529,75 @@ object ModelQueries {
       q = 0.1, r = 25.0, m0 = 5.0, p0 = 5.0, threePoints = true)
   }
 
+  /** RAUKF replay: the UKF sigma-point recursion additionally carrying the
+    * EFFECTIVE process noise qe. Every adaptation op is portable arithmetic
+    * (+,-,*,/,sqrt,max — no exp/log), replayed in the kernel's exact order:
+    * sInv = 1.0/S (Dense.inverse 1x1), sqMah = r*((1/S)*r), on breach
+    * w = max(lambda, (sqMah - alpha*thr)/sqMah) and
+    * qe' = ((K*((w*r)*r))*K) + ((1-w)*qe)  (outer/matmul/axpy order);
+    * below threshold qe resets to the static Q. */
+  private def raukfOracle: String = {
+    val lam = "(((0.6*0.6)*(1.0+0.5)) - 1.0)"
+    val sc = s"(1.0 + $lam)"
+    val (wm0, wmi) = (s"($lam/$sc)", s"(1.0/(2.0*$sc))")
+    val (wc0, wci) = (s"(($lam/$sc) + ((1.0 - (0.6*0.6)) + 2.0))", s"(1.0/(2.0*$sc))")
+    val (r, m0, p0, qStatic) = ("25.0", "5.0", "5.0", "0.1")
+    val (thr, lamW, alphaW) = ("2.0", "0.9", "1.0")
+    // one filter step from columns (user_id, rn, z, m, p, qe)
+    def step(src: String): String =
+      s"""  SELECT user_id, rn,
+         |    m1 + (g*(z - zm)) AS m, p1 - ((g*sm)*g) AS p,
+         |    CASE WHEN sqmah > $thr
+         |      THEN ((g*((gw*(z - zm))*(z - zm)))*g) + ((1.0-gw)*qe)
+         |      ELSE $qStatic END AS qe
+         |  FROM (
+         |    SELECT *, greatest($lamW, (sqmah - ($alphaW*$thr))/sqmah) AS gw
+         |    FROM (
+         |      SELECT *, ((z - zm)*((1.0/sm)*(z - zm))) AS sqmah
+         |      FROM (
+         |        SELECT *, (cross1*(1.0/sm)) AS g
+         |        FROM (
+         |          SELECT *,
+         |            ((($wc0*((z0-zm)*(z0-zm))) + ($wci*((z1-zm)*(z1-zm)))) + ($wci*((z2-zm)*(z2-zm)))) + $r AS sm,
+         |            (($wc0*((m1-m1)*(z0-zm))) + ($wci*(((m1+c2)-m1)*(z1-zm)))) + ($wci*(((m1-c2)-m1)*(z2-zm))) AS cross1
+         |          FROM (
+         |            SELECT *, (($wm0*z0) + ($wmi*z1)) + ($wmi*z2) AS zm
+         |            FROM (
+         |              SELECT *, (m1*m1) AS z0, ((m1+c2)*(m1+c2)) AS z1, ((m1-c2)*(m1-c2)) AS z2
+         |              FROM (
+         |                SELECT *, sqrt($sc*p1) AS c2
+         |                FROM (
+         |                  SELECT *,
+         |                    qe + ((($wc0*((mp0-mm)*(mp0-mm))) + ($wci*((mp1-mm)*(mp1-mm)))) + ($wci*((mp2-mm)*(mp2-mm)))) AS p1,
+         |                    mm AS m1
+         |                  FROM (
+         |                    SELECT *, (($wm0*mp0) + ($wmi*mp1)) + ($wmi*mp2) AS mm
+         |                    FROM (
+         |                      SELECT *, m AS mp0, m + c1 AS mp1, m - c1 AS mp2
+         |                      FROM (SELECT *, sqrt($sc*p) AS c1 FROM $src)
+         |                    )
+         |                  )
+         |                )
+         |              )
+         |            )
+         |          )
+         |        )
+         |      )
+         |    )
+         |  )""".stripMargin
+    s"""WITH RECURSIVE meas AS (
+       |$userStreamSql
+       |),
+       |filt AS (
+       |${step(s"(SELECT user_id, rn, z, $m0 AS m, $p0 AS p, $qStatic AS qe FROM meas WHERE rn=1)")}
+       |  UNION ALL
+       |${step("(SELECT s.user_id, s.rn, s.z, f.m, f.p, f.qe FROM filt f JOIN meas s ON s.user_id=f.user_id AND s.rn=f.rn+1)")}
+       |)
+       |SELECT user_id AS key, ROUND(m,5) AS state_mean, ROUND(p,5) AS state_cov
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) rk FROM filt)
+       |WHERE rk=1 ORDER BY key""".stripMargin
+  }
+
   private def ckfOracle: String = {
     // cubature: scale = n = 1, two points, equal weights 1/2
     val sql = sigmaOracle1d(
@@ -710,6 +779,7 @@ object ModelQueries {
   def oracleSql: Map[String, String] = Map(
     "q_ekf" -> ekfOracle,
     "q_ukf" -> ukfOracle,
+    "q_raukf" -> raukfOracle,
     "q_ckf" -> ckfOracle,
     "q_rts" -> rtsOracle,
     "q_multistep" -> multistepOracle,
