@@ -435,86 +435,98 @@ object ModelQueries {
 
   /** Sigma-point filter replay for 1-state models with h(x)=x^2. `pts3` =
     * merwe/julier (2n+1 points); otherwise cubature (2n points). */
+  /** Shared sigma-point step pipeline ending with the gain `g` computed
+    * (columns: src's plus c1..c2, mp*, mm, m1, p1, z*, zm, sm, cross1, g).
+    * `qExpr` is the process noise used by the predict layer — a literal for
+    * the static filters, the carried `qe` column for RAUKF. */
+  private def sigmaCore1d(
+      src: String, qExpr: String, scale: String,
+      wm0: String, wmi: String, wc0: String, wci: String, r: String,
+      threePoints: Boolean): String =
+    if (threePoints)
+      s"""    SELECT *, (cross1*(1.0/sm)) AS g
+         |    FROM (
+         |      SELECT *,
+         |        ((($wc0*((z0-zm)*(z0-zm))) + ($wci*((z1-zm)*(z1-zm)))) + ($wci*((z2-zm)*(z2-zm)))) + $r AS sm,
+         |        (($wc0*((m1-m1)*(z0-zm))) + ($wci*(((m1+c2)-m1)*(z1-zm)))) + ($wci*(((m1-c2)-m1)*(z2-zm))) AS cross1
+         |      FROM (
+         |        SELECT *, (($wm0*z0) + ($wmi*z1)) + ($wmi*z2) AS zm
+         |        FROM (
+         |          SELECT *, (m1*m1) AS z0, ((m1+c2)*(m1+c2)) AS z1, ((m1-c2)*(m1-c2)) AS z2
+         |          FROM (
+         |            SELECT *, sqrt($scale*p1) AS c2
+         |            FROM (
+         |              SELECT *,
+         |                $qExpr + ((($wc0*((mp0-mm)*(mp0-mm))) + ($wci*((mp1-mm)*(mp1-mm)))) + ($wci*((mp2-mm)*(mp2-mm)))) AS p1,
+         |                mm AS m1
+         |              FROM (
+         |                SELECT *, (($wm0*mp0) + ($wmi*mp1)) + ($wmi*mp2) AS mm
+         |                FROM (
+         |                  SELECT *, m AS mp0, m + c1 AS mp1, m - c1 AS mp2
+         |                  FROM (SELECT *, sqrt($scale*p) AS c1 FROM $src)
+         |                )
+         |              )
+         |            )
+         |          )
+         |        )
+         |      )
+         |    )""".stripMargin
+    else
+      s"""    SELECT *, (cross1*(1.0/sm)) AS g
+         |    FROM (
+         |      SELECT *,
+         |        ((($wci*((z1-zm)*(z1-zm))) + ($wci*((z2-zm)*(z2-zm))))) + $r AS sm,
+         |        (($wci*(((m1+c2)-m1)*(z1-zm)))) + ($wci*(((m1-c2)-m1)*(z2-zm))) AS cross1
+         |      FROM (
+         |        SELECT *, (($wmi*z1)) + ($wmi*z2) AS zm
+         |        FROM (
+         |          SELECT *, ((m1+c2)*(m1+c2)) AS z1, ((m1-c2)*(m1-c2)) AS z2
+         |          FROM (
+         |            SELECT *, sqrt($scale*p1) AS c2
+         |            FROM (
+         |              SELECT *,
+         |                $qExpr + ((($wci*((mp1-mm)*(mp1-mm)))) + ($wci*((mp2-mm)*(mp2-mm)))) AS p1,
+         |                mm AS m1
+         |              FROM (
+         |                SELECT *, (($wmi*mp1)) + ($wmi*mp2) AS mm
+         |                FROM (
+         |                  SELECT *, m + c1 AS mp1, m - c1 AS mp2
+         |                  FROM (SELECT *, sqrt($scale*p) AS c1 FROM $src)
+         |                )
+         |              )
+         |            )
+         |          )
+         |        )
+         |      )
+         |    )""".stripMargin
+
+  /** Last-row-per-key projection shared by the sigma-point oracles. */
+  private def sigmaTail(stepBase: String, stepRec: String): String =
+    s"""WITH RECURSIVE meas AS (
+       |$userStreamSql
+       |),
+       |filt AS (
+       |$stepBase
+       |  UNION ALL
+       |$stepRec
+       |)
+       |SELECT user_id AS key, ROUND(m,5) AS state_mean, ROUND(p,5) AS state_cov
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) rk FROM filt)
+       |WHERE rk=1 ORDER BY key""".stripMargin
+
   private def sigmaOracle1d(
       lamExpr: String, wm0: String, wmi: String, wc0: String, wci: String,
       q: Double, r: Double, m0: Double, p0: Double, threePoints: Boolean): String = {
     val scale = s"(1.0 + $lamExpr)"
     def step(src: String): String =
-      if (threePoints)
-        s"""  SELECT user_id, rn,
-           |    m1 + (g*(z - zm)) AS m, p1 - ((g*sm)*g) AS p
-           |  FROM (
-           |    SELECT *, (cross1*(1.0/sm)) AS g
-           |    FROM (
-           |      SELECT *,
-           |        ((($wc0*((z0-zm)*(z0-zm))) + ($wci*((z1-zm)*(z1-zm)))) + ($wci*((z2-zm)*(z2-zm)))) + $r AS sm,
-           |        (($wc0*((m1-m1)*(z0-zm))) + ($wci*(((m1+c2)-m1)*(z1-zm)))) + ($wci*(((m1-c2)-m1)*(z2-zm))) AS cross1
-           |      FROM (
-           |        SELECT *, (($wm0*z0) + ($wmi*z1)) + ($wmi*z2) AS zm
-           |        FROM (
-           |          SELECT *, (m1*m1) AS z0, ((m1+c2)*(m1+c2)) AS z1, ((m1-c2)*(m1-c2)) AS z2
-           |          FROM (
-           |            SELECT *, sqrt($scale*p1) AS c2
-           |            FROM (
-           |              SELECT *,
-           |                $q + ((($wc0*((mp0-mm)*(mp0-mm))) + ($wci*((mp1-mm)*(mp1-mm)))) + ($wci*((mp2-mm)*(mp2-mm)))) AS p1,
-           |                mm AS m1
-           |              FROM (
-           |                SELECT *, (($wm0*mp0) + ($wmi*mp1)) + ($wmi*mp2) AS mm
-           |                FROM (
-           |                  SELECT *, m AS mp0, m + c1 AS mp1, m - c1 AS mp2
-           |                  FROM (SELECT *, sqrt($scale*p) AS c1 FROM $src)
-           |                )
-           |              )
-           |            )
-           |          )
-           |        )
-           |      )
-           |    )
-           |  )""".stripMargin
-      else
-        s"""  SELECT user_id, rn,
-           |    m1 + (g*(z - zm)) AS m, p1 - ((g*sm)*g) AS p
-           |  FROM (
-           |    SELECT *, (cross1*(1.0/sm)) AS g
-           |    FROM (
-           |      SELECT *,
-           |        ((($wci*((z1-zm)*(z1-zm))) + ($wci*((z2-zm)*(z2-zm))))) + $r AS sm,
-           |        (($wci*(((m1+c2)-m1)*(z1-zm)))) + ($wci*(((m1-c2)-m1)*(z2-zm))) AS cross1
-           |      FROM (
-           |        SELECT *, (($wmi*z1)) + ($wmi*z2) AS zm
-           |        FROM (
-           |          SELECT *, ((m1+c2)*(m1+c2)) AS z1, ((m1-c2)*(m1-c2)) AS z2
-           |          FROM (
-           |            SELECT *, sqrt($scale*p1) AS c2
-           |            FROM (
-           |              SELECT *,
-           |                $q + ((($wci*((mp1-mm)*(mp1-mm)))) + ($wci*((mp2-mm)*(mp2-mm)))) AS p1,
-           |                mm AS m1
-           |              FROM (
-           |                SELECT *, (($wmi*mp1)) + ($wmi*mp2) AS mm
-           |                FROM (
-           |                  SELECT *, m + c1 AS mp1, m - c1 AS mp2
-           |                  FROM (SELECT *, sqrt($scale*p) AS c1 FROM $src)
-           |                )
-           |              )
-           |            )
-           |          )
-           |        )
-           |      )
-           |    )
-           |  )""".stripMargin
-    s"""WITH RECURSIVE meas AS (
-       |$userStreamSql
-       |),
-       |filt AS (
-       |${step(s"(SELECT user_id, rn, z, $m0 AS m, $p0 AS p FROM meas WHERE rn=1)")}
-       |  UNION ALL
-       |${step("(SELECT s.user_id, s.rn, s.z, f.m, f.p FROM filt f JOIN meas s ON s.user_id=f.user_id AND s.rn=f.rn+1)")}
-       |)
-       |SELECT user_id AS key, ROUND(m,5) AS state_mean, ROUND(p,5) AS state_cov
-       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) rk FROM filt)
-       |WHERE rk=1 ORDER BY key""".stripMargin
+      s"""  SELECT user_id, rn,
+         |    m1 + (g*(z - zm)) AS m, p1 - ((g*sm)*g) AS p
+         |  FROM (
+         |${sigmaCore1d(src, q.toString, scale, wm0, wmi, wc0, wci, r.toString, threePoints)}
+         |  )""".stripMargin
+    sigmaTail(
+      step(s"(SELECT user_id, rn, z, $m0 AS m, $p0 AS p FROM meas WHERE rn=1)"),
+      step("(SELECT s.user_id, s.rn, s.z, f.m, f.p FROM filt f JOIN meas s ON s.user_id=f.user_id AND s.rn=f.rn+1)"))
   }
 
   private def ukfOracle: String = {
@@ -543,7 +555,8 @@ object ModelQueries {
     val (wc0, wci) = (s"(($lam/$sc) + ((1.0 - (0.6*0.6)) + 2.0))", s"(1.0/(2.0*$sc))")
     val (r, m0, p0, qStatic) = ("25.0", "5.0", "5.0", "0.1")
     val (thr, lamW, alphaW) = ("2.0", "0.9", "1.0")
-    // one filter step from columns (user_id, rn, z, m, p, qe)
+    // one filter step from columns (user_id, rn, z, m, p, qe): the shared
+    // sigma pipeline with qe as the predict noise, then the adaptation layers
     def step(src: String): String =
       s"""  SELECT user_id, rn,
          |    m1 + (g*(z - zm)) AS m, p1 - ((g*sm)*g) AS p,
@@ -555,47 +568,13 @@ object ModelQueries {
          |    FROM (
          |      SELECT *, ((z - zm)*((1.0/sm)*(z - zm))) AS sqmah
          |      FROM (
-         |        SELECT *, (cross1*(1.0/sm)) AS g
-         |        FROM (
-         |          SELECT *,
-         |            ((($wc0*((z0-zm)*(z0-zm))) + ($wci*((z1-zm)*(z1-zm)))) + ($wci*((z2-zm)*(z2-zm)))) + $r AS sm,
-         |            (($wc0*((m1-m1)*(z0-zm))) + ($wci*(((m1+c2)-m1)*(z1-zm)))) + ($wci*(((m1-c2)-m1)*(z2-zm))) AS cross1
-         |          FROM (
-         |            SELECT *, (($wm0*z0) + ($wmi*z1)) + ($wmi*z2) AS zm
-         |            FROM (
-         |              SELECT *, (m1*m1) AS z0, ((m1+c2)*(m1+c2)) AS z1, ((m1-c2)*(m1-c2)) AS z2
-         |              FROM (
-         |                SELECT *, sqrt($sc*p1) AS c2
-         |                FROM (
-         |                  SELECT *,
-         |                    qe + ((($wc0*((mp0-mm)*(mp0-mm))) + ($wci*((mp1-mm)*(mp1-mm)))) + ($wci*((mp2-mm)*(mp2-mm)))) AS p1,
-         |                    mm AS m1
-         |                  FROM (
-         |                    SELECT *, (($wm0*mp0) + ($wmi*mp1)) + ($wmi*mp2) AS mm
-         |                    FROM (
-         |                      SELECT *, m AS mp0, m + c1 AS mp1, m - c1 AS mp2
-         |                      FROM (SELECT *, sqrt($sc*p) AS c1 FROM $src)
-         |                    )
-         |                  )
-         |                )
-         |              )
-         |            )
-         |          )
-         |        )
+         |${sigmaCore1d(src, "qe", sc, wm0, wmi, wc0, wci, r, threePoints = true)}
          |      )
          |    )
          |  )""".stripMargin
-    s"""WITH RECURSIVE meas AS (
-       |$userStreamSql
-       |),
-       |filt AS (
-       |${step(s"(SELECT user_id, rn, z, $m0 AS m, $p0 AS p, $qStatic AS qe FROM meas WHERE rn=1)")}
-       |  UNION ALL
-       |${step("(SELECT s.user_id, s.rn, s.z, f.m, f.p, f.qe FROM filt f JOIN meas s ON s.user_id=f.user_id AND s.rn=f.rn+1)")}
-       |)
-       |SELECT user_id AS key, ROUND(m,5) AS state_mean, ROUND(p,5) AS state_cov
-       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) rk FROM filt)
-       |WHERE rk=1 ORDER BY key""".stripMargin
+    sigmaTail(
+      step(s"(SELECT user_id, rn, z, $m0 AS m, $p0 AS p, $qStatic AS qe FROM meas WHERE rn=1)"),
+      step("(SELECT s.user_id, s.rn, s.z, f.m, f.p, f.qe FROM filt f JOIN meas s ON s.user_id=f.user_id AND s.rn=f.rn+1)"))
   }
 
   private def ckfOracle: String = {
