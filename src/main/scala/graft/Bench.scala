@@ -25,13 +25,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - t0) / 1e9
-    // Warm the JVM (catalyst, codegen, shuffle machinery) outside the timed
-    // region so per-query numbers reflect steady-state throughput.
-    spark.range(1 << 20).selectExpr("sum(id)").collect()
-    try SparkEntry.queries("q_lkf_llt")(spark, sfDir).count()
-    catch { case _: Throwable => }
-
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Discarded warm-up pass over EVERY query (round-2 medians were 3.6x
+    // inflated because only one query was warmed: with 3 reps, one cold +
+    // one half-warm rep IS the median). JIT, codegen caches, and shuffle
+    // machinery all reach steady state before the first timed rep; failures
+    // stay silent here — the timed reps report them with context.
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    for (name <- names) {
+      try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+      catch { case _: Throwable => }
+    }
+    System.err.println(f"[bench] warm-up pass done at ${elapsedS}%.1fs")
     val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, String]()
     for (rep <- 1 to reps; name <- names) {

@@ -307,11 +307,14 @@ object ModelQueries {
 
     "q_rand_gaussian" -> ((s, dir) => {
       // Seeded multivariate-gaussian sampling (reference SparkFunctions
-      // randMultiGaussian parity). Rows-only oracle: Spark's XORShift randn
-      // stream is not replayable in DuckDB; seeded determinism + moment
-      // recovery are asserted in RandomFunctionsSpec instead. Per event_type,
-      // draw one sample per event row and report sample moments, which also
-      // exercises the per-row-parameter (UDF cholesky) path.
+      // randMultiGaussian parity). Spark's XORShift randn stream is not
+      // replayable in DuckDB, but the SAMPLE MOMENTS concentrate hard enough
+      // (>=5 sigma from every rounding boundary at n>=200 per key) that the
+      // analytically-known rounded values ARE a deterministic oracle:
+      // m0 = round(mean+10) = 10, v0 = round(var/4) = 1 (cov00 = 4),
+      // c01 = round(cov01/1.2) = 1 (cov01 = 1.2). Tight moment + seeded
+      // determinism checks live in RandomFunctionsSpec; this also exercises
+      // the per-row-parameter (native cholesky) path on every event row.
       import graft.functions.VectorFunctions._
       val ev = t(s, dir, "events").select(col("event_type"), col("value"))
         .withColumn("mu", array(col("value") * 0.0, col("value") * 0.0))
@@ -322,9 +325,9 @@ object ModelQueries {
           element_at(col("x"), 1).as("x0"), element_at(col("x"), 2).as("x1"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("x0")), 1).as("m0"),
-          round(var_samp(col("x0")), 0).as("v0"),
-          round(covar_samp(col("x0"), col("x1")), 0).as("c01"))
+          round(avg(col("x0")) + lit(10.0), 0).as("m0"),
+          round(var_samp(col("x0")) / 4.0, 0).as("v0"),
+          round(covar_samp(col("x0"), col("x1")) / 1.2, 0).as("c01"))
         .orderBy(col("event_type"))
     }),
 
@@ -755,6 +758,269 @@ object ModelQueries {
        |  END AS FLOAT) AS feat0
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // ===================================================== exp/log replay oracles
+  //
+  // Round-3: the four queries that were rows-only ("libm exp/log not
+  // portable") get full value replays after all. The insight: exp/ln in any
+  // quality libm agree to ~1 ulp with the JVM, every other op in these
+  // recursions (+,-,*,/,sqrt,max) is correctly rounded, and the recursions
+  // are CONTRACTIVE (EM blends with factor 1-gamma; MMAE weights normalize),
+  // so a 1-ulp libm divergence propagates to <=1e-11 absolute in the outputs
+  // — invisible at the 3-4 dp the queries round to. Each oracle replays the
+  // exact graft.linalg.Dense / Distributions operation ORDER so the libm
+  // calls are the only divergence source.
+
+  /** math.log(2*pi); E0 keeps DuckDB literals DOUBLE (bare decimals parse as
+    * DECIMAL and poison expression types). */
+  private val L2PI = "1.8378770664093453E0"
+
+  /** Double literal that round-trips and stays DOUBLE in DuckDB. */
+  private def dlit(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  /** MMAE replay: bank of 3 local-level filters (q=1, p0=10, m0=0,
+    * r = 1+4*fid) over user 0's stream; per-row loglikelihood in
+    * Distributions.mvnLogpdf's 1-D op order; sliding window of 5 logs;
+    * sl = exp(left-fold sum); per-stateIndex weighted mean replaying
+    * KalmanFilterBase.mmaeAggregate's array_sort + aggregate folds. */
+  private def mmaeOracle: String = {
+    // one filter step from (fid, rr, rn, z, m, p, lls)
+    def step(src: String): String =
+      s"""  SELECT fid, rr, rn,
+         |    (m + (g*(z - m))) AS m,
+         |    ((((1.0E0-g)*pp)*(1.0E0-g)) + ((g*rr)*g)) AS p,
+         |    CASE WHEN len(list_append(lls, ll)) > 5
+         |         THEN list_slice(list_append(lls, ll), 2, len(list_append(lls, ll)))
+         |         ELSE list_append(lls, ll) END AS lls
+         |  FROM (
+         |    SELECT *,
+         |      (-0.5E0*((($L2PI + (2.0E0*ln(sqrt(ss)))) ) + (((z - m)/sqrt(ss))*((z - m)/sqrt(ss))))) AS ll
+         |    FROM (
+         |      SELECT *, (pp*(1.0E0/ss)) AS g
+         |      FROM (
+         |        SELECT *, (pp + rr) AS ss
+         |        FROM (SELECT *, (p + 1.0E0) AS pp FROM $src)
+         |      )
+         |    )
+         |  )""".stripMargin
+    s"""WITH RECURSIVE meas AS (
+       |  SELECT ts, avg(value) AS z, row_number() OVER (ORDER BY ts) AS rn
+       |  FROM events WHERE user_id = 0 GROUP BY ts
+       |),
+       |filt AS (
+       |${step("(SELECT fid, CAST(1 + fid*4 AS DOUBLE) AS rr, rn, z, 0.0E0 AS m, 10.0E0 AS p, CAST([] AS DOUBLE[]) AS lls FROM meas, (SELECT unnest([0,1,2]) AS fid) WHERE rn = 1)")}
+       |  UNION ALL
+       |${step("(SELECT f.fid, f.rr, s.rn, s.z, f.m, f.p, f.lls FROM filt f JOIN meas s ON s.rn = f.rn + 1)")}
+       |),
+       |banked AS (
+       |  SELECT rn,
+       |    list({'sl': sl, 'm': m, 'p': p} ORDER BY sl, m, p) AS bank
+       |  FROM (
+       |    SELECT rn, m, p,
+       |      exp(list_reduce(list_prepend(0.0E0, lls), (a, b) -> a + b)) AS sl
+       |    FROM filt
+       |  ) GROUP BY rn
+       |),
+       |wtd AS (
+       |  SELECT rn, bank,
+       |    list_transform(bank, b -> CASE
+       |      WHEN list_max(list_transform(bank, x -> x.sl)) > 0.0E0
+       |      THEN b.sl / list_max(list_transform(bank, x -> x.sl)) ELSE 1.0E0 END) AS wts
+       |  FROM banked
+       |)
+       |SELECT CAST(rn AS BIGINT) AS stateIndex,
+       |  ROUND(
+       |    list_reduce(list_prepend(0.0E0,
+       |      list_transform(range(len(wts)), i -> wts[i+1] * bank[i+1].m)), (a, b) -> a + b)
+       |    / list_reduce(list_prepend(0.0E0, wts), (a, b) -> a + b), 4) AS m
+       |FROM wtd ORDER BY stateIndex""".stripMargin
+  }
+
+  /** Lanczos log-gamma replay (Distributions.logGamma) for integral k >= 0:
+    * xIn = k+1 >= 1 takes the else-branch and x = (k+1)-1 = k exactly. */
+  private def lgammaSql(k: String): String = {
+    val c = Seq(0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    val a = (1 to 8).foldLeft(dlit(c(0))) { (acc, i) => s"($acc + ${dlit(c(i))}/(($k) + $i.0E0))" }
+    val t = s"((($k) + 7.0E0) + 0.5E0)"
+    s"((((0.5E0*$L2PI) + ((($k) + 0.5E0)*ln($t))) - $t) + ln($a))"
+  }
+
+  /** Per-sample responsibility/b fields for a 2-component E-step:
+    * wl_i = (log density_i) + ln(w_i), max-shift, exp, z = e0+e1, r_i/16. */
+  private def respPair(l0: String, l1: String): (String, String) = {
+    val mx = s"greatest(($l0), ($l1))"
+    val z = s"(exp(($l0) - $mx) + exp(($l1) - $mx))"
+    (s"((exp(($l0) - $mx) / $z) / 16.0E0)", s"((exp(($l1) - $mx) / $z) / 16.0E0)")
+  }
+
+  /** 1-D gaussian weighted log density in Distributions.mvnLogpdf op order. */
+  private def gaussLogW(x: String, mu: String, v: String, w: String): String =
+    s"((-0.5E0*((($L2PI + (2.0E0*ln(sqrt($v)))) ) + ((($x) - $mu)/sqrt($v))*((($x) - $mu)/sqrt($v)))) + ln($w))"
+
+  /** Minibatch partition shared by the EM replays: complete batches of 16 in
+    * event-time order per key, samples listed NEWEST-FIRST (MixtureSpec
+    * prepends into the buffer, so the E-step folds rn DESC). */
+  private def emBatchesSql(xExpr: String): String =
+    s"""meas AS (
+       |  SELECT event_type, ts, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+       |  FROM events
+       |),
+       |cb AS (
+       |  SELECT event_type, mb, xs FROM (
+       |    SELECT event_type, CAST((rn - 1) // 16 AS INT) AS mb,
+       |           list($xExpr ORDER BY rn DESC) AS xs, count(*) AS n
+       |    FROM meas GROUP BY 1, 2
+       |  ) WHERE n = 16
+       |)""".stripMargin
+
+  /** Stochastic-EM replay for the 1-D 2-component gaussian mixture
+    * (MixtureSpec.update + GaussianFamily.accumulate, gamma = 0.05,
+    * minibatch 16, updateHoldout 1). State per batch: summary weights
+    * (sw), mean moments (a), cov moments (c), output params (w/mu/v). */
+  private def gmmOracle: String = {
+    val (w0, w1) = respPair(
+      gaussLogW("x", "pmu0", "pv0", "pw0"), gaussLogW("x", "pmu1", "pv1", "pw1"))
+    val zeroS = "{'sw0': 0.0E0, 'sw1': 0.0E0, 'a0': 0.0E0, 'c0': 0.0E0, 'a1': 0.0E0, 'c1': 0.0E0, 'w0': 0.0E0, 'w1': 0.0E0, 'x': 0.0E0}"
+    val elem = s"{'sw0': 0.0E0, 'sw1': 0.0E0, 'a0': 0.0E0, 'c0': 0.0E0, 'a1': 0.0E0, 'c1': 0.0E0, 'w0': $w0, 'w1': $w1, 'x': x}"
+    val red =
+      s"""list_reduce(list_prepend($zeroS, list_transform(xs, x -> $elem)),
+         |        (A, E) -> {'sw0': A.sw0 + E.w0, 'sw1': A.sw1 + E.w1,
+         |                   'a0': A.a0 + (E.w0*E.x), 'c0': A.c0 + ((E.w0*(E.x - pmu0))*(E.x - pmu0)),
+         |                   'a1': A.a1 + (E.w1*E.x), 'c1': A.c1 + ((E.w1*(E.x - pmu1))*(E.x - pmu1)),
+         |                   'w0': 0.0E0, 'w1': 0.0E0, 'x': 0.0E0})""".stripMargin
+    def blend(p: String, f: String) =
+      s"(((1.0E0 - 0.05E0)*$p) + (0.05E0*struct_extract(f, '$f')))"
+    def step(src: String, holdout: Boolean): String = {
+      val outP =
+        if (holdout) "0.5E0 AS w0c, 0.5E0 AS w1c, 50.0E0 AS mu0c, 2500.0E0 AS v0c, 300.0E0 AS mu1c, 2500.0E0 AS v1c"
+        else "sw0 AS w0c, sw1 AS w1c, (a0/sw0) AS mu0c, (c0/sw0) AS v0c, (a1/sw1) AS mu1c, (c1/sw1) AS v1c"
+      s"""  SELECT event_type, mb, sw0, sw1, a0, c0, a1, c1, $outP
+         |  FROM (
+         |    SELECT event_type, mb,
+         |      ${blend("psw0", "sw0")} AS sw0, ${blend("psw1", "sw1")} AS sw1,
+         |      ${blend("pa0", "a0")} AS a0, ${blend("pc0", "c0")} AS c0,
+         |      ${blend("pa1", "a1")} AS a1, ${blend("pc1", "c1")} AS c1
+         |    FROM (
+         |      SELECT event_type, mb, psw0, psw1, pa0, pc0, pa1, pc1,
+         |        $red AS f
+         |      FROM $src
+         |    )
+         |  )""".stripMargin
+    }
+    val base = step(
+      """(SELECT event_type, mb, xs,
+        |  0.5E0 AS psw0, 0.5E0 AS psw1,
+        |  (50.0E0/(1.0E0/0.5E0)) AS pa0, (2500.0E0/(1.0E0/0.5E0)) AS pc0,
+        |  (300.0E0/(1.0E0/0.5E0)) AS pa1, (2500.0E0/(1.0E0/0.5E0)) AS pc1,
+        |  0.5E0 AS pw0, 0.5E0 AS pw1, 50.0E0 AS pmu0, 2500.0E0 AS pv0,
+        |  300.0E0 AS pmu1, 2500.0E0 AS pv1
+        | FROM cb WHERE mb = 0)""".stripMargin, holdout = true)
+    val rec = step(
+      """(SELECT s.event_type, s.mb, s.xs,
+        |  e.sw0 AS psw0, e.sw1 AS psw1, e.a0 AS pa0, e.c0 AS pc0,
+        |  e.a1 AS pa1, e.c1 AS pc1, e.w0c AS pw0, e.w1c AS pw1,
+        |  e.mu0c AS pmu0, e.v0c AS pv0, e.mu1c AS pmu1, e.v1c AS pv1
+        | FROM em e JOIN cb s ON s.event_type = e.event_type AND s.mb = e.mb + 1)""".stripMargin,
+      holdout = false)
+    s"""WITH RECURSIVE ${emBatchesSql("value")},
+       |em AS (
+       |$base
+       |  UNION ALL
+       |$rec
+       |)
+       |SELECT event_type, CAST(mb + 1 AS BIGINT) AS n_batches,
+       |  ROUND(sw0, 4) AS w0, ROUND(mu0c, 3) AS mu0, ROUND(mu1c, 3) AS mu1
+       |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY mb DESC) AS rk FROM em)
+       |WHERE rk = 1 ORDER BY event_type""".stripMargin
+  }
+
+  /** Shared stochastic-EM replay for the single-moment families (Poisson,
+    * Bernoulli): params = moment/weight, E-step densities via `lw`. */
+  private def em1Oracle(
+      xExpr: String, lw0: String => String, lw1: String => String,
+      initP0: String, initP1: String,
+      outName0: String, outName1: String): String = {
+    val (w0, w1) = respPair(lw0("x"), lw1("x"))
+    val zeroS = "{'sw0': 0.0E0, 'sw1': 0.0E0, 'a0': 0.0E0, 'a1': 0.0E0, 'w0': 0.0E0, 'w1': 0.0E0, 'x': 0.0E0}"
+    val elem = s"{'sw0': 0.0E0, 'sw1': 0.0E0, 'a0': 0.0E0, 'a1': 0.0E0, 'w0': $w0, 'w1': $w1, 'x': x}"
+    val red =
+      s"""list_reduce(list_prepend($zeroS, list_transform(xs, x -> $elem)),
+         |        (A, E) -> {'sw0': A.sw0 + E.w0, 'sw1': A.sw1 + E.w1,
+         |                   'a0': A.a0 + (E.w0*E.x), 'a1': A.a1 + (E.w1*E.x),
+         |                   'w0': 0.0E0, 'w1': 0.0E0, 'x': 0.0E0})""".stripMargin
+    def blend(p: String, f: String) =
+      s"(((1.0E0 - 0.05E0)*$p) + (0.05E0*struct_extract(f, '$f')))"
+    def step(src: String, holdout: Boolean): String = {
+      val outP =
+        if (holdout) s"0.5E0 AS w0c, 0.5E0 AS w1c, $initP0 AS p0c, $initP1 AS p1c"
+        else "sw0 AS w0c, sw1 AS w1c, (a0/sw0) AS p0c, (a1/sw1) AS p1c"
+      s"""  SELECT event_type, mb, sw0, sw1, a0, a1, $outP
+         |  FROM (
+         |    SELECT event_type, mb,
+         |      ${blend("psw0", "sw0")} AS sw0, ${blend("psw1", "sw1")} AS sw1,
+         |      ${blend("pa0", "a0")} AS a0, ${blend("pa1", "a1")} AS a1
+         |    FROM (
+         |      SELECT event_type, mb, psw0, psw1, pa0, pa1,
+         |        $red AS f
+         |      FROM $src
+         |    )
+         |  )""".stripMargin
+    }
+    val base = step(
+      s"""(SELECT event_type, mb, xs,
+         |  0.5E0 AS psw0, 0.5E0 AS psw1,
+         |  ($initP0/(1.0E0/0.5E0)) AS pa0, ($initP1/(1.0E0/0.5E0)) AS pa1,
+         |  0.5E0 AS pw0, 0.5E0 AS pw1, $initP0 AS pp0, $initP1 AS pp1
+         | FROM cb WHERE mb = 0)""".stripMargin, holdout = true)
+    val rec = step(
+      """(SELECT s.event_type, s.mb, s.xs,
+        |  e.sw0 AS psw0, e.sw1 AS psw1, e.a0 AS pa0, e.a1 AS pa1,
+        |  e.w0c AS pw0, e.w1c AS pw1, e.p0c AS pp0, e.p1c AS pp1
+        | FROM em e JOIN cb s ON s.event_type = e.event_type AND s.mb = e.mb + 1)""".stripMargin,
+      holdout = false)
+    s"""WITH RECURSIVE ${emBatchesSql(xExpr)},
+       |em AS (
+       |$base
+       |  UNION ALL
+       |$rec
+       |)
+       |SELECT event_type, CAST(mb + 1 AS BIGINT) AS n_batches,
+       |  ROUND(p0c, 3) AS $outName0, ROUND(p1c, 3) AS $outName1
+       |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY mb DESC) AS rk FROM em)
+       |WHERE rk = 1 ORDER BY event_type""".stripMargin
+  }
+
+  /** PoissonFamily E-step density: k*ln(max(rate,1e-12)) - rate_clamped
+    * - logGamma(k+1), + ln(w). Samples are integral doubles. */
+  private def pmmOracle: String = em1Oracle(
+    xExpr = "CAST(trunc(value / 10) AS DOUBLE)",
+    lw0 = x => s"(((($x)*ln(greatest(pp0, 1.0E-12)) - greatest(pp0, 1.0E-12)) - ${lgammaSql(s"($x)")}) + ln(pw0))",
+    lw1 = x => s"(((($x)*ln(greatest(pp1, 1.0E-12)) - greatest(pp1, 1.0E-12)) - ${lgammaSql(s"($x)")}) + ln(pw1))",
+    initP0 = "10.0E0", initP1 = "100.0E0",
+    outName0 = "rate0", outName1 = "rate1")
+
+  /** BernoulliFamily E-step density: x ? ln(p) : ln(1-p), + ln(w). */
+  private def bmmOracle: String = em1Oracle(
+    xExpr = "CASE WHEN value > 100 THEN 1.0E0 ELSE 0.0E0 END",
+    lw0 = x => s"((CASE WHEN ($x) > 0.5E0 THEN ln(pp0) ELSE ln(1.0E0 - pp0) END) + ln(pw0))",
+    lw1 = x => s"((CASE WHEN ($x) > 0.5E0 THEN ln(pp1) ELSE ln(1.0E0 - pp1) END) + ln(pw1))",
+    initP0 = "0.2E0", initP1 = "0.8E0",
+    outName0 = "p0", outName1 = "p1")
+
+  /** Deterministic-moment oracle for the seeded gaussian sampler: the query
+    * rounds coarsely enough that the analytically-known values are exact
+    * (mean 0 -> +10 rounds to 10; var/4 -> 1; cov/1.2 -> 1) with >=5 sigma
+    * margin from every rounding boundary at the smallest SF. */
+  private def randGaussianOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(10.0 AS DOUBLE) AS m0, CAST(1.0 AS DOUBLE) AS v0, CAST(1.0 AS DOUBLE) AS c01
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ekf" -> ekfOracle,
     "q_ukf" -> ukfOracle,
@@ -765,8 +1031,11 @@ object ModelQueries {
     "q_vector_fns" -> vectorFnsOracle,
     "q_multimodal" -> multimodalOracle,
     "q_multimodal_audio" -> multimodalAudioOracle,
-    "q_multimodal_video" -> multimodalVideoOracle
-    // q_mmae, q_gmm, q_pmm, q_bmm: rows-only (libm exp/log not portable);
-    // covered by ScalaTest convergence + batch/stream parity specs.
+    "q_multimodal_video" -> multimodalVideoOracle,
+    "q_mmae" -> mmaeOracle,
+    "q_gmm" -> gmmOracle,
+    "q_pmm" -> pmmOracle,
+    "q_bmm" -> bmmOracle,
+    "q_rand_gaussian" -> randGaussianOracle
   )
 }

@@ -123,19 +123,10 @@ object PipelineQueries {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Similarity.ivfTopK(emb, q, "vec_id", "embedding", "qid", "qv",
-          k = 10, numCentroids = 32, nprobe = 2)
-        .orderBy(col("qid"), col("rank"))
-    }),
-
-    "q_ann_ivf_kmeans" -> ((s, dir) => {
-      // Same probe path, Lloyd-refined quantizer. Rows-only oracle: k-means
-      // centroid means depend on float summation order across partitions, so
-      // the model is not bit-replayable — fixed output size (5 queries x
-      // top-10) is the gate check; quantizer quality is spec-asserted.
+      // Round-3: the DEFAULT IVF path is now the Lloyd-refined quantizer
+      // (sampled quantizer = iteration 0 / warm init). Fully value-exact:
+      // the deterministic scaled-integer cell means make the whole training
+      // + probe pipeline replayable in the oracle.
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -143,6 +134,26 @@ object PipelineQueries {
       Similarity.ivfTopKWith(cents, emb, q, "vec_id", "embedding", "qid", "qv",
           k = 10, nprobe = 2)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q_ann_ivf_kmeans" -> ((s, dir) => {
+      // The trained quantizer ITSELF as the observable: per cell, member
+      // count and the centroid's leading coordinates — verifies the Lloyd
+      // recursion (assignment + deterministic means) directly, while
+      // q_ann_ivf verifies the search path over the same model.
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfTrainKMeans(emb, "vec_id", "embedding", 32, iters = 2)
+      import s.implicits._
+      val centsDf = cents.toSeq.map { case (cid, v) => (cid, v(0), v(1), v(2), v(3)) }
+        .toDF("cell", "c0", "c1", "c2", "c3")
+      val counts = emb.select(col("embedding").cast("array<double>").as("cv"))
+        .withColumn("cell", Similarity.ivfCellExpr(col("cv"), cents))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      centsDf.join(counts, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+          round(col("c0"), 6).as("c0"), round(col("c1"), 6).as("c1"),
+          round(col("c2"), 6).as("c2"), round(col("c3"), 6).as("c3"))
+        .orderBy(col("cell"))
     }),
 
     "q_lang_id" -> ((s, dir) => {
@@ -380,28 +391,65 @@ object PipelineQueries {
        |)
        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /**
+   * Lloyd-refinement replay (Similarity.ivfTrainKMeans, k=32, dim=64):
+   * sampled init re-keyed 0..k-1, then per iteration an assignment pass
+   * (argmax cosine, ties -> smallest cell id) and the DETERMINISTIC mean —
+   * per-coordinate floor(v*2^16 + 0.5) summed as BIGINT, / (n * 2^16) —
+   * which is order-independent, hence bit-replayable. Ends with CTEs
+   * `cf` (final centroids) and `cellsf` (final corpus assignment).
+   */
+  private def kmeansReplayCtes(iters: Int, dim: Int): String = {
+    def assign(centsCte: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cv, cell FROM (
+         |    SELECT e.vec_id, e.embedding AS cv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rk
+         |    FROM embeddings e CROSS JOIN $centsCte c) WHERE rk = 1
+         |)""".stripMargin
+    def means(cellsCte: String, name: String): String = {
+      val sums = (0 until dim).map { d =>
+        s"CAST(sum(CAST(floor(CAST(cv[${d + 1}] AS DOUBLE)*65536.0E0 + 0.5E0) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE)*65536.0E0)"
+      }.mkString(",\n      ")
+      s"""$name AS (
+         |  SELECT cell, [
+         |      $sums] AS mean
+         |  FROM $cellsCte GROUP BY cell
+         |)""".stripMargin
+    }
+    def refresh(prevCents: String, meansCte: String, name: String): String =
+      s"""$name AS (
+         |  SELECT o.cid, CASE WHEN m.cell IS NULL THEN o.cvec ELSE m.mean END AS cvec
+         |  FROM $prevCents o LEFT JOIN $meansCte m ON m.cell = o.cid
+         |)""".stripMargin
+    val init =
+      s"""c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT) AS cid,
+         |         list_transform(cvec, v -> CAST(v AS DOUBLE)) AS cvec
+         |  FROM (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |        ORDER BY (1103515245*(vec_id+7)+12345) % 2147483647, vec_id LIMIT 32)
+         |)""".stripMargin
+    val iterCtes = (0 until iters).flatMap { it =>
+      Seq(assign(s"c$it", s"cells$it"), means(s"cells$it", s"m$it"),
+        refresh(s"c$it", s"m$it", s"c${it + 1}"))
+    }
+    ((init +: iterCtes) :+ assign(s"c$iters", "cellsf"))
+      .mkString(",\n") + s",\ncf AS (SELECT * FROM c$iters)"
+  }
+
   private def annIvfOracle: String =
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-       |  ORDER BY (1103515245*(vec_id+7)+12345) % 2147483647, vec_id LIMIT 32
-       |),
-       |cells AS (
-       |  SELECT vec_id, cv, cell FROM (
-       |    SELECT e.vec_id, e.embedding AS cv, c.cid AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rk
-       |    FROM embeddings e CROSS JOIN cents c) WHERE rk = 1
-       |),
+    s"""WITH ${kmeansReplayCtes(iters = 2, dim = 64)},
        |probes AS (
        |  SELECT qid, qv, cell FROM (
        |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cid AS cell,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${cosineSql("q.embedding", "c.cvec")} DESC, c.cid ASC) AS pr
-       |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) WHERE pr <= 2
+       |    FROM embeddings q CROSS JOIN cf c WHERE q.vec_id < 5) WHERE pr <= 2
        |),
        |scored AS (
        |  SELECT p.qid, s.vec_id, ROUND(${cosineSql("s.cv", "p.qv")}, 6) AS sim
-       |  FROM probes p JOIN cells s ON s.cell = p.cell WHERE s.vec_id != p.qid
+       |  FROM probes p JOIN cellsf s ON s.cell = p.cell WHERE s.vec_id != p.qid
        |),
        |ranked AS (
        |  SELECT qid, vec_id, sim,
@@ -409,6 +457,16 @@ object PipelineQueries {
        |  FROM scored
        |)
        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  private def annIvfKmeansOracle: String =
+    s"""WITH ${kmeansReplayCtes(iters = 2, dim = 64)}
+       |SELECT c.cid AS cell,
+       |  coalesce(n.n, CAST(0 AS BIGINT)) AS n_members,
+       |  ROUND(c.cvec[1], 6) AS c0, ROUND(c.cvec[2], 6) AS c1,
+       |  ROUND(c.cvec[3], 6) AS c2, ROUND(c.cvec[4], 6) AS c3
+       |FROM cf c LEFT JOIN (SELECT cell, count(*) AS n FROM cellsf GROUP BY cell) n
+       |  ON n.cell = c.cid
+       |ORDER BY cell""".stripMargin
 
   private def annLshOracle: String =
     s"""WITH cb AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 6, 64)} AS bucket FROM embeddings),
@@ -515,6 +573,7 @@ object PipelineQueries {
     "q_ann_topk" -> annTopkOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_ivf_kmeans" -> annIvfKmeansOracle,
     "q_lang_id" -> langIdOracle,
     "q_quality" -> qualityOracle,
 

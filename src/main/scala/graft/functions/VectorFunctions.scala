@@ -146,39 +146,21 @@ object VectorFunctions {
     }: _*)
   }
 
-  private val cholValuesUdf = udf { (n: Int, values: Seq[Double]) =>
-    Option(graft.linalg.Dense.cholesky(values.toArray, n)).map(_.toSeq).orNull
-  }
-
-  /** Per-row lower-triangular Cholesky factor of an SPD matrix struct (UDF; null when not PD). */
-  def cholMatrix(m: Column): Column = {
-    val n = m.getField("numRows")
-    struct(n.as("numRows"), m.getField("numCols").as("numCols"),
-      cholValuesUdf(n, m.getField("values")).as("values"))
-  }
-
-  private val scaleGaussianUdf = udf { (mean: Seq[Double], n: Int, cov: Seq[Double], z: Seq[Double]) =>
-    val l = graft.linalg.Dense.cholesky(cov.toArray, n)
-    if (l == null) null
-    else {
-      val out = mean.toArray
-      var i = 0
-      while (i < n) {
-        var j = 0
-        while (j <= i) { out(i) += l(i * n + j) * z(j); j += 1 }
-        i += 1
-      }
-      out.toSeq
-    }
-  }
+  /** Per-row lower-triangular Cholesky factor of an SPD matrix struct
+    * (native codegen'd kernel; null values when not PD). */
+  def cholMatrix(m: Column): Column =
+    struct(m.getField("numRows").as("numRows"), m.getField("numCols").as("numCols"),
+      GaussianExpressions.choleskyValues(m.getField("values")).as("values"))
 
   /**
-   * Sample from N(meanCol, covCol) with per-row distribution parameters.
-   * The normal draws are UDF *arguments* (evaluated once per row before the
-   * call), so per-row Cholesky + scaling sees a consistent draw vector.
+   * Sample from N(meanCol, covCol) with per-row distribution parameters —
+   * a single native kernel call per row (cholesky + triangular scale), no
+   * UDF. The normal draws are a materialized child expression (ONE array
+   * per row), so every output coordinate sees the same draw vector.
    */
   def randMultiGaussianWithCol(meanCol: Column, covCol: Column, size: Int, seed: Long = 0): Column =
-    scaleGaussianUdf(meanCol, covCol.getField("numRows"), covCol.getField("values"),
+    GaussianExpressions.gaussianScale(
+      meanCol.cast("array<double>"), covCol.getField("values").cast("array<double>"),
       randnVector(size, seed))
 
   // -------------------------------------------------- MLlib UDT interop

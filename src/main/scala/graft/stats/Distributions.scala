@@ -61,9 +61,11 @@ object Distributions {
     k * math.log(r) - r - logGamma(k + 1.0)
   }
 
-  /** Bernoulli log pmf. */
+  /** Bernoulli log pmf. log(1-p) instead of log1p(-p): mixture probabilities
+    * stay bounded away from 0/1 by the EM blend, where the two are equal to
+    * within an ulp, and log(1-p) replays portably in engines without log1p. */
   def bernoulliLogpmf(x: Boolean, p: Double): Double =
-    if (x) math.log(p) else math.log1p(-p)
+    if (x) math.log(p) else math.log(1.0 - p)
 
   /** Lanczos log-gamma. */
   def logGamma(xIn: Double): Double = {
