@@ -80,6 +80,13 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "q_dedup_minhash_groups" -> ((s, dir) => {
+      // skew-safe star-candidate canonical assignment (hot-key-proof path)
+      val corpus = nearDupCorpus(s, dir)
+      new MinHashLSH(32, 8, 3).duplicateGroups(corpus, "doc_id", "text", 0.4)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       // exact char-3-gram Jaccard for all pairs in a deterministic slice
       val d = t(s, dir, "documents").where(col("doc_id") < 60)
@@ -299,11 +306,13 @@ object PipelineQueries {
     s"[${sigs.mkString(",\n    ")}]"
   }
 
+  private def minhashBandSelects: String = (0 until 8).map { bIdx =>
+    val parts = (1 to 4).map(r => s"sig[${bIdx * 4 + r}]")
+    s"SELECT doc_id, $bIdx AS band, concat_ws('_', ${parts.mkString(", ")}) AS bucket FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+
   private def minhashOracle: String = {
-    val bandSelects = (0 until 8).map { bIdx =>
-      val parts = (1 to 4).map(r => s"sig[${bIdx * 4 + r}]")
-      s"SELECT doc_id, $bIdx AS band, concat_ws('_', ${parts.mkString(", ")}) AS bucket FROM sigs"
-    }.mkString("\n  UNION ALL\n  ")
+    val bandSelects = minhashBandSelects
     s"""WITH corpus AS (
        |$nearDupCorpusSql
        |),
@@ -327,6 +336,41 @@ object PipelineQueries {
        |      CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) >= 0.4
        |ORDER BY a, b""".stripMargin
   }
+
+  /** Replays duplicateGroups: same signatures/bands as minhashOracle, then
+    * bucket-min star candidates, exact-Jaccard verify, canonical = min
+    * verified partner (or self). */
+  private def minhashGroupsOracle: String =
+    s"""WITH corpus AS (
+       |$nearDupCorpusSql
+       |),
+       |sets AS (
+       |  SELECT doc_id, ${duckShingleSet()} AS sset FROM corpus
+       |),
+       |sigs AS (
+       |  SELECT doc_id, sset, $minhashSigSql AS sig FROM sets
+       |),
+       |bands AS (
+       |  $minhashBandSelects
+       |),
+       |bmin AS (
+       |  SELECT band, bucket, min(doc_id) AS a FROM bands GROUP BY band, bucket
+       |),
+       |cands AS (
+       |  SELECT DISTINCT m.a AS a, b.doc_id AS b
+       |  FROM bands b JOIN bmin m ON b.band = m.band AND b.bucket = m.bucket
+       |  WHERE m.a < b.doc_id
+       |),
+       |ver AS (
+       |  SELECT a, b FROM cands
+       |  JOIN sets sa ON cands.a = sa.doc_id JOIN sets sb ON cands.b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+       |        CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) >= 0.4
+       |),
+       |canon AS (SELECT b, min(a) AS c FROM ver GROUP BY b)
+       |SELECT corpus.doc_id, coalesce(canon.c, corpus.doc_id) AS canonical_id
+       |FROM corpus LEFT JOIN canon ON corpus.doc_id = canon.b
+       |ORDER BY corpus.doc_id""".stripMargin
 
   private def simhashOracle: String = {
     val h60 = "CAST(('0x' || substring(md5(t),1,15)) AS BIGINT)"
@@ -552,6 +596,7 @@ object PipelineQueries {
 
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_simhash" -> simhashOracle,
+    "q_dedup_minhash_groups" -> minhashGroupsOracle,
 
     "q_ngram_jaccard" ->
       s"""WITH g AS (

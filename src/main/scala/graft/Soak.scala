@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/**
+ * sf1 scale soak: the empirical check behind the 100 TB design claims.
+ *
+ * Generates a `scale`× (default 10×) synthetic blow-up of the sf0.1 tables
+ * the headline operators read — documents, embeddings, events, lineitem,
+ * orders — by perturbed duplication (each copy's ids are offset and its
+ * content deterministically perturbed so near-dup/ANN workload structure
+ * scales LINEARLY: within-copy structure mirrors the base corpus,
+ * cross-copy pairs are pushed below every similarity threshold). Then runs
+ * the soak queries once at the base scale and once at the blown-up scale
+ * and reports the wall-clock ratio per query. A design that is linear in
+ * the data (one shuffle per stage, bounded models, bucketed joins) should
+ * scale ≈ `scale`×; a hidden quadratic term (all-pairs join, unbounded
+ * broadcast, driver collect) shows up as a ratio ≫ `scale`.
+ *
+ * Writes soak.json: per-query base/soak seconds + ratio + row counts.
+ * Usage: sbt "runMain graft.Soak" — env SPARK_GRAFT_SOAK_SCALE (default 10),
+ * SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_SOAK_DIR
+ * (default target/soak/sf1).
+ */
+object Soak {
+
+  /** The queries whose scale behavior the verdict asks to prove: minhash +
+    * simhash dedup (bucketed self-joins), IVF ANN (bounded model + map-side
+    * assignment), as-of join (union+sort engine), LKF (stateful engine). */
+  val SoakQueries: Seq[String] =
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_ann_ivf", "q_asof_join", "q_lkf_llt")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val soakDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", "target/soak/sf1")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    if (!Files.exists(Paths.get(soakDir, "_DONE"))) {
+      System.err.println(s"[soak] generating ${scale}x data into $soakDir ...")
+      generate(spark, baseDir, soakDir, scale)
+      Files.writeString(Paths.get(soakDir, "_DONE"), scale.toString)
+    }
+
+    // Warm-up (JIT + codegen caches) so base-vs-soak ratios compare steady
+    // state against steady state, not cold JVM against warm.
+    for (name <- SoakQueries)
+      try { SparkEntry.queries(name)(spark, baseDir).count(); () } catch { case _: Throwable => }
+
+    def loadavg: String =
+      try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val load0 = loadavg
+
+    def time(name: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val rows = SoakQueries.map { name =>
+      val (bs, brows) = time(name, baseDir)
+      val (ss, srows) = time(name, soakDir)
+      val ratio = ss / bs
+      System.err.println(
+        f"[soak] $name%-18s base ${bs}%6.2fs ($brows%d rows)  soak ${ss}%6.2fs ($srows%d rows)  ratio ${ratio}%5.2fx")
+      (name, bs, brows, ss, srows, ratio)
+    }
+
+    val qjson = rows.map { case (n, bs, br, ss, sr, r) =>
+      s""""$n":{"base_s":$bs,"base_rows":$br,"soak_s":$ss,"soak_rows":$sr,"ratio":$r}"""
+    }.mkString("{", ",", "}")
+    val worst = rows.map(_._6).max
+    val line =
+      s"""{"metric":"soak_worst_ratio","value":$worst,"unit":"x","scale":$scale,"queries":$qjson,"base":"$baseDir","loadavg_start":"$load0","loadavg_end":"$loadavg"}"""
+    println(line)
+    Files.writeString(Paths.get("soak.json"), line + "\n")
+    spark.stop()
+  }
+
+  /** One copy per c in [0, scale): ids offset by c*10M; text tokens get a
+    * per-copy suffix (distinct shingles/tokens across copies → near-dup and
+    * LSH workload grows linearly, not quadratically); embeddings get a
+    * per-copy deterministic nudge (distinct vectors, same geometry); events
+    * get fresh user keys per copy (model-parallel scaling: MORE series, not
+    * longer ones — the reference's scaling axis). */
+  private def generate(spark: SparkSession, baseDir: String, outDir: String, scale: Int): Unit = {
+    val off = 10000000L
+
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until scale).map(c => f(df, c)).reduce(_ unionAll _)
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      System.err.println(s"[soak]   wrote $name")
+    }
+
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    write(copies(docs) { (d, c) =>
+      if (c == 0) d
+      else d.select(
+        (col("doc_id") + c * off).as("doc_id"),
+        // suffix every token: copy c shares no shingles with copy c' != c
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1x$c").as("text"),
+        col("lang"), col("source"),
+        length(regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1x$c")).cast("long").as("n_chars"))
+    }, "documents")
+
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    write(copies(emb) { (e, c) =>
+      if (c == 0) e
+      else e.select(
+        (col("vec_id") + c * off).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * (lit(1.0f) + lit(c) * lit(0.003f)) + lit(c) * lit(0.0011f)).cast("float"))
+          .as("embedding"),
+        col("label"))
+    }, "embeddings")
+
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    write(copies(ev) { (e, c) =>
+      if (c == 0) e
+      else e.select(
+        (col("event_id") + c * off).as("event_id"), col("ts"),
+        (col("user_id") + c * off).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }, "events")
+
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    write(copies(li) { (l, c) =>
+      if (c == 0) l
+      else l.select(
+        (col("l_orderkey") + c * off).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"),
+        expr(s"timestampadd(MILLISECOND, $c, l_shipdate)").as("l_shipdate"))
+    }, "lineitem")
+
+    val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+    write(copies(ord) { (o, c) =>
+      if (c == 0) o
+      else o.select(
+        (col("o_orderkey") + c * off).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        expr(s"timestampadd(MILLISECOND, $c, o_orderdate)").as("o_orderdate"),
+        col("o_orderpriority"))
+    }, "orders")
+  }
+}

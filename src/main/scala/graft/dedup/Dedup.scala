@@ -129,6 +129,62 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  /**
+   * Skew-safe near-duplicate GROUP assignment — the hot-key-proof dedup
+   * shape for 100 TB corpora.
+   *
+   * `nearDuplicates` enumerates candidate PAIRS within each band bucket,
+   * which is inherently quadratic in bucket size: 10k copies of one
+   * document put 10k rows into the same bucket of EVERY band and emit
+   * ~8 x 50M joined rows before the distinct. For dedup-to-canonical the
+   * clique is never needed — pairing each member with the bucket MINIMUM
+   * (a star) canonicalizes the same groups at O(bucket) candidates. The
+   * hot bucket then costs one map-side partial min aggregation plus a
+   * linear join against a 1-row-per-bucket side, instead of a self-join
+   * square.
+   *
+   * Returns (id, canonical_id): canonical = min over the doc's VERIFIED
+   * star partners (exact Jaccard >= threshold), or the doc itself. Exact
+   * duplicates share every band bucket with their clique minimum (equal
+   * signatures), so one star round canonicalizes exact-dup cliques
+   * completely; near-dup recall per (min, member) pair is the usual banded
+   * LSH probability. Chain-shaped sets (a~b~c with a!~c) keep one canonical
+   * per link — iterate to a fixed point when full connected components are
+   * required.
+   */
+  def duplicateGroups(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val base = CachedProjections.swap("minhash_groups", df
+      .select(col(idCol),
+        graft.functions.HashExpressions.shingleHashSet(col(textCol), shingleSize).as("sset"))
+      .withColumn("sig", signatureFromSet(col("sset"))))
+
+    val bandCols = array((0 until bands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col("sig")(bIdx * rowsPerBand + r)): _*).as("bucket"))
+    }: _*)
+    val bandedBase = base.withColumn("bb", explode(bandCols))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val bucketMin = bandedBase.groupBy(col("band"), col("bucket"))
+      .agg(min(col(idCol)).as("a"))
+    val cands = bandedBase.join(bucketMin, Seq("band", "bucket"))
+      .where(col("a") < col(idCol))
+      .select(col("a"), col(idCol).as("b")).distinct()
+
+    val sets = base.select(col(idCol).as("sid"), col("sset"))
+    val verified = cands
+      .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
+      .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
+      .where(jaccard(col("set_a"), col("set_b")) >= threshold)
+      .select(col("a"), col("b"))
+
+    base.select(col(idCol))
+      .join(verified.groupBy(col("b")).agg(min(col("a")).as("_canon")),
+        col(idCol) === col("b"), "left")
+      .select(col(idCol), coalesce(col("_canon"), col(idCol)).as("canonical_id"))
+  }
 }
 
 /** Bounds cached-block accumulation across repeated dedup invocations (e.g.
