@@ -254,10 +254,44 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** {n1,d1,n2,d2,n3,d3}: total and distinct word-n-gram counts for
+  * n = 1, 2, 3 in ONE kernel pass (the declarative sequence+transform
+  * formulation runs interpreted and re-evaluates the gram array once per
+  * derived metric — 5 O(tokens) allocation storms per row). */
+case class NGramStatsExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n1", LongType, nullable = false),
+    StructField("d1", LongType, nullable = false),
+    StructField("n2", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false),
+    StructField("n3", LongType, nullable = false),
+    StructField("d3", LongType, nullable = false)))
+  override def prettyName: String = "ngram_stats"
+
+  @transient private lazy val kernel = new HashKernels
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.ngramStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramStatsKernel", kernel, "graft.functions.HashKernels")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.ngramStats($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGramStatsExpr =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column wrapper: distinct word-n-gram shingle-hash set of a text column. */
   def shingleHashSet(text: Column, n: Int): Column =
     Bridge.column(ShingleHashSetExpr(Bridge.expression(text), n))
+
+  /** Column wrapper: one-pass duplicate-n-gram stats {n1,d1,n2,d2,n3,d3}. */
+  def ngramStats(text: Column): Column =
+    Bridge.column(NGramStatsExpr(Bridge.expression(text)))
 
   /** Column wrapper: {ntoks, lensum, hits[]} token statistics. */
   def tokenStats(text: Column, lists: Seq[Seq[String]]): Column =

@@ -35,6 +35,35 @@ class HashKernels extends Serializable {
   private def tokenize(text: UTF8String): Array[String] =
     text.toLowerCase.toString.split("[^a-z0-9]+").filter(_.nonEmpty)
 
+  /** One-pass duplicate word-n-gram stats for n = 1, 2, 3: (total, distinct)
+    * counts — the Gopher/Dolma repetition quality signals. Joins with a
+    * single space, identical to the declarative wordNGrams definition. */
+  def ngramStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(text)
+    val t = toks.length
+    val out = new Array[Any](6)
+    var n = 1
+    while (n <= 3) {
+      val total = math.max(0, t - n + 1)
+      val set = new java.util.HashSet[String](math.max(4, total * 2))
+      var i = 0
+      while (i + n <= t) {
+        if (n == 1) set.add(toks(i))
+        else {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var k = 1
+          while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+          set.add(sb.toString)
+        }
+        i += 1
+      }
+      out((n - 1) * 2) = total.toLong
+      out((n - 1) * 2 + 1) = set.size.toLong
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
   /** Unsigned 32-bit value of the first 4 md5 bytes, mod P. */
   private def hash31(bytes: Array[Byte]): Long = {
     val d = md5.get().digest(bytes)

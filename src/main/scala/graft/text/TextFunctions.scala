@@ -75,6 +75,46 @@ object TextFunctions {
   /** Character length, token stats, punctuation and stopword ratios. */
   def charLen(text: Column): Column = length(text)
 
+  /** Word n-grams joined by single spaces (repetition analysis). */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of duplicate word n-grams: 1 - distinct/total, 0 for empty.
+    * The Gopher/Dolma-style repetition quality signal — high values mark
+    * boilerplate/spam documents that LLM data pipelines drop. */
+  def dupNGramFrac(text: Column, n: Int): Column = {
+    val grams = wordNGrams(text, n)
+    when(size(grams) > 0,
+      (size(grams) - size(array_distinct(grams))).cast("double") / size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of duplicate lines (newline-split, trimmed, empties kept out). */
+  def dupLineFrac(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    when(size(lines) > 0,
+      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Email-looking substring count (PII triage). Pattern stays within the
+    * Java-regex ∩ RE2 common subset so oracles replay it. */
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"))
+
+  /** URL-looking substring count. */
+  def urlCount(text: Column): Column =
+    regexp_count(text, lit("https?://[^ \\t\\n]+"))
+
+  /** Long digit runs (phone/account-number triage). */
+  def longDigitRunCount(text: Column): Column =
+    regexp_count(text, lit("[0-9]{7,}"))
+
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
 
