@@ -185,6 +185,68 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
         col(idCol) === col("b"), "left")
       .select(col(idCol), coalesce(col("_canon"), col(idCol)).as("canonical_id"))
   }
+
+  /**
+   * Full connected-component canonical assignment over the verified
+   * near-dup PAIR graph: `duplicateGroups` closes cliques in one round but
+   * chain-shaped sets (a~b~c with a!~c) keep one canonical per link; this
+   * iterates min-label propagation to a fixed point so every component gets
+   * exactly one canonical (its minimum id). Pair generation has the usual
+   * all-pairs candidate cost — for corpora with massive exact-dup cliques
+   * run `ExactDedup` first (or start from `duplicateGroups`).
+   */
+  def nearDuplicateComponents(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxIters: Int = 20): DataFrame =
+    Dedup.connectedComponents(
+      df.select(col(idCol)),
+      nearDuplicates(df, idCol, textCol, threshold).select(col("a"), col("b")),
+      maxIters)
+      .select(col("id").as(idCol), col("label").as("canonical_id"))
+}
+
+object Dedup {
+
+  /**
+   * Connected components by iterative min-label propagation: every node's
+   * label converges to the minimum id in its component. O(diameter)
+   * iterations, each one join + one aggregation (shuffles on node id) —
+   * the standard scalable CC shape for edge lists far beyond memory. Near-
+   * dup components have tiny diameters (docs chain through shared buckets),
+   * so `maxIters` ~ 20 is generous; iteration stops early at the first
+   * fixed point (counted changes == 0).
+   *
+   * `ids`: one column of node ids. `edges`: columns (a, b), undirected.
+   * Returns (id, label).
+   */
+  def connectedComponents(ids: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val idName = ids.columns.head
+    val sym = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idName).as("id"), col(idName).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val neighborMin = sym.join(labels, sym("y") === labels("id"))
+          .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
+        val next = labels.join(neighborMin, labels("id") === neighborMin("x"), "left")
+          .select(labels("id"),
+            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent's cache
+        changed = next.join(labels.select(col("id"), col("label").as("_old")), Seq("id"))
+          .where(col("label") =!= col("_old")).count()
+        labels.unpersist(blocking = false)
+        labels = next
+        it += 1
+      }
+      labels
+    } finally sym.unpersist(blocking = false)
+  }
 }
 
 /** Bounds cached-block accumulation across repeated dedup invocations (e.g.
