@@ -45,8 +45,14 @@ object Bench {
     // machinery all reach steady state before the first timed rep; failures
     // stay silent here — the timed reps report them with context.
     spark.range(1 << 20).selectExpr("sum(id)").collect()
+    // Execute the query's OWN optimized plan (all output columns
+    // materialized). A plain .count() lets Catalyst prune projection-only
+    // work — scan-and-project queries (text kernels, left-join canonicals)
+    // were silently measured as bare row counts.
+    def exec(name: String): Long =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     for (name <- names) {
-      try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+      try { exec(name); () }
       catch { case _: Throwable => }
     }
     System.err.println(f"[bench] warm-up pass done at ${elapsedS}%.1fs")
@@ -57,7 +63,7 @@ object Bench {
       if (rep == 1 || elapsedS < budgetS) {
         val s0 = System.nanoTime()
         try {
-          SparkEntry.queries(name)(spark, sfDir).count()
+          exec(name)
           val dt = (System.nanoTime() - s0) / 1e9
           times(name) = dt :: times(name)
           System.err.println(f"[bench] rep$rep $name ${dt}%.2fs (total ${elapsedS}%.1fs)")

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{ExactDedup, MinHashLSH, SimHash}
+import graft.dedup.{Dedup, ExactDedup, MinHashLSH, SimHash}
+import graft.operators.DatasetSplit
 import graft.sim.Similarity
 import graft.text.TextFunctions
 
@@ -85,6 +86,26 @@ object PipelineQueries {
       val corpus = nearDupCorpus(s, dir)
       new MinHashLSH(32, 8, 3).duplicateGroups(corpus, "doc_id", "text", 0.4)
         .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_keep_longest" -> ((s, dir) => {
+      // retention policy: keep the longest member of each near-dup group
+      val corpus = nearDupCorpus(s, dir)
+      val groups = new MinHashLSH(32, 8, 3).duplicateGroups(corpus, "doc_id", "text", 0.4)
+      val scored = corpus.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      Dedup.keepBest(scored, "doc_id", "len", groups)
+        .select(col("canonical_id"), col("kept_id"), col("kept_score"), col("n_members"))
+        .orderBy(col("canonical_id"))
+    }),
+
+    "q_split" -> ((s, dir) => {
+      // deterministic hash-bucket train/val/test split, stable under corpus
+      // growth and replayable for audits; aggregate profile per split
+      val d = DatasetSplit.withSplit(t(s, dir, "documents"), "doc_id", 80, 10)
+      d.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
     }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -377,10 +398,10 @@ object PipelineQueries {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** Replays duplicateGroups: same signatures/bands as minhashOracle, then
-    * bucket-min star candidates, exact-Jaccard verify, canonical = min
-    * verified partner (or self). */
-  private def minhashGroupsOracle: String =
+  /** Shared CTE prefix replaying duplicateGroups: signatures/bands as in
+    * minhashOracle, bucket-min star candidates, exact-Jaccard verify,
+    * then `grp` = (doc_id, canonical_id). */
+  private def minhashGroupsCtes: String =
     s"""WITH corpus AS (
        |$nearDupCorpusSql
        |),
@@ -407,10 +428,30 @@ object PipelineQueries {
        |  WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
        |        CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) >= 0.4
        |),
-       |canon AS (SELECT b, min(a) AS c FROM ver GROUP BY b)
-       |SELECT corpus.doc_id, coalesce(canon.c, corpus.doc_id) AS canonical_id
-       |FROM corpus LEFT JOIN canon ON corpus.doc_id = canon.b
-       |ORDER BY corpus.doc_id""".stripMargin
+       |canon AS (SELECT b, min(a) AS c FROM ver GROUP BY b),
+       |grp AS (
+       |  SELECT corpus.doc_id, coalesce(canon.c, corpus.doc_id) AS canonical_id
+       |  FROM corpus LEFT JOIN canon ON corpus.doc_id = canon.b
+       |)""".stripMargin
+
+  private def minhashGroupsOracle: String =
+    s"""$minhashGroupsCtes
+       |SELECT doc_id, canonical_id FROM grp ORDER BY doc_id""".stripMargin
+
+  /** Replays keepBest over the star groups with score = doc length. */
+  private def keepLongestOracle: String =
+    s"""$minhashGroupsCtes,
+       |scored AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM corpus
+       |),
+       |ranked AS (
+       |  SELECT g.canonical_id, s.doc_id, s.len,
+       |         row_number() OVER (PARTITION BY g.canonical_id ORDER BY s.len DESC, s.doc_id ASC) AS rk,
+       |         count(*) OVER (PARTITION BY g.canonical_id) AS n_members
+       |  FROM grp g JOIN scored s ON g.doc_id = s.doc_id
+       |)
+       |SELECT canonical_id, doc_id AS kept_id, len AS kept_score, n_members
+       |FROM ranked WHERE rk = 1 ORDER BY canonical_id""".stripMargin
 
   /** Replays q_repetition: same tokenization, n-gram construction and
     * duplicate-fraction arithmetic. */
@@ -676,8 +717,23 @@ object PipelineQueries {
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_minhash_groups" -> minhashGroupsOracle,
+    "q_dedup_keep_longest" -> keepLongestOracle,
     "q_repetition" -> repetitionOracle,
     "q_pii" -> piiOracle,
+    "q_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars,
+         |    ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS bkt
+         |  FROM documents
+         |),
+         |s AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM b
+         |)
+         |SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH g AS (

@@ -208,6 +208,28 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
 object Dedup {
 
   /**
+   * Representative selection per duplicate group: given (id, canonical_id)
+   * assignments (from `duplicateGroups` or `nearDuplicateComponents`) and a
+   * per-doc score, keep the highest-scoring member of each group (ties →
+   * smallest id) — the "keep the longest / highest-quality copy" retention
+   * policy of LLM dedup pipelines. One join + one window per group.
+   */
+  def keepBest(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      groups: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = scored.join(groups, Seq(idCol))
+    val w = Window.partitionBy(col("canonical_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    joined
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("canonical_id"))))
+      .where(col("_rk") === 1)
+      .select(col("canonical_id"), col(idCol).as("kept_id"),
+        col(scoreCol).as("kept_score"), col("n_members"))
+  }
+
+  /**
    * Connected components by iterative min-label propagation: every node's
    * label converges to the minimum id in its component. O(diameter)
    * iterations, each one join + one aggregation (shuffles on node id) —

@@ -77,4 +77,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     val p = plan("q_dedup_minhash")
     assert(p.contains("shingle_hash_set") && p.contains("minhash_signature"), p.take(4000))
   }
+
+  test("q_repetition is a single pruned scan + native kernel (no shuffle before the sort)") {
+    val p = plan("q_repetition")
+    assert(p.contains("ngram_stats"), p.take(3000))
+    // one exchange only: the output orderBy's range partitioning
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toList
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.toString)
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(schema.contains("text") && !schema.contains("lang"), schema)
+  }
+
+  test("group dedup reads the persisted signature projection, one corpus pass") {
+    val df = SparkEntry.queries("q_dedup_minhash_groups")(spark, dir)
+    df.count() // materialize the cache so the executed plan resolves to cache scans
+    val p = df.queryExecution.executedPlan.toString
+    // all consumers (band l/r, verify a/b, id spine) must hit the cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 5, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.dedup.Dedup
+import graft.operators.DatasetSplit
+
+class SplitAndRetentionSpec extends AnyFunSuite with SparkTestSession {
+
+  test("hash split is deterministic, growth-stable and near the target fractions") {
+    import spark.implicits._
+    val small = DatasetSplit.withSplit((1L to 500L).toDF("id"), "id")
+      .as[(Long, String)].collect().toMap
+    val large = DatasetSplit.withSplit((1L to 2000L).toDF("id"), "id")
+      .as[(Long, String)].collect().toMap
+    // a doc's split never changes when the corpus grows
+    assert(small.forall { case (id, s) => large(id) == s })
+    val frac = large.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac)
+    assert(math.abs(frac("val") - 0.1) < 0.04, frac)
+    assert(math.abs(frac("test") - 0.1) < 0.04, frac)
+  }
+
+  test("keepBest keeps the max score per group, smallest id on ties") {
+    import spark.implicits._
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 7L))
+      .toDF("id", "score")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (9L, 9L))
+      .toDF("id", "canonical_id")
+    val kept = Dedup.keepBest(scored, "id", "score", groups)
+      .select(col("canonical_id"), col("kept_id"), col("kept_score"), col("n_members"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(kept.toSeq == Seq((1L, 2L, 30L, 4L), (9L, 9L, 7L, 1L)), kept.toSeq)
+  }
+}
