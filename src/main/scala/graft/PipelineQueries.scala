@@ -266,14 +266,18 @@ object PipelineQueries {
     }),
 
     "q_window_agg" -> ((s, dir) => {
+      // decimal-exact sums (values are 2dp): a double-sum + round(…,4) hit
+      // rounding-tie boundaries at sf0.1 (engine-dependent last digit); the
+      // exact decimal sum and the double division of identical doubles are
+      // bit-equal in any engine at any scale
       val ev = events(s, dir).withColumn("tsm", timestamp_micros(expr("ts div 1000")))
       ev.groupBy(window(col("tsm"), "1 hour").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("value")), 4).as("sum_value"),
-          round(avg(col("value")), 4).as("avg_value"))
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("dsum"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"),
-          col("sum_value"), col("avg_value"))
+          col("dsum").cast("double").as("sum_value"),
+          (col("dsum").cast("double") / col("n")).as("avg_value"))
         .orderBy(col("window_start"), col("event_type"))
     }),
 
@@ -774,9 +778,16 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_window_agg" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-        |  count(*) AS n, ROUND(sum(value), 4) AS sum_value, ROUND(avg(value), 4) AS avg_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+      """WITH a AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS dsum
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT window_start, event_type, n,
+        |  CAST(dsum AS DOUBLE) AS sum_value,
+        |  CAST(dsum AS DOUBLE) / n AS avg_value
+        |FROM a ORDER BY window_start, event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -54,7 +54,7 @@ class BoundedStateSpec extends AnyFunSuite with SparkTestSession {
     sq.stop()
 
     // 40 all-time keys; without timeout the store would hold all 40 states.
-    // Allow slack for timeout firing one batch late, but the store must stay
+    // Allow margin for timeout firing one batch late, but the store must stay
     // an order of magnitude below the all-time key count.
     assert(lastRows <= 4, s"final state rows $lastRows — timeout not removing state?")
     assert(peak <= 6, s"peak state rows $peak — state grew with all-time keys")
