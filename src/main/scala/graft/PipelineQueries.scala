@@ -298,6 +298,26 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    "q_event_sequences" -> ((s, dir) => {
+      // training-sequence construction: per 30-min-gap session, the ordered
+      // event-type sequence (ties broken by event_id — fully deterministic)
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = ev.withColumn("new_s",
+        when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L || lag(col("ts"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      val sess = flagged.withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("seq"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     "q1_pricing" -> ((s, dir) => {
       val d2 = "decimal(12,2)"
       val one = lit(1).cast(d2)
@@ -788,6 +808,26 @@ object PipelineQueries {
         |  CAST(dsum AS DOUBLE) AS sum_value,
         |  CAST(dsum AS DOUBLE) / n AS avg_value
         |FROM a ORDER BY window_start, event_type""".stripMargin,
+
+    "q_event_sequences" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ns, event_id, event_type FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, ns, event_id, event_type,
+        |    CASE WHEN lag(ns) OVER w IS NULL OR ns - lag(ns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns, event_id)
+        |),
+        |sess AS (
+        |  SELECT user_id, ns, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       string_agg(event_type, ',' ORDER BY ns, event_id) AS seq
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (
