@@ -64,10 +64,14 @@ object TextFunctions {
       graft.functions.HashExpressions.tokenHashes(text, 31))
 
   /** Jaccard similarity of two pre-deduplicated arrays (single shared
-    * array_intersect subtree; codegen CSE evaluates it once). */
+    * array_intersect subtree; codegen CSE evaluates it once). Two EMPTY
+    * sets score 0.0 — without the guard, two sub-shingle-size documents
+    * (identical sentinel signatures → always candidates) crash the whole
+    * dedup job with an ANSI divide-by-zero. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+    val union = size(a).cast("double") + size(b).cast("double") - inter
+    when(union > 0.0, inter / union).otherwise(lit(0.0))
   }
 
   // ----------------------------------------------------------- quality

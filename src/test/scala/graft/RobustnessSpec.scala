@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.dedup.MinHashLSH
+import graft.operators.DatasetSplit
+import graft.sim.Similarity
+
+/** Degenerate-input contracts: null/empty text through the dedup pipeline,
+  * zero vectors through cosine, hostile ids through the splitter. A 100 TB
+  * corpus always contains the weird rows. */
+class RobustnessSpec extends AnyFunSuite with SparkTestSession {
+
+  test("dedup pipelines tolerate null and empty documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "xy")). // shorter than the shingle size
+      toDF("doc_id", "text")
+    val lsh = new MinHashLSH(32, 8, 3)
+
+    val pairs = lsh.nearDuplicates(docs, "doc_id", "text", 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), pairs.toSeq)
+
+    val groups = lsh.duplicateGroups(docs, "doc_id", "text", 0.4)
+      .as[(Long, Long)].collect().toMap
+    assert(groups(2L) == 1L)
+    // null text: the doc must survive with itself as canonical, not crash
+    assert(groups(4L) == 4L && groups(3L) == 3L && groups(5L) == 5L, groups)
+  }
+
+  test("cosine contract: zero vectors score 0, never NaN") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0.0, 0.0), Array(1.0, 2.0)),
+      (Array(0.0, 0.0), Array(0.0, 0.0))).toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b")).as("s"))
+      .as[Double].collect()
+    assert(sims.forall(s => s == 0.0 && !s.isNaN), sims.toSeq)
+  }
+
+  test("hash split handles zero and negative ids") {
+    import spark.implicits._
+    val splits = DatasetSplit.withSplit(Seq(-5L, -1L, 0L, 1L).toDF("id"), "id")
+      .select(col("split")).as[String].collect()
+    assert(splits.forall(Set("train", "val", "test")), splits.toSeq)
+  }
+
+  test("ngram stats and PII counters are null-safe") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("id", "text")
+    val rows = df.select(col("id"),
+        graft.functions.HashExpressions.ngramStats(col("text")).as("st"),
+        graft.text.TextFunctions.emailCount(col("text")).as("e"))
+      .collect()
+    assert(rows.length == 2) // no exceptions; null text -> null struct
+    assert(rows.find(_.getLong(0) == 1L).get.isNullAt(1))
+    assert(rows.find(_.getLong(0) == 2L).get.getStruct(1).getLong(0) == 0L)
+  }
+}
