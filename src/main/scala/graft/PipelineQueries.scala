@@ -88,6 +88,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // daily-ingest shape: new batch (doc_id % 7 == 0) deduped against the
+      // history's signature table + itself, never rescanning history text
+      val corpus = nearDupCorpus(s, dir)
+      val lsh = new MinHashLSH(32, 8, 3)
+      val history = lsh.signatures(
+        corpus.where(pmod(col("doc_id"), lit(7)) =!= 0), "doc_id", "text")
+      val fresh = corpus.where(pmod(col("doc_id"), lit(7)) === 0)
+      lsh.nearDuplicatesAgainst(history, fresh, "doc_id", "text", 0.4)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q_dedup_keep_longest" -> ((s, dir) => {
       // retention policy: keep the longest member of each near-dup group
       val corpus = nearDupCorpus(s, dir)
@@ -462,6 +475,34 @@ object PipelineQueries {
     s"""$minhashGroupsCtes
        |SELECT doc_id, canonical_id FROM grp ORDER BY doc_id""".stripMargin
 
+  /** Replays nearDuplicatesAgainst: candidates = all-bands × new-bands
+    * (one side always new), least/greatest ordering, exact-Jaccard verify. */
+  private def incrementalDedupOracle: String =
+    s"""WITH corpus AS (
+       |$nearDupCorpusSql
+       |),
+       |sets AS (
+       |  SELECT doc_id, ${duckShingleSet()} AS sset FROM corpus
+       |),
+       |sigs AS (
+       |  SELECT doc_id, sset, $minhashSigSql AS sig FROM sets
+       |),
+       |bands AS (
+       |  $minhashBandSelects
+       |),
+       |bn AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+       |cands AS (
+       |  SELECT DISTINCT least(x.doc_id, n.doc_id) AS a, greatest(x.doc_id, n.doc_id) AS b
+       |  FROM bands x JOIN bn n ON x.band = n.band AND x.bucket = n.bucket
+       |  WHERE x.doc_id != n.doc_id
+       |)
+       |SELECT a, b, ROUND(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+       |       CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE), 6) AS jaccard
+       |FROM cands JOIN sets sa ON cands.a = sa.doc_id JOIN sets sb ON cands.b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+       |      CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) >= 0.4
+       |ORDER BY a, b""".stripMargin
+
   /** Replays keepBest over the star groups with score = doc length. */
   private def keepLongestOracle: String =
     s"""$minhashGroupsCtes,
@@ -741,6 +782,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_minhash_groups" -> minhashGroupsOracle,
+    "q_dedup_incremental" -> incrementalDedupOracle,
     "q_dedup_keep_longest" -> keepLongestOracle,
     "q_repetition" -> repetitionOracle,
     "q_pii" -> piiOracle,

@@ -88,6 +88,59 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
       .select("a", "b").distinct()
   }
 
+  /** The (id, sset, sig) signature projection — 32 longs + shingle set per
+    * doc, independent of document size. At petabyte scale, WRITE this to a
+    * table once per corpus and feed it to `nearDuplicatesAgainst` for
+    * incremental runs instead of re-deriving signatures from raw text. */
+  def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.HashExpressions.shingleHashSet(col(textCol), shingleSize).as("sset"))
+      .withColumn("sig", signatureFromSet(col("sset")))
+
+  /** (id, band, bucket) banding of a signature projection. */
+  private def bandedFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
+    val bandCols = array((0 until bands).map { bIdx =>
+      struct(
+        lit(bIdx).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col("sig")(bIdx * rowsPerBand + r)): _*).as("bucket"))
+    }: _*)
+    sigs.withColumn("bb", explode(bandCols))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /**
+   * INCREMENTAL near-dup detection: match a new batch against an existing
+   * signature table (plus within-batch pairs) WITHOUT rescanning the
+   * historical corpus — the daily-ingest shape at 100 TB, where history is
+   * signatures-only (no raw text) and each run's cost is proportional to
+   * the new batch, not the archive. Returns (a, b, jaccard) with a < b;
+   * at least one side of every pair is from `newDocs`; history×history
+   * pairs are never produced.
+   *
+   * `historySigs` must come from `signatures()` with the same parameters.
+   */
+  def nearDuplicatesAgainst(
+      historySigs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val newSigs = CachedProjections.swap("minhash_incr", signatures(newDocs, idCol, textCol))
+    val allSigs = historySigs.select(col(idCol), col("sset"), col("sig")).unionAll(newSigs)
+    val bandsNew = bandedFromSigs(newSigs, idCol)
+    val bandsAll = bandedFromSigs(allSigs, idCol)
+    // one side always new: candidate volume tracks the batch, not history
+    val cands = bandsAll.select(col(idCol).as("x"), col("band"), col("bucket"))
+      .join(bandsNew.select(col(idCol).as("y"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val sets = allSigs.select(col(idCol).as("sid"), col("sset"))
+    cands
+      .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
+      .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
+      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /**
    * Near-duplicate pairs with exact Jaccard >= threshold on the distinct
    * shingle sets of the candidates.

@@ -40,7 +40,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getLong(0)
       assert(row.getLong(3) == viaColumn)
     } finally {
-      spark.stop()
+      // Do NOT spark.stop(): the JVM has ONE SparkContext, shared with the
+      // suite session — stopping it here killed whichever suites were
+      // running concurrently (a rare-loss lottery until the suite count
+      // grew). The extra SparkSession is harmless; just restore the
+      // previous session bindings.
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
