@@ -111,6 +111,16 @@ object PipelineQueries {
         .orderBy(col("canonical_id"))
     }),
 
+    "q_cap_per_source" -> ((s, dir) => {
+      // corpus curation: cap each source at 40 docs by deterministic
+      // lowest-hash sampling; per-source surviving profile
+      val capped = DatasetSplit.capPerGroup(t(s, dir, "documents"), "doc_id", "source", 40)
+      capped.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("source"))
+    }),
+
     "q_split" -> ((s, dir) => {
       // deterministic hash-bucket train/val/test split, stable under corpus
       // growth and replayable for audits; aggregate profile per split
@@ -786,6 +796,17 @@ object PipelineQueries {
     "q_dedup_keep_longest" -> keepLongestOracle,
     "q_repetition" -> repetitionOracle,
     "q_pii" -> piiOracle,
+    "q_cap_per_source" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${duckHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_kept, sum(n_chars) AS sum_chars,
+         |       min(doc_id) AS min_id
+         |FROM r WHERE rk <= 40 GROUP BY source ORDER BY source""".stripMargin,
+
     "q_split" ->
       s"""WITH b AS (
          |  SELECT doc_id, n_chars,

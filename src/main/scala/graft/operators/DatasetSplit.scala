@@ -28,4 +28,19 @@ object DatasetSplit {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Caps each group's contribution at `k` rows — corpus curation's
+    * "no source may dominate" step — by keeping the k rows with the
+    * LOWEST stable id-hash (a deterministic uniform sample per group,
+    * reproducible and replayable, unlike orderBy(rand())). One shuffle on
+    * the group key; rank ties cannot occur (hash ties break by id). */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(TextFunctions.stableHash(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

@@ -23,6 +23,19 @@ class SplitAndRetentionSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(frac("test") - 0.1) < 0.04, frac)
   }
 
+  test("capPerGroup keeps exactly k deterministic rows per group") {
+    import spark.implicits._
+    val df = (for (g <- Seq("a", "b"); i <- 1 to 100) yield (s"$g$i".hashCode.toLong, g))
+      .toDF("id", "grp")
+    val once = DatasetSplit.capPerGroup(df, "id", "grp", 10)
+      .as[(Long, String)].collect().toSet
+    val again = DatasetSplit.capPerGroup(df.repartition(7), "id", "grp", 10)
+      .as[(Long, String)].collect().toSet
+    assert(once.size == 20)
+    assert(once.groupBy(_._2).forall(_._2.size == 10))
+    assert(once == again, "cap sample not deterministic across partitionings")
+  }
+
   test("keepBest keeps the max score per group, smallest id on ties") {
     import spark.implicits._
     val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 7L))
