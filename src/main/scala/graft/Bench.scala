@@ -12,12 +12,13 @@ import java.nio.file.{Files, Paths}
   *
   * Contention-proofing (round 4): the round-3 artifact captured a loaded
   * host and overstated total cost 3.3× — median-of-3-within-one-window has
-  * no defense against a contended window. The JSON therefore now carries
-  * the raw per-rep times (`raw`), per-query minima (`queries_min`, robust
-  * exactly against external load since contention only ever adds time),
-  * `/proc/loadavg` snapshots before/after, and a `contended` flag set when
-  * any query's median exceeds 3× its min — readers should trust
-  * `total_min` over `value` whenever `contended` is true. */
+  * no defense against a contended window. The JSON therefore carries
+  * per-query minima (`queries_min`, robust exactly against external load
+  * since contention only ever adds time), `/proc/loadavg` snapshots
+  * before/after, and a `contended` flag set when any query's median exceeds
+  * 3× its min — readers should trust `total_min` over `value` whenever
+  * `contended` is true. The raw per-rep times live in bench_raw.json (round
+  * 5: they overflowed the driver's stdout tail capture when inlined). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,13 +81,19 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
+    // Round seconds to 0.1 ms for the stdout line: the driver captures only a
+    // TAIL of stdout, and round 4's full-precision + per-rep `raw` line
+    // overflowed it (BENCH_r04 `parsed: null`). Compactness is part of the
+    // artifact contract.
+    def r4(v: Double): Double = math.round(v * 10000).toDouble / 10000
     val measured = names.filter(times(_).nonEmpty)
     val medians = measured.map(n => n -> median(times(n)))
     val mins = measured.map(n => n -> times(n).min)
-    val qs = medians.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
-    val qsMin = mins.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
-    // raw per-rep times, newest-first as recorded — the forensic record that
-    // lets a later reader adjudicate noise without re-running the bench
+    val qs = medians.map { case (k, v) => jq(k) + ":" + r4(v) }.mkString("{", ",", "}")
+    val qsMin = mins.map { case (k, v) => jq(k) + ":" + r4(v) }.mkString("{", ",", "}")
+    // raw per-rep times in chronological order (rep1 first) — the forensic
+    // record that lets a later reader adjudicate noise without re-running.
+    // Written ONLY to bench_raw.json, never to stdout (see overflow note).
     val raw = measured.map(n => jq(n) + ":" + times(n).reverse.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sorted.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
@@ -98,9 +105,11 @@ object Bench {
         "host contention suspected; trust total_min/queries_min over the medians")
     val loadAfter = loadavg
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":${jq(sfDir)},"total_min":$totalMin,"queries_min":$qsMin,"raw":$raw,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":${jq(sfDir)},"total_min":${r4(totalMin)},"queries_min":$qsMin,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended}"""
     println(line)
     Files.writeString(Paths.get("bench.json"), line + "\n")
+    Files.writeString(Paths.get("bench_raw.json"),
+      s"""{"raw":$raw,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"reps":$reps,"sf":${jq(sfDir)}}""" + "\n")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -111,6 +111,13 @@ object PipelineQueries {
         .orderBy(col("canonical_id"))
     }),
 
+    "q_dedup_pipeline" -> ((s, dir) => {
+      // the end-to-end recipe: star LSH -> CC over star links -> keepBest
+      val corpus = nearDupCorpus(s, dir)
+      Dedup.pipeline(corpus, "doc_id", "text", 0.4)
+        .orderBy(col("canonical_id"))
+    }),
+
     "q_cap_per_source" -> ((s, dir) => {
       // corpus curation: cap each source at 40 docs by deterministic
       // lowest-hash sampling; per-source surviving profile
@@ -528,6 +535,35 @@ object PipelineQueries {
        |SELECT canonical_id, doc_id AS kept_id, len AS kept_score, n_members
        |FROM ranked WHERE rk = 1 ORDER BY canonical_id""".stripMargin
 
+  /** Replays Dedup.pipeline: the star-link graph is exactly `grp`'s
+    * (canonical_id, doc_id) pairs — NOT all verified pairs (`ver`); each doc
+    * links only to its minimum verified partner. Components close via a
+    * recursive reachability CTE (near-dup components are pairs and short
+    * chains, so the closure is tiny), label = min reachable id, then the
+    * keepBest replay with score = document length. */
+  private def dedupPipelineOracle: String =
+    s"""${minhashGroupsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sym AS (
+       |  SELECT canonical_id AS x, doc_id AS y FROM grp WHERE canonical_id != doc_id
+       |  UNION ALL
+       |  SELECT doc_id AS x, canonical_id AS y FROM grp WHERE canonical_id != doc_id
+       |),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM corpus
+       |  UNION
+       |  SELECT reach.id, s.y AS r FROM reach JOIN sym s ON s.x = reach.r
+       |),
+       |comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+       |scored AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS sc FROM corpus),
+       |ranked AS (
+       |  SELECT c.canonical_id, s.doc_id, s.sc,
+       |    row_number() OVER (PARTITION BY c.canonical_id ORDER BY s.sc DESC, s.doc_id ASC) AS rk,
+       |    count(*) OVER (PARTITION BY c.canonical_id) AS n_members
+       |  FROM comp c JOIN scored s ON c.id = s.doc_id
+       |)
+       |SELECT doc_id AS kept_id, canonical_id, n_members
+       |FROM ranked WHERE rk = 1 ORDER BY canonical_id""".stripMargin
+
   /** Replays q_repetition: same tokenization, n-gram construction and
     * duplicate-fraction arithmetic. */
   private def repetitionOracle: String =
@@ -794,6 +830,7 @@ object PipelineQueries {
     "q_dedup_minhash_groups" -> minhashGroupsOracle,
     "q_dedup_incremental" -> incrementalDedupOracle,
     "q_dedup_keep_longest" -> keepLongestOracle,
+    "q_dedup_pipeline" -> dedupPipelineOracle,
     "q_repetition" -> repetitionOracle,
     "q_pii" -> piiOracle,
     "q_cap_per_source" ->
@@ -803,7 +840,7 @@ object PipelineQueries {
          |      ORDER BY ${duckHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
          |  FROM documents
          |)
-         |SELECT source, count(*) AS n_kept, sum(n_chars) AS sum_chars,
+         |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |       min(doc_id) AS min_id
          |FROM r WHERE rk <= 40 GROUP BY source ORDER BY source""".stripMargin,
 
@@ -818,7 +855,7 @@ object PipelineQueries {
          |    CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
          |  FROM b
          |)
-         |SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+         |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |       min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
@@ -883,8 +920,8 @@ object PipelineQueries {
         |),
         |sess AS (
         |  SELECT user_id, ns, event_id, event_type,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ns, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id, count(*) AS n_events,

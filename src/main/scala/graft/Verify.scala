@@ -15,16 +15,20 @@ import java.nio.file.{Files, Paths}
   *    remaining queries are skipped loudly instead of blowing the budget.
   */
 object Verify {
-  // Ascending expected cost at sf0.01 (measured locally); unknown names sort last.
+  // Ascending expected cost at sf0.01 (measured locally, refreshed round 5
+  // with the round-4 additions in measured positions); unknown names sort last.
   private val costOrder: Seq[String] = Seq(
-    "q_vector_fns", "q_fingerprint", "q_quality", "q_token_count", "q_lang_id",
-    "q_dedup_exact", "q_window_agg", "q_sessionize", "q1_pricing", "q3_shipping",
-    "q_rand_gaussian",
+    "q_split", "q_cap_per_source", "q_vector_fns", "q_fingerprint", "q_quality",
+    "q_token_count", "q_repetition", "q_pii", "q_lang_id",
+    "q_dedup_exact", "q_window_agg", "q_sessionize", "q_event_sequences",
+    "q1_pricing", "q3_shipping", "q_rand_gaussian",
     "q_ngram_jaccard", "q_pmm", "q_ann_topk", "q_ukf", "q_raukf", "q_ckf", "q_rts",
     "q_gmm", "q_bmm", "q_asof_join", "q_ann_lsh", "q_embed_neardup", "q_rls",
     "q_multistep", "q_multimodal", "q_multimodal_audio", "q_multimodal_video",
     "q_lkf_blr", "q_ekf", "q_lkf_llt", "q_outlier", "q_lms",
-    "q_dedup_simhash", "q_mmae", "q_ann_ivf", "q_ann_ivf_kmeans", "q_dedup_minhash")
+    "q_dedup_simhash", "q_mmae", "q_ann_ivf", "q_ann_ivf_kmeans",
+    "q_dedup_minhash", "q_dedup_minhash_groups", "q_dedup_incremental",
+    "q_dedup_keep_longest", "q_dedup_pipeline")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

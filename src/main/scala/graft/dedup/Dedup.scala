@@ -118,12 +118,17 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
    * pairs are never produced.
    *
    * `historySigs` must come from `signatures()` with the same parameters.
+   * Ids appearing in BOTH history and the new batch are treated as the new
+   * batch's version: the stale history row is anti-joined out before the
+   * union (otherwise duplicate signature rows would emit duplicated pairs).
    */
   def nearDuplicatesAgainst(
       historySigs: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
     val newSigs = CachedProjections.swap("minhash_incr", signatures(newDocs, idCol, textCol))
-    val allSigs = historySigs.select(col(idCol), col("sset"), col("sig")).unionAll(newSigs)
+    val history = historySigs.select(col(idCol), col("sset"), col("sig"))
+      .join(newSigs.select(col(idCol)), Seq(idCol), "left_anti")
+    val allSigs = history.unionAll(newSigs)
     val bandsNew = bandedFromSigs(newSigs, idCol)
     val bandsAll = bandedFromSigs(allSigs, idCol)
     // one side always new: candidate volume tracks the batch, not history
@@ -283,16 +288,52 @@ object Dedup {
   }
 
   /**
+   * The end-to-end dedup recipe users actually run: skew-safe star-group
+   * LSH candidates (O(bucket), hot-key-proof) → exact-Jaccard verified
+   * STAR links (each doc to its minimum verified partner) → connected
+   * components over those links (so star-link chains a←b←c collapse to ONE
+   * group) → keepBest retention with score = document length.
+   * One call producing (kept_id, canonical_id, n_members): per final
+   * duplicate group, the longest member survives (ties → smallest id).
+   *
+   * Scale shape: one corpus pass for signatures (persisted projection),
+   * one banded-join for candidates, O(diameter) small joins for CC over
+   * the verified LINK list (pairs, not corpus), one join + window for
+   * retention. No stage touches raw text twice.
+   */
+  def pipeline(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      lsh: MinHashLSH = new MinHashLSH(32, 8, 3), maxIters: Int = 20): DataFrame = {
+    val star = lsh.duplicateGroups(df, idCol, textCol, threshold)
+    val edges = star.where(col("canonical_id") =!= col(idCol))
+      .select(col("canonical_id").as("a"), col(idCol).as("b"))
+    val labels = connectedComponents(star.select(col(idCol)), edges, maxIters)
+    val groups = labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+    val scored = df.select(col(idCol), length(col(textCol)).cast("long").as("_score"))
+    keepBest(scored, idCol, "_score", groups)
+      .select(col("kept_id"), col("canonical_id"), col("n_members"))
+  }
+
+  /**
    * Connected components by iterative min-label propagation: every node's
    * label converges to the minimum id in its component. O(diameter)
-   * iterations, each one join + one aggregation (shuffles on node id) —
-   * the standard scalable CC shape for edge lists far beyond memory. Near-
-   * dup components have tiny diameters (docs chain through shared buckets),
-   * so `maxIters` ~ 20 is generous; iteration stops early at the first
-   * fixed point (counted changes == 0).
+   * iterations, each ONE join + ONE aggregation and exactly ONE Spark action
+   * (the change count is folded into the same pass that materializes the
+   * next frontier — at 20 iterations on a 100 TB edge list a second
+   * change-detection join per round is real money). The standard scalable
+   * CC shape for edge lists far beyond memory. Near-dup components have
+   * tiny diameters (docs chain through shared buckets), so `maxIters` ~ 20
+   * is generous; iteration stops early at the first fixed point.
+   *
+   * Lineage is truncated with `localCheckpoint` every 10 iterations so long
+   * chains never accumulate a deep recursive plan.
    *
    * `ids`: one column of node ids. `edges`: columns (a, b), undirected.
-   * Returns (id, label).
+   * Returns (id, label). OWNERSHIP: the returned DataFrame is persisted —
+   * the caller should release it with `unpersist()` once consumed; if it
+   * does not, accumulation is still bounded because the cache slot is
+   * CachedProjections-managed (the next call on the same thread releases
+   * the previous result).
    */
   def connectedComponents(ids: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -300,7 +341,8 @@ object Dedup {
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idName).as("id"), col(idName).as("label"))
+    var labels = ids.select(col(idName).as("id"), col(idName).as("label"),
+        lit(0L).as("_chg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var changed = 1L
@@ -308,31 +350,51 @@ object Dedup {
       while (changed > 0 && it < maxIters) {
         val neighborMin = sym.join(labels, sym("y") === labels("id"))
           .groupBy(col("x")).agg(min(col("label")).as("nlabel"))
-        val next = labels.join(neighborMin, labels("id") === neighborMin("x"), "left")
+        val nextRaw = labels.join(neighborMin, labels("id") === neighborMin("x"), "left")
           .select(labels("id"),
-            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent's cache
-        changed = next.join(labels.select(col("id"), col("label").as("_old")), Seq("id"))
-          .where(col("label") =!= col("_old")).count()
+            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
+            // did this node's label improve this round? summed below in the
+            // SAME action that fills the cache — no second pass
+            when(col("nlabel") < labels("label"), 1L).otherwise(0L).as("_chg"))
+        // every 10th frontier: truncate lineage instead of stacking another
+        // cache layer on a 10-join-deep plan (lazy checkpoint — the agg
+        // below is the single materializing action either way)
+        val next =
+          if ((it + 1) % 10 == 0) nextRaw.localCheckpoint(false)
+          else nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = next.agg(coalesce(sum(col("_chg")), lit(0L))).first().getLong(0)
         labels.unpersist(blocking = false)
         labels = next
         it += 1
       }
-      labels
+      // re-persist the clean (id, label) projection as the RETURNED frame —
+      // unpersist() on a derived projection would not release the frontier
+      // cache, so the handed-off Dataset must itself be the persisted one;
+      // materialize it, then drop the final frontier (possibly a checkpoint)
+      val result = CachedProjections.swap("cc_result", labels.select(col("id"), col("label")))
+      result.count()
+      labels.unpersist(blocking = false)
+      result
     } finally sym.unpersist(blocking = false)
   }
 }
 
 /** Bounds cached-block accumulation across repeated dedup invocations (e.g.
-  * a bench loop): each operator keeps ONE live cached projection; persisting
-  * a new one unpersists the previous (non-blocking). A caller that needs two
-  * live projections of the same operator should persist/unpersist itself. */
+  * a bench loop): each operator keeps ONE live cached projection PER CALLING
+  * THREAD; persisting a new one unpersists the previous (non-blocking).
+  * Thread-scoping matters for concurrent deployments — two incremental-dedup
+  * jobs submitted from different threads of one Spark application must not
+  * unpersist each other's live projection mid-job (concurrent Spark jobs run
+  * from distinct caller threads). Sequential re-invocations from one thread
+  * (the bench loop) still reuse the tag, so accumulation stays bounded by
+  * (#tags x #threads). A caller that needs two live projections of the same
+  * operator on one thread should persist/unpersist itself. */
 private[dedup] object CachedProjections {
   private val live = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def swap(tag: String, df: DataFrame): DataFrame = {
+    val key = tag + "@" + Thread.currentThread().getId
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(live.put(tag, cached)).filter(_ ne cached).foreach(_.unpersist(blocking = false))
+    Option(live.put(key, cached)).filter(_ ne cached).foreach(_.unpersist(blocking = false))
     cached
   }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.text.TextFunctions
 
@@ -18,10 +19,14 @@ object DatasetSplit {
   /** Stable percent bucket in [0, 100) from the id's md5. */
   def bucket(id: Column): Column = TextFunctions.stableHash(id.cast("string")) % 100
 
-  /** Adds a `split` column: train/val/test by hash bucket. */
+  /** Adds a `split` column: train/val/test by hash bucket. Refuses inputs
+    * that already carry a `split` column — withColumn would silently
+    * overwrite user data. */
   def withSplit(df: DataFrame, idCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column; rename it before calling withSplit")
     val b = bucket(col(idCol))
     df.withColumn("split",
       when(b < trainPct, "train")
@@ -33,14 +38,41 @@ object DatasetSplit {
     * "no source may dominate" step — by keeping the k rows with the
     * LOWEST stable id-hash (a deterministic uniform sample per group,
     * reproducible and replayable, unlike orderBy(rand())). One shuffle on
-    * the group key; rank ties cannot occur (hash ties break by id). */
+    * the group key; rank ties cannot occur (hash ties break by id). The
+    * rank lives in a collision-proof generated temp column, so inputs may
+    * carry any column names. */
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0)
+    val rk = Iterator.from(0).map(i => s"_rk$i").find(!df.columns.contains(_)).get
     val w = Window.partitionBy(col(groupCol))
       .orderBy(TextFunctions.stableHash(col(idCol).cast("string")), col(idCol))
-    df.withColumn("_rk", row_number().over(w))
-      .where(col("_rk") <= k)
-      .drop("_rk")
+    df.withColumn(rk, row_number().over(w))
+      .where(col(rk) <= k)
+      .drop(rk)
+  }
+
+  /** STREAMING twin of `capPerGroup`: admission-control cap. The batch cap's
+    * deterministic lowest-hash selection needs the whole group in hand, so
+    * it cannot stream; the streaming-natural semantics is "admit the first k
+    * rows per group, then drop" — state is ONE counter per group key
+    * (bounded by #groups, never by row volume), carried across micro-batches
+    * by flatMapGroupsWithState. Works identically on a batch Dataset (the
+    * per-group iterator then sees the whole group at once). Append-mode
+    * safe: admitted rows are emitted exactly once and never retracted. */
+  def capPerGroupStreaming(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    implicit val rowEnc = Encoders.row(df.schema)
+    implicit val longEnc = Encoders.scalaLong
+    implicit val strEnc = Encoders.STRING
+    df.groupByKey((r: Row) => String.valueOf(r.getAs[Any](groupCol)))
+      .flatMapGroupsWithState[Long, Row](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, k - admitted).toInt
+          val take = rows.take(room).toVector
+          state.update(admitted + take.size)
+          take.iterator
+      }
   }
 }

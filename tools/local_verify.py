@@ -58,13 +58,14 @@ for q, sql in sorted(oracle.items()):
     mismatch = None
     for c in scols:
         sv, dv = s[c], d[c]
-        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
-            bad = ~((sv == dv) | (sv.isna() & dv.isna()))
-        else:
-            bad = sv.astype(str) != dv.astype(str)
+        # Mirror the driver's gate exactly: stringify both sides and compare.
+        # No numeric tolerance — an int64 14623 vs a HUGEINT-cast float64
+        # 14623.0 must FAIL here just as it fails the driver's hash compare.
+        bad = sv.astype(str) != dv.astype(str)
         if bad.any():
             i = bad.idxmax()
-            mismatch = f"col {c} row {i}: spark={sv[i]!r} duck={dv[i]!r} ({int(bad.sum())} bad)"
+            hint = "" if sv.dtype == dv.dtype else f" [dtype spark={sv.dtype} duck={dv.dtype}]"
+            mismatch = f"col {c} row {i}: spark={sv[i]!r} duck={dv[i]!r} ({int(bad.sum())} bad){hint}"
             break
     if mismatch:
         print(f"FAIL {q}: {mismatch}")
