@@ -31,6 +31,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // let AQE coalesce post-shuffle partitions of CACHED frames too —
+      // iterative operators (connected components) persist small frontiers
+      // each round, and the default pins them at full shuffle-partition
+      // fan-out (hundreds of empty tasks per iteration)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def loadavg: String =
@@ -39,7 +44,10 @@ object Bench {
     val loadBefore = loadavg
     val t0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - t0) / 1e9
+    // optional comma-separated subset for targeted iteration (full run default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Discarded warm-up pass over EVERY query (round-2 medians were 3.6x
     // inflated because only one query was warmed: with 3 reps, one cold +
     // one half-warm rep IS the median). JIT, codegen caches, and shuffle

@@ -27,11 +27,13 @@ import java.nio.file.{Files, Paths}
 object Soak {
 
   /** The queries whose scale behavior the verdict asks to prove: minhash +
-    * simhash dedup (bucketed self-joins), star group dedup, IVF ANN
-    * (bounded model + map-side assignment), as-of join (union+sort engine),
-    * LKF (stateful engine), repetition kernel (pure scan). */
+    * simhash dedup (bucketed self-joins), star group dedup, the full
+    * star→resolveForest→keepBest pipeline (round 5), IVF ANN (bounded
+    * model + map-side assignment), as-of join (union+sort engine), LKF
+    * (stateful engine), repetition kernel (pure scan). */
   val SoakQueries: Seq[String] =
     Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_minhash_groups",
+      "q_dedup_pipeline",
       "q_ann_ivf", "q_asof_join", "q_lkf_llt", "q_repetition")
 
   def main(args: Array[String]): Unit = {
@@ -45,6 +47,8 @@ object Soak {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE may re-coalesce cached-plan output (see Bench.scala note)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

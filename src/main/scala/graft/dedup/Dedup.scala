@@ -255,12 +255,20 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
    */
   def nearDuplicateComponents(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      maxIters: Int = 20): DataFrame =
-    Dedup.connectedComponents(
-      df.select(col(idCol)),
-      nearDuplicates(df, idCol, textCol, threshold).select(col("a"), col("b")),
-      maxIters)
-      .select(col("id").as(idCol), col("label").as("canonical_id"))
+      maxIters: Int = 20): DataFrame = {
+    // persist the tiny verified-pair list so the LSH query computes once
+    // (it is consumed by the symmetrized CC edges AND the linked-id seed)
+    val pairs = CachedProjections.swap("cc_pairs",
+      nearDuplicates(df, idCol, textCol, threshold).select(col("a"), col("b")))
+    // iterate CC over the linked subgraph only (see Dedup.pipeline): nodes
+    // without a near-dup pair can never change label
+    val linkedIds = pairs.select(col("a").as("id"))
+      .unionAll(pairs.select(col("b").as("id"))).distinct()
+    val labels = Dedup.connectedComponents(linkedIds, pairs, maxIters)
+    val allIds = df.select(col(idCol))
+    allIds.join(labels, allIds(idCol) === labels("id"), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("canonical_id"))
+  }
 }
 
 object Dedup {
@@ -305,13 +313,64 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       lsh: MinHashLSH = new MinHashLSH(32, 8, 3), maxIters: Int = 20): DataFrame = {
     val star = lsh.duplicateGroups(df, idCol, textCol, threshold)
-    val edges = star.where(col("canonical_id") =!= col(idCol))
-      .select(col("canonical_id").as("a"), col(idCol).as("b"))
-    val labels = connectedComponents(star.select(col(idCol)), edges, maxIters)
-    val groups = labels.select(col("id").as(idCol), col("label").as("canonical_id"))
+    // duplicateGroups emits a PARENT-POINTER FOREST: one row per id with
+    // canonical_id <= id (equality at roots). On such a forest the
+    // component minimum IS the pointer root, so generic CC (edge
+    // symmetrization + groupBy per round) is overkill — pointer jumping
+    // resolves every chain in O(log depth) self-joins of one cached
+    // two-column mapping. Star chains are short (a~b~c links), so this is
+    // 2-3 rounds in practice.
+    val groups = resolveForest(star, idCol, "canonical_id", maxIters)
+      .select(col("id").as(idCol), col("parent").as("canonical_id"))
     val scored = df.select(col(idCol), length(col(textCol)).cast("long").as("_score"))
     keepBest(scored, idCol, "_score", groups)
       .select(col("kept_id"), col("canonical_id"), col("n_members"))
+  }
+
+  /**
+   * Pointer-jumping (path-halving) root resolution over a parent mapping:
+   * `mapping` has one row per node with parent(id) <= id and parent(root)
+   * == root. Each round replaces every pointer with its grandparent —
+   * chain depth HALVES per round, so d-deep chains resolve in O(log d)
+   * self-joins of one cached two-column frame (no edge symmetrization, no
+   * per-round groupBy — the cheap special case of connected components
+   * that parent-pointer forests like `duplicateGroups` output allow; on
+   * such a forest the root is the component minimum, because every edge
+   * points to a smaller id).
+   *
+   * Returns (id, parent) with parent fully resolved to the root. One Spark
+   * action per round (change count folded into the materializing
+   * aggregate). OWNERSHIP: result is persisted; the caller should
+   * `unpersist()` it, and the CachedProjections slot bounds accumulation
+   * otherwise.
+   */
+  def resolveForest(
+      mapping: DataFrame, idCol: String, parentCol: String,
+      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    var cur = mapping.select(col(idCol).as("id"), col(parentCol).as("parent"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val l = cur.as("l")
+      val r = cur.as("r")
+      val nextRaw = l.join(r, col("l.parent") === col("r.id"))
+        .select(col("l.id").as("id"), col("r.parent").as("parent"),
+          when(col("r.parent") < col("l.parent"), 1L).otherwise(0L).as("_chg"))
+      val next =
+        if ((it + 1) % 10 == 0) nextRaw.localCheckpoint(false)
+        else nextRaw.persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.agg(coalesce(sum(col("_chg")), lit(0L))).first().getLong(0)
+      cur.unpersist(blocking = false)
+      cur = next
+      it += 1
+    }
+    val result = CachedProjections.swap("forest_result",
+      cur.select(col("id"), col("parent")))
+    result.count()
+    cur.unpersist(blocking = false)
+    result
   }
 
   /**
