@@ -96,4 +96,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 5, p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("dedup pipeline final plan reads the resolved-forest cache, no cartesian products") {
+    val df = SparkEntry.queries("q_dedup_pipeline")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the iterative root resolution ran eagerly during construction; the
+    // returned plan must consume its PERSISTED result, not recompute the
+    // pointer-jumping lineage
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
