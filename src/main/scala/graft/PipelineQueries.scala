@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, ExactDedup, MinHashLSH, SimHash}
-import graft.operators.DatasetSplit
+import graft.operators.{DatasetSplit, Decontamination}
 import graft.sim.Similarity
 import graft.text.TextFunctions
 
@@ -116,6 +116,35 @@ object PipelineQueries {
       val corpus = nearDupCorpus(s, dir)
       Dedup.pipeline(corpus, "doc_id", "text", 0.4)
         .orderBy(col("canonical_id"))
+    }),
+
+    "q_term_rarity" -> ((s, dir) => {
+      // corpus-frequency rarity scoring (CCNet-style quality signal, exact
+      // integer arithmetic): pass 1 aggregates the corpus term-frequency
+      // table, pass 2 joins it back per token and profiles each doc's
+      // min/mean token frequency — docs full of corpus-rare garbage tokens
+      // surface at the bottom. Two shuffles total (term agg, doc re-agg).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      toks.join(freq, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("tf")).as("_tf_sum"),
+          min(col("tf")).as("tf_min"))
+        .select(col("doc_id"), col("n_toks"), col("tf_min"),
+          (col("_tf_sum").cast("double") / col("n_toks")).as("tf_mean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: flag training docs sharing any token
+      // 5-gram with the "eval set" (every 50th doc); eval grams broadcast,
+      // training corpus scanned once
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val eval = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      Decontamination.overlap(docs, eval, "doc_id", "text", 5)
+        .orderBy(col("doc_id"))
     }),
 
     "q_cap_per_source" -> ((s, dir) => {
@@ -831,6 +860,39 @@ object PipelineQueries {
     "q_dedup_incremental" -> incrementalDedupOracle,
     "q_dedup_keep_longest" -> keepLongestOracle,
     "q_dedup_pipeline" -> dedupPipelineOracle,
+
+    // term rarity: identical tokenization; integer freq sums, ONE double
+    // division at the end (exact in both engines)
+    "q_term_rarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${duckToks()}) AS tok FROM documents
+         |),
+         |freq AS (
+         |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+         |)
+         |SELECT t.doc_id,
+         |  count(*) AS n_toks,
+         |  min(f.tf) AS tf_min,
+         |  CAST(sum(f.tf) AS DOUBLE) / count(*) AS tf_mean
+         |FROM toks t JOIN freq f ON t.tok = f.tok
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // decontamination: same token-5-gram hash construction on both sides;
+    // list_intersect against the flattened distinct eval gram list
+    "q_decontaminate" ->
+      s"""WITH ev AS (
+         |  SELECT list(DISTINCT g) AS evg
+         |  FROM (SELECT unnest(${duckShingleSet("text", 5)}) AS g
+         |        FROM documents WHERE doc_id % 50 = 0)
+         |),
+         |tr AS (
+         |  SELECT doc_id, ${duckShingleSet("text", 5)} AS grams FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(grams) AS BIGINT) AS n_grams,
+         |  CAST(len(list_intersect(grams, evg)) AS BIGINT) AS n_contaminated,
+         |  len(list_intersect(grams, evg)) > 0 AS contaminated
+         |FROM tr CROSS JOIN ev ORDER BY doc_id""".stripMargin,
     "q_repetition" -> repetitionOracle,
     "q_pii" -> piiOracle,
     "q_cap_per_source" ->

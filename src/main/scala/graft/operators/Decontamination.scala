@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExpressions
+
+/**
+ * Benchmark decontamination for training corpora: flag every training
+ * document that shares at least one token n-gram with an evaluation/
+ * benchmark set (the standard n-gram-overlap decontamination step of
+ * LLM data pipelines).
+ *
+ * Scale shape: the EVAL side is small by construction (benchmarks are
+ * thousands of documents, not billions), so its distinct hashed n-gram set
+ * broadcasts; the training corpus is scanned ONCE — gram projection,
+ * explode, broadcast left-join, per-doc aggregate — with no shuffle of raw
+ * text and no second pass. Gram hashing reuses the codegen'd
+ * shingle-hash-set kernel of the dedup family, so eval and train sides are
+ * guaranteed hash-compatible.
+ */
+object Decontamination {
+
+  /**
+   * Per-training-doc overlap profile against `eval`:
+   * (id, n_grams, n_contaminated, contaminated) where n_contaminated
+   * counts the doc's DISTINCT n-grams that occur anywhere in the eval set.
+   * Documents shorter than n tokens have n_grams = 0 and are clean.
+   */
+  def overlap(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val evGrams = eval
+      .select(explode(HashExpressions.shingleHashSet(col(textCol), n)).as("g"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    val trGrams = train
+      .select(col(idCol), explode_outer(HashExpressions.shingleHashSet(col(textCol), n)).as("g"))
+    trGrams.join(broadcast(evGrams), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("g")).as("n_grams"), // non-null: short docs stay 0
+        coalesce(sum(col("_hit")), lit(0L)).as("n_contaminated"))
+      .select(col(idCol), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated") > 0L).as("contaminated"))
+  }
+}

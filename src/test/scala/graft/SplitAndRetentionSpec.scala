@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.filter.SparkTestSession
 import graft.dedup.Dedup
-import graft.operators.DatasetSplit
+import graft.operators.{DatasetSplit, Decontamination}
 
 class SplitAndRetentionSpec extends AnyFunSuite with SparkTestSession {
 
@@ -34,6 +34,30 @@ class SplitAndRetentionSpec extends AnyFunSuite with SparkTestSession {
     assert(once.size == 20)
     assert(once.groupBy(_._2).forall(_._2.size == 10))
     assert(once == again, "cap sample not deterministic across partitionings")
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
+    import spark.implicits._
+    def words(from: Int, until: Int): String = (from until until).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, words(0, 20)),              // fully inside the eval doc's range
+      (2L, words(15, 40)),             // overlaps eval grams [15..20)
+      (3L, words(100, 130)),           // disjoint vocabulary -> clean
+      (4L, "too short")                // < n tokens -> 0 grams, clean
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, words(0, 25))).toDF("doc_id", "text")
+
+    val out = Decontamination.overlap(train, eval, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+
+    val byId = out.map(r => r._1 -> r).toMap
+    // doc 1: 16 grams (20 tokens), every one inside eval's 21 grams
+    assert(byId(1L) == ((1L, 16L, 16L, true)), byId(1L))
+    // doc 2 spans w15..w39; eval covers w0..w24, so the 6 grams starting at
+    // w15..w20 (each fully inside w15..w24) overlap
+    assert(byId(2L)._2 == 21L && byId(2L)._3 == 6L && byId(2L)._4, byId(2L))
+    assert(byId(3L) == ((3L, 26L, 0L, false)), byId(3L))
+    assert(byId(4L) == ((4L, 0L, 0L, false)), byId(4L))
   }
 
   test("keepBest keeps the max score per group, smallest id on ties") {
