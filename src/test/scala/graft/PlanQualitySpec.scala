@@ -97,6 +97,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("decontamination broadcasts the eval gram set (training corpus never shuffled by gram)") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the training-side gram explode must NOT hash-partition on the gram —
+    // only the tiny eval side moves
+    assert(!p.contains("hashpartitioning(g#") || p.contains("BroadcastExchange"), p.take(3000))
+  }
+
   test("dedup pipeline final plan reads the resolved-forest cache, no cartesian products") {
     val df = SparkEntry.queries("q_dedup_pipeline")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
