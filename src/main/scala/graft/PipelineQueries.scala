@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, ExactDedup, MinHashLSH, SimHash}
-import graft.operators.{DatasetSplit, Decontamination}
+import graft.operators.{DatasetSplit, Decontamination, LineDedup}
 import graft.sim.Similarity
 import graft.text.TextFunctions
 
@@ -134,6 +134,20 @@ object PipelineQueries {
           min(col("tf")).as("tf_min"))
         .select(col("doc_id"), col("n_toks"), col("tf_min"),
           (col("_tf_sum").cast("double") / col("n_toks")).as("tf_mean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_line_dedup" -> ((s, dir) => {
+      // boilerplate stripping: inject a nav header into every doc and a
+      // cookie banner into every third, then remove lines occurring in
+      // >= 100 distinct docs; originals survive untouched
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("NAV HOME ABOUT CONTACT"), lit("\n"), col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("\nCOOKIE CONSENT NOTICE"))
+            .otherwise(lit(""))).as("text"))
+      LineDedup.removeBoilerplate(docs, "doc_id", "text", 100L)
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          md5(col("text_clean")).as("clean_hash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -876,6 +890,39 @@ object PipelineQueries {
          |  CAST(sum(f.tf) AS DOUBLE) / count(*) AS tf_mean
          |FROM toks t JOIN freq f ON t.tok = f.tok
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // line dedup: identical boilerplate injection, parallel-unnest zip for
+    // (pos, line), distinct-doc HAVING filter, order-preserving string_agg
+    "q_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 'NAV HOME ABOUT CONTACT' || chr(10) || text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'COOKIE CONSENT NOTICE' ELSE '' END AS text
+        |  FROM documents
+        |),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM docs
+        |),
+        |freq AS (
+        |  SELECT line FROM l WHERE trim(line) != ''
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 100
+        |),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM freq)
+        |),
+        |reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(line, chr(10) ORDER BY pos) AS clean
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(string_split(d.text, chr(10))) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(reb.clean, '')) AS clean_hash
+        |FROM docs d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // decontamination: same token-5-gram hash construction on both sides;
     // list_intersect against the flattened distinct eval gram list

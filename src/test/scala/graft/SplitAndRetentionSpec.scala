@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.filter.SparkTestSession
 import graft.dedup.Dedup
-import graft.operators.{DatasetSplit, Decontamination}
+import graft.operators.{DatasetSplit, Decontamination, LineDedup}
 
 class SplitAndRetentionSpec extends AnyFunSuite with SparkTestSession {
 
@@ -58,6 +58,27 @@ class SplitAndRetentionSpec extends AnyFunSuite with SparkTestSession {
     assert(byId(2L)._2 == 21L && byId(2L)._3 == 6L && byId(2L)._4, byId(2L))
     assert(byId(3L) == ((3L, 26L, 0L, false)), byId(3L))
     assert(byId(4L) == ((4L, 0L, 0L, false)), byId(4L))
+  }
+
+  test("line dedup removes corpus-frequent lines, preserves order, never strips blanks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HEADER\nunique alpha\n\nunique beta\nHEADER"),  // header twice in one doc
+      (2L, "HEADER\nunique gamma"),
+      (3L, "HEADER\nunique delta"),
+      (4L, "no header here\n\nat all")
+    ).toDF("doc_id", "text")
+
+    val out = LineDedup.removeBoilerplate(docs, "doc_id", "text", 3L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+
+    // HEADER occurs in docs 1-3 (3 distinct docs >= 3) -> removed everywhere,
+    // including BOTH copies in doc 1; blank lines survive (never boilerplate)
+    assert(out == List(
+      (1L, 5L, 2L, "unique alpha\n\nunique beta"),
+      (2L, 2L, 1L, "unique gamma"),
+      (3L, 2L, 1L, "unique delta"),
+      (4L, 3L, 0L, "no header here\n\nat all")), out)
   }
 
   test("keepBest keeps the max score per group, smallest id on ties") {
