@@ -24,8 +24,10 @@ object LineDedup {
    */
   def removeBoilerplate(
       df: DataFrame, idCol: String, textCol: String, minDocFreq: Long): DataFrame = {
+    // null text behaves as empty: one blank line, nothing removable
+    val text = coalesce(col(textCol), lit(""))
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      posexplode(split(text, "\n")).as(Seq("pos", "line")))
     val frequent = lines.where(trim(col("line")) =!= "")
       .groupBy(col("line"))
       .agg(countDistinct(col(idCol)).as("df_count"))
@@ -37,7 +39,7 @@ object LineDedup {
         concat_ws("\n", transform(
           array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line"))).as("_clean"))
-    df.select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+    df.select(col(idCol), size(split(text, "\n")).cast("long").as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),

@@ -35,6 +35,29 @@ class RobustnessSpec extends AnyFunSuite with SparkTestSession {
     assert(groups(4L) == 4L && groups(3L) == 3L && groups(5L) == 5L, groups)
   }
 
+  test("decontamination and line dedup tolerate null, empty and short documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared line\nunique body one"),
+      (2L, "shared line\nunique body two"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "tiny")).toDF("doc_id", "text")
+
+    val deco = graft.operators.Decontamination
+      .overlap(docs, docs.where($"doc_id" === 1L), "doc_id", "text", 5)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // null/empty/short docs: zero grams, clean, present in the output
+    assert(Seq(3L, 4L, 5L).forall(id => deco(id)._2 == 0L && !deco(id)._4), deco)
+
+    val ld = graft.operators.LineDedup.removeBoilerplate(docs, "doc_id", "text", 2L)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(ld(1L) == ((1L, 2L, 1L, "unique body one")), ld(1L))
+    // null behaves as empty: one blank line, nothing removed, no crash
+    assert(ld(4L) == ((4L, 1L, 0L, "")), ld(4L))
+    assert(ld(3L) == ((3L, 1L, 0L, "")), ld(3L))
+  }
+
   test("cosine contract: zero vectors score 0, never NaN") {
     import spark.implicits._
     val df = Seq(
