@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, ExactDedup, MinHashLSH, SimHash}
-import graft.operators.{DatasetSplit, Decontamination, LineDedup}
+import graft.operators.{CorpusStats, DatasetSplit, Decontamination, LineDedup, Sketches}
 import graft.sim.Similarity
 import graft.text.TextFunctions
 
@@ -389,6 +389,55 @@ object PipelineQueries {
             array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
             x => x.getField("event_type"))).as("seq"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "q_top_ngrams" -> ((s, dir) => {
+      // corpus heavy hitters: most frequent word 2-grams with occurrence and
+      // document frequencies — two-phase partial agg, top-k to the driver
+      CorpusStats.topNGrams(t(s, dir, "documents"), "doc_id", "text", n = 2, k = 50)
+    }),
+
+    "q_stratified_sample" -> ((s, dir) => {
+      // deterministic per-stratum hash-rate sampling toward 50 docs/lang;
+      // per-stratum surviving profile
+      val kept = DatasetSplit.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang", 50L)
+      kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_cms" -> ((s, dir) => {
+      // count-min sketch over the corpus token stream (d=4, w=512), probed
+      // with the 30 highest-frequency tokens; overcount = CMS error, >= 0
+      // by construction
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val sketch = Sketches.countMin(toks, "tok", depth = 4, width = 512)
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok").asc).limit(30)
+      Sketches.cmsEstimate(sketch, freq.select(col("tok")), "tok", depth = 4, width = 512)
+        .join(freq, Seq("tok"))
+        .select(col("tok"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("overcount"))
+        .orderBy(col("tok"))
+    }),
+
+    "q_surprisal" -> ((s, dir) => {
+      // quantized unigram surprisal (integer bit-length arithmetic — exact
+      // at any scale); high mean_bits = rare-token spam, low = boilerplate
+      CorpusStats.surprisal(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_toks"), col("sum_bits"), col("mean_bits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup: k-means cluster the embedding space, drop the higher
+      // centroid-similarity member of every within-cluster pair above the
+      // cosine threshold
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 32, iters = 2, threshold = 0.42)
+        .orderBy(col("vec_id"))
     }),
 
     "q1_pricing" -> ((s, dir) => {
@@ -890,6 +939,88 @@ object PipelineQueries {
          |  CAST(sum(f.tf) AS DOUBLE) / count(*) AS tf_mean
          |FROM toks t JOIN freq f ON t.tok = f.tok
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // heavy hitters: identical 2-gram construction; counts are native
+    // BIGINT; ties cannot survive the per-gram aggregation
+    "q_top_ngrams" ->
+      s"""WITH toks AS (SELECT doc_id, ${duckToks()} AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+         |    THEN list_transform(range(len(tk) - 1),
+         |                        i -> array_to_string(list_slice(tk, i+1, i+2), ' '))
+         |    ELSE [] END) AS gram
+         |  FROM toks)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM grams GROUP BY gram
+         |ORDER BY n_occurrences DESC, gram ASC LIMIT 50""".stripMargin,
+
+    // stratified sample: same md5-bucket integer arithmetic, same integer
+    // keep-threshold floor(target*10000/n)
+    "q_stratified_sample" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |keep AS (
+         |  SELECT d.lang, d.doc_id, d.n_chars FROM documents d JOIN cnt USING (lang)
+         |  WHERE ${duckHash("CAST(d.doc_id AS VARCHAR)")} % 10000
+         |        < least(10000, (50 * 10000) // n))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // count-min sketch: identical salted md5 cell hashes, integer counts
+    // end to end; min over the probe's depth cells
+    "q_cms" ->
+      s"""WITH toks AS (SELECT unnest(${duckToks()}) AS tok FROM documents),
+         |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (
+         |  SELECT tok, r, ${duckHash("CAST(r AS VARCHAR) || ':' || tok")} % 512 AS c
+         |  FROM toks CROSS JOIN rows_),
+         |sketch AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY r, c),
+         |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY tok
+         |         ORDER BY true_cnt DESC, tok ASC LIMIT 30),
+         |probe AS (
+         |  SELECT f.tok, f.true_cnt, r.r,
+         |         ${duckHash("CAST(r.r AS VARCHAR) || ':' || f.tok")} % 512 AS c
+         |  FROM freq f CROSS JOIN rows_ r),
+         |est AS (
+         |  SELECT p.tok, p.true_cnt, min(s.cnt) AS est_cnt
+         |  FROM probe p JOIN sketch s ON s.r = p.r AND s.c = p.c
+         |  GROUP BY p.tok, p.true_cnt)
+         |SELECT tok, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+         |FROM est ORDER BY tok""".stripMargin,
+
+    // surprisal: integer bit-length arithmetic (length(bin(total div tf))-1)
+    // replayed exactly; the mean is ONE IEEE division of identical values
+    "q_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${duckToks()}) AS tok FROM documents),
+         |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM freq),
+         |terms AS (
+         |  SELECT t.doc_id, CAST(length(bin(total // tf)) - 1 AS BIGINT) AS bits
+         |  FROM toks t JOIN freq USING (tok) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |       CAST(sum(bits) AS BIGINT) AS sum_bits,
+         |       CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup: k-means replay (shared CTEs) -> rounded centroid cosine;
+    // within-cell pairs above threshold drop the higher-centroid-sim member
+    // (ties drop the larger id), replaying the Spark CASE exactly
+    "q_semdedup" ->
+      s"""WITH ${kmeansReplayCtes(iters = 2, dim = 64)},
+         |sims AS (
+         |  SELECT s.vec_id, s.cell, s.cv,
+         |         ROUND(${cosineSql("s.cv", "c.cvec")}, 6) AS csim
+         |  FROM cellsf s JOIN cf c ON c.cid = s.cell),
+         |removed AS (
+         |  SELECT DISTINCT CASE WHEN a.csim > b.csim THEN a.vec_id ELSE b.vec_id END AS vec_id
+         |  FROM sims a JOIN sims b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${cosineSql("a.cv", "b.cv")}, 6) >= 0.42)
+         |SELECT s.vec_id, s.cell, s.csim AS centroid_sim,
+         |       (r.vec_id IS NOT NULL) AS removed
+         |FROM sims s LEFT JOIN removed r ON r.vec_id = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
 
     // line dedup: identical boilerplate injection, parallel-unnest zip for
     // (pos, line), distinct-doc HAVING filter, order-preserving string_agg

@@ -20,7 +20,8 @@ object Verify {
   private val costOrder: Seq[String] = Seq(
     "q_split", "q_cap_per_source", "q_vector_fns", "q_fingerprint", "q_quality",
     "q_token_count", "q_repetition", "q_pii", "q_lang_id",
-    "q_dedup_exact", "q_term_rarity", "q_decontaminate", "q_line_dedup", "q_window_agg",
+    "q_dedup_exact", "q_stratified_sample", "q_top_ngrams", "q_surprisal", "q_cms",
+    "q_term_rarity", "q_decontaminate", "q_line_dedup", "q_window_agg",
     "q_sessionize", "q_event_sequences",
     "q1_pricing", "q3_shipping", "q_rand_gaussian",
     "q_ngram_jaccard", "q_pmm", "q_ann_topk", "q_ukf", "q_raukf", "q_ckf", "q_rts",
@@ -29,7 +30,7 @@ object Verify {
     "q_lkf_blr", "q_ekf", "q_lkf_llt", "q_outlier", "q_lms",
     "q_dedup_simhash", "q_mmae", "q_ann_ivf", "q_ann_ivf_kmeans",
     "q_dedup_minhash", "q_dedup_minhash_groups", "q_dedup_incremental",
-    "q_dedup_keep_longest", "q_dedup_pipeline")
+    "q_dedup_keep_longest", "q_dedup_pipeline", "q_semdedup")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

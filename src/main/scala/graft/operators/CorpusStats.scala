@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/**
+ * Corpus-level statistical profiling for training-data curation: heavy
+ * hitters (most frequent word n-grams) and a quantized unigram surprisal
+ * score (a CCNet-style "how surprising is this doc under the corpus unigram
+ * LM" quality signal).
+ *
+ * Scale shape: both operators are one or two hash aggregations with
+ * map-side partial aggregation — shuffle volume is bounded by the vocabulary
+ * (or n-gram vocabulary), never by the corpus row count. The heavy-hitter
+ * top-k is a TakeOrderedAndProject (k rows to the driver, nothing else).
+ * All arithmetic is integer (counts, bit lengths), so results are exactly
+ * replayable in any engine regardless of partitioning or fold order.
+ */
+object CorpusStats {
+
+  /**
+   * Top-k most frequent word n-grams corpus-wide with occurrence and
+   * document frequencies. Deterministic total order: count desc, then gram
+   * asc (grams are unique after aggregation, so ties cannot survive).
+   *
+   * Two-phase by construction: partial counts per partition, one shuffle of
+   * (gram, partial) pairs, TakeOrderedAndProject for the top-k — the classic
+   * distributed heavy-hitter plan.
+   */
+  def topNGrams(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1)
+    df.select(col(idCol).as("_doc"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("_doc")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /**
+   * Quantized unigram surprisal per document: each token contributes
+   * floor(log2(total_tokens / its_corpus_frequency)) bits — rare tokens are
+   * "surprising" (many bits), stopwords contribute ~0. Gibberish and
+   * rare-token spam surface with high mean bits; boilerplate sits low.
+   *
+   * floor(log2(x)) is computed as length(bin(x)) - 1 over the INTEGER
+   * quotient total div tf — pure integer arithmetic end to end (the only
+   * double is the final mean, a single correctly-rounded IEEE division), so
+   * the score is bit-exact under any partitioning and replayable in SQL
+   * engines without trusting libm rounding.
+   *
+   * Plan: one token-frequency aggregation (vocabulary-sized shuffle), a
+   * 1-row total, then one join of the token stream against the frequency
+   * table and a per-doc re-aggregation — the same two-shuffle shape as the
+   * term-rarity profile.
+   */
+  def surprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).as("total"))
+    toks.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("bits", (length(bin(expr("total div tf"))) - 1).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_bits", col("sum_bits").cast("double") / col("n_toks"))
+  }
+}

@@ -52,6 +52,31 @@ object DatasetSplit {
       .drop(rk)
   }
 
+  /**
+   * Deterministic stratified sampling: keep ~`target` rows per stratum by
+   * hash-thresholding. Per stratum with n rows the keep-rate is
+   * min(1, target/n), applied as `md5-bucket(id) mod 10000 < floor(target *
+   * 10000 / n)` — pure integer arithmetic, so the sample is reproducible,
+   * growth-stable per stratum size, auditable, and replayable in any engine
+   * (none of which holds for sampleBy's RNG). Strata smaller than `target`
+   * pass through whole.
+   *
+   * Plan shape: one tiny per-stratum count aggregate (|strata| rows)
+   * broadcast back onto the fact table; the keep decision itself is a
+   * map-side projection — the corpus is scanned once and never shuffled.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String, target: Long): DataFrame = {
+    require(target > 0)
+    val n = Iterator.from(0).map(i => s"_n$i").find(!df.columns.contains(_)).get
+    val th = Iterator.from(0).map(i => s"_th$i").find(!df.columns.contains(_)).get
+    val rates = df.groupBy(col(stratumCol)).agg(count(lit(1)).as(n))
+      .withColumn(th, least(lit(10000L), expr(s"(CAST($target AS BIGINT) * 10000) div $n")))
+      .drop(n)
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(TextFunctions.stableHash(col(idCol).cast("string")) % 10000 < col(th))
+      .drop(th)
+  }
+
   /** STREAMING twin of `capPerGroup`: admission-control cap. The batch cap's
     * deterministic lowest-hash selection needs the whole group in hand, so
     * it cannot stream; the streaming-natural semantics is "admit the first k
