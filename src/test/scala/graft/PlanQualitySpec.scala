@@ -105,6 +105,35 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("hashpartitioning(g#") || p.contains("BroadcastExchange"), p.take(3000))
   }
 
+  test("stratified sample broadcasts the per-stratum rates; fact side is map-only") {
+    val p = plan("q_stratified_sample")
+    // the rate join must broadcast (the final profile agg may shuffle — it
+    // carries only surviving rows); a sort-merge rate join would shuffle
+    // the whole corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("count-min estimate broadcasts the finished sketch to the probes") {
+    val p = plan("q_cms")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("heavy hitters: partial aggregation before the gram shuffle, top-k take-ordered") {
+    val p = plan("q_top_ngrams")
+    assert(p.contains("partial_"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("semDedup: map-side cell assignment, corpus shuffles only on the cell key") {
+    val p = plan("q_semdedup")
+    // assignment is the native nearest_centroid projection, not a join
+    assert(p.contains("nearest_centroid"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the centroid table rides as a broadcast, never a shuffled join side
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("dedup pipeline final plan reads the resolved-forest cache, no cartesian products") {
     val df = SparkEntry.queries("q_dedup_pipeline")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
