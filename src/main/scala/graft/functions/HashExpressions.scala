@@ -145,6 +145,38 @@ case class SimHashFingerprint(child: Expression, bits: Int)
   * kernel (HashKernels.shingleHashSet) inside whole-stage codegen. Returns an
   * EMPTY array (never null) for null text or docs shorter than n tokens,
   * matching TextFunctions.shingleHashSet exactly. */
+/** All word n-grams of a text column as strings (in order, with duplicates)
+  * in one kernel pass — the heavy-hitter / n-gram LM input. The declarative
+  * transform(sequence(...), concat_ws(slice(...))) formulation runs its
+  * lambdas interpreted per gram; this stays in whole-stage codegen. */
+case class WordNGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "word_ngrams"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    HashKernels.INSTANCE.wordNGrams(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("hashKernels", HashKernels.INSTANCE, "graft.functions.HashKernels")
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = $kernels.wordNGrams(
+          ${childGen.isNull} ? null : ${childGen.value}, $n);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGramsExpr =
+    copy(child = newChild)
+}
+
 case class ShingleHashSetExpr(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -288,6 +320,10 @@ object HashExpressions {
   /** Column wrapper: distinct word-n-gram shingle-hash set of a text column. */
   def shingleHashSet(text: Column, n: Int): Column =
     Bridge.column(ShingleHashSetExpr(Bridge.expression(text), n))
+
+  /** Column wrapper: all word n-grams (in order, with duplicates). */
+  def wordNGrams(text: Column, n: Int): Column =
+    Bridge.column(WordNGramsExpr(Bridge.expression(text), n))
 
   /** Column wrapper: one-pass duplicate-n-gram stats {n1,d1,n2,d2,n3,d3}. */
   def ngramStats(text: Column): Column =

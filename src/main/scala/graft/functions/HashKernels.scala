@@ -79,6 +79,30 @@ class HashKernels extends Serializable {
     v >>> 4
   }
 
+  /** All word n-grams as strings, in order WITH duplicates (the heavy-hitter
+    * input); EMPTY array for null text or fewer than n tokens, matching the
+    * declarative `when(size(toks) >= n, transform(...)).otherwise(array())`. */
+  def wordNGrams(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = tokenize(text)
+    if (toks.length < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Distinct word-n-gram shingle hashes, first-occurrence order; EMPTY array
     * for null text or fewer than n tokens (matching the
     * `when(...).otherwise(array())` of the declarative form). */

@@ -32,7 +32,7 @@ object CorpusStats {
   def topNGrams(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1)
     df.select(col(idCol).as("_doc"),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+        explode(graft.functions.HashExpressions.wordNGrams(col(textCol), n)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("_doc")).as("n_docs"))
