@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Dedup, ExactDedup, MinHashLSH, SimHash}
-import graft.operators.{CorpusStats, DatasetSplit, Decontamination, LineDedup, Sketches}
+import graft.operators.{CorpusStats, CurationFunnel, DatasetSplit, Decontamination, LineDedup, ShardPacking, Sketches}
 import graft.sim.Similarity
 import graft.text.TextFunctions
 
@@ -429,6 +429,26 @@ object PipelineQueries {
       CorpusStats.surprisal(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_toks"), col("sum_bits"), col("mean_bits"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q_pack_shards" -> ((s, dir) => {
+      // sequence packing: docs -> fixed-budget training shards (20k chars)
+      // within (split, lang) groups; per-shard manifest profile
+      val d = DatasetSplit.withSplit(t(s, dir, "documents"), "doc_id", 80, 10)
+      ShardPacking.withShard(d, "doc_id", "n_chars", Seq("split", "lang"), 20000L)
+        .groupBy(col("split"), col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"), col("lang"), col("shard"))
+    }),
+
+    "q_curation_funnel" -> ((s, dir) => {
+      // the whole curation funnel in one pass: length -> token count ->
+      // repetition -> decontamination, with per-stage survivor counts
+      val docs = t(s, dir, "documents")
+      val eval = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      CurationFunnel.funnel(docs, eval, "doc_id", "text", "n_chars",
+        minChars = 200L, minToks = 45L, maxToks = 10000L, maxDupPct = 6L)
     }),
 
     "q_semdedup" -> ((s, dir) => {
@@ -1003,6 +1023,64 @@ object PipelineQueries {
          |       CAST(sum(bits) AS BIGINT) AS sum_bits,
          |       CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // shard packing: split replay + window cumsum (BIGINT cast!) + integer
+    // offset-bucket division
+    "q_pack_shards" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    ${duckHash("CAST(doc_id AS VARCHAR)")} % 100 AS bkt
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM b),
+         |o AS (
+         |  SELECT split, lang, doc_id, n_chars,
+         |    CAST(sum(n_chars) OVER (PARTITION BY split, lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS off
+         |  FROM d)
+         |SELECT split, lang, CAST(off // 20000 AS BIGINT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM o GROUP BY split, lang, shard
+         |ORDER BY split, lang, shard""".stripMargin,
+
+    // curation funnel: per-doc survival level via the same integer stats
+    // (token/2-gram counts, hashed-5-gram contamination), then one unnest
+    // per surviving stage
+    "q_curation_funnel" ->
+      s"""WITH ev AS (
+         |  SELECT list(DISTINCT g) AS evg
+         |  FROM (SELECT unnest(${duckShingleSet("text", 5)}) AS g
+         |        FROM documents WHERE doc_id % 50 = 0)
+         |),
+         |base AS (
+         |  SELECT doc_id, n_chars, ${duckToks()} AS tk,
+         |         ${duckShingleSet("text", 5)} AS g5
+         |  FROM documents),
+         |stats AS (
+         |  SELECT doc_id, n_chars,
+         |    len(tk) AS n1,
+         |    CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS n2,
+         |    CASE WHEN len(tk) >= 2 THEN len(list_distinct(
+         |      list_transform(range(len(tk) - 1),
+         |        i -> array_to_string(list_slice(tk, i+1, i+2), ' ')))) ELSE 0 END AS d2,
+         |    len(list_intersect(g5, evg)) > 0 AS contaminated
+         |  FROM base CROSS JOIN ev),
+         |lvl AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN n_chars < 200 THEN 0
+         |         WHEN n1 < 45 OR n1 > 10000 THEN 1
+         |         WHEN (n2 - d2) * 100 > n2 * 6 THEN 2
+         |         WHEN contaminated THEN 3
+         |         ELSE 4 END AS level
+         |  FROM stats),
+         |st AS (SELECT n_chars, unnest(range(level + 1)) AS stage FROM lvl)
+         |SELECT CAST(stage AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
 
     // SemDeDup: k-means replay (shared CTEs) -> rounded centroid cosine;
     // within-cell pairs above threshold drop the higher-centroid-sim member

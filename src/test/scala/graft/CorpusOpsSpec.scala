@@ -67,6 +67,59 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(2L) == ((2L, 4L, 3L, 0.75)), out(2L))
   }
 
+  test("shard packing: non-final shards stay within one doc weight of capacity") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, "g", 70L)).toDF("id", "grp", "w")
+    val sh = graft.operators.ShardPacking.withShard(docs, "id", "w", Seq("grp"), 200L)
+      .groupBy($"shard").agg(sum($"w").as("tot"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // offsets 0,70,140 land in shard 0 (the 140-doc straddles into bucket 1)
+    assert(sh.head == ((0L, 210L, 3L)), sh.toSeq)
+    // non-final shards: capacity - maxw < weight < capacity + maxw
+    sh.dropRight(1).foreach { case (_, tot, _) =>
+      assert(tot > 130L && tot < 270L, sh.toSeq)
+    }
+    // total conserved — every doc lands in exactly one shard
+    assert(sh.map(_._2).sum == 7000L)
+  }
+
+  test("shard packing is independent across groups and rejects global packing") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", 50L), (2L, "b", 50L), (3L, "a", 50L)).toDF("id", "grp", "w")
+    val out = graft.operators.ShardPacking.withShard(docs, "id", "w", Seq("grp"), 40L)
+      .select($"id", $"shard").as[(Long, Long)].collect().toMap
+    // each group starts its own shard 0; b's single doc can't see a's offsets
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L), out)
+    intercept[IllegalArgumentException] {
+      graft.operators.ShardPacking.withShard(docs, "id", "w", Seq(), 40L)
+    }
+  }
+
+  test("curation funnel stages are cumulative and monotonically decreasing") {
+    import spark.implicits._
+    // all-unique tokens: zero duplicate 2-grams, > 45 tokens, > 200 chars
+    val good = (1 to 60).map(i => f"alpha$i%03d").mkString(" ")
+    val evalDoc = (1 to 60).map(i => f"omega$i%03d").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                     // survives everything
+      (2L, "short"),                                  // fails length
+      (3L, (1 to 30).map(i => f"verylong$i%04d").mkString(" ")), // < 45 toks
+      (4L, "spam ham " * 60),                         // dup 2-grams ~98%
+      (50L, evalDoc)).toDF("doc_id", "text")          // eval member: contaminated
+      .withColumn("n_chars", length($"text").cast("long"))
+    val eval = docs.where($"doc_id" === 50L)
+    val f = graft.operators.CurationFunnel
+      .funnel(docs, eval, "doc_id", "text", "n_chars",
+        minChars = 200L, minToks = 45L, maxToks = 10000L, maxDupPct = 6L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val n = f.map(_._2)
+    assert(n.head == 5L)                               // stage 0 = input
+    assert(n.zip(n.tail).forall { case (a, b) => b <= a }, f.toSeq)
+    assert(n.last == 1L, f.toSeq)                      // only doc 1 survives
+    // doc 2 dies at length, 3 at tokens, 4 at repetition, 50 at decontam
+    assert(n.toSeq == Seq(5L, 4L, 3L, 2L, 1L), f.toSeq)
+  }
+
   test("semDedup keeps the lower-centroid-similarity member of a near-dup pair") {
     import spark.implicits._
     // two tight clusters far apart; ids 1/2 nearly identical, 3 distinct
