@@ -96,10 +96,12 @@ object Soak {
     // data would measure the known quadratic on purpose-missized clusters,
     // not the operator's scaling design.
     val rows = rows0 :+ {
+      // hierAssign: flat nearest-centroid is O(N·k) per pass — with k ∝ N
+      // that's the hidden quadratic; two-level routing is O(N·sqrt(k))
       def semdedup(dir: String, k: Int): Long =
         graft.sim.Similarity.semDedup(
             spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-            k = k, iters = 2, threshold = 0.42)
+            k = k, iters = 2, threshold = 0.42, hierAssign = true)
           .queryExecution.toRdd.count()
       semdedup(baseDir, 32) // warm
       val t0 = System.nanoTime(); val brows = semdedup(baseDir, 32)

@@ -165,6 +165,104 @@ class CentroidKernel(val cids: Array[Long], val flat: Array[Double], val dim: In
   }
 }
 
+/**
+ * Two-level nearest-centroid assignment: argmax cosine over `kc` coarse
+ * cells, then exact argmax over only the fine centroids routed to that
+ * coarse cell — O(kc + k/kc) dot products per row instead of O(k). This is
+ * the FAISS-style trick that lets a quantizer's cluster count track the
+ * corpus (k ∝ N, SemDeDup's constant-occupancy regime) without the flat
+ * scan's quadratic N·k assignment term. Approximate near coarse-cell
+ * boundaries; a pure per-row function, so deterministic under any
+ * partitioning.
+ */
+class HierCentroidKernel(
+    val coarseFlat: Array[Double], val kc: Int, val dim: Int,
+    val fineCids: Array[Long], val fineFlat: Array[Double],
+    val segStart: Array[Int], val segIdx: Array[Int],
+    val probes: Int = 4) extends Serializable {
+
+  private val coarseNorms: Array[Double] = Array.tabulate(kc) { c =>
+    var acc = 0.0; var j = 0
+    while (j < dim) { val v = coarseFlat(c * dim + j); acc += v * v; j += 1 }
+    math.sqrt(acc)
+  }
+  private val fineNorms: Array[Double] = Array.tabulate(fineCids.length) { c =>
+    var acc = 0.0; var j = 0
+    while (j < dim) { val v = fineFlat(c * dim + j); acc += v * v; j += 1 }
+    math.sqrt(acc)
+  }
+
+  def nearest(vec: ArrayData): Long = {
+    val n = vec.numElements()
+    val m = math.min(dim, n)
+    var nv2 = 0.0
+    var i = 0
+    while (i < n) { val v = vec.getDouble(i); nv2 += v * v; i += 1 }
+    val nv = math.sqrt(nv2)
+    // level 1: multi-probe coarse routing — keep the top `probes` cells
+    // (ties -> smaller coarse index), misses only when the true cell's
+    // centroid ranks below all probed ones for this vector
+    val p = math.min(probes, kc)
+    val topIdx = new Array[Int](p)
+    val topSim = Array.fill(p)(Double.NegativeInfinity)
+    var c = 0
+    while (c < kc) {
+      var d = 0.0; var j = 0
+      while (j < m) { d += vec.getDouble(j) * coarseFlat(c * dim + j); j += 1 }
+      val sim = if (coarseNorms(c) > 0.0 && nv > 0.0) d / (nv * coarseNorms(c)) else 0.0
+      // insertion into the tiny top-p list
+      var slot = -1
+      var t = p - 1
+      while (t >= 0 && sim > topSim(t)) { slot = t; t -= 1 }
+      if (slot >= 0) {
+        var u = p - 1
+        while (u > slot) { topSim(u) = topSim(u - 1); topIdx(u) = topIdx(u - 1); u -= 1 }
+        topSim(slot) = sim; topIdx(slot) = c
+      }
+      c += 1
+    }
+    // level 2: exact argmax within the probed segments (ties -> smallest cid)
+    var bestFine = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var pi = 0
+    while (pi < p) {
+      if (topSim(pi) > Double.NegativeInfinity) {
+        var s = segStart(topIdx(pi))
+        val e = segStart(topIdx(pi) + 1)
+        while (s < e) {
+          val f = segIdx(s)
+          var d = 0.0; var j = 0
+          while (j < m) { d += vec.getDouble(j) * fineFlat(f * dim + j); j += 1 }
+          val sim = if (fineNorms(f) > 0.0 && nv > 0.0) d / (nv * fineNorms(f)) else 0.0
+          if (sim > bestFine || (sim == bestFine && fineCids(f) < bestCid)) {
+            bestFine = sim; bestCid = fineCids(f)
+          }
+          s += 1
+        }
+      }
+      pi += 1
+    }
+    bestCid
+  }
+}
+
+case class NearestCentroidHierExpr(child: Expression, kernel: HierCentroidKernel)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid_hier"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.nearest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hierCentroidKernel", kernel, "graft.functions.HierCentroidKernel")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.nearest($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidHierExpr =
+    copy(child = newChild)
+}
+
 /** Nearest-centroid cell id of a vector column against a fixed centroid set
   * (IVF coarse quantizer assignment). One kernel call per row inside
   * whole-stage codegen; the centroid matrix rides along as a codegen
@@ -242,4 +340,8 @@ object VectorExpressions {
   /** Sign-bucket of `vec` against a plane matrix (row-major planes x dim). */
   def hyperplaneBucket(vec: Column, flat: Array[Double], planes: Int, dim: Int): Column =
     Bridge.column(HyperplaneBucketExpr(Bridge.expression(vec), new PlaneKernel(flat, planes, dim)))
+
+  /** Two-level (coarse -> fine-segment) nearest-centroid assignment. */
+  def nearestCentroidHier(vec: Column, kernel: HierCentroidKernel): Column =
+    Bridge.column(NearestCentroidHierExpr(Bridge.expression(vec), kernel))
 }

@@ -120,6 +120,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(n.toSeq == Seq(5L, 4L, 3L, 2L, 1L), f.toSeq)
   }
 
+  test("hierarchical cell assignment routes to the flat argmax for nearly all vectors") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfTrainKMeans(emb, "vec_id", "embedding", 32, iters = 2)
+    val both = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("flat", Similarity.ivfCellExpr($"v", cents))
+      .withColumn("hier", Similarity.ivfCellExprHier($"v", cents))
+    val n = both.count()
+    val agree = both.where($"flat" === $"hier").count()
+    // two-level routing is approximate only near coarse boundaries
+    assert(agree.toDouble / n >= 0.9, s"$agree / $n")
+    // determinism: repartitioning never changes a single assignment
+    val h1 = both.select($"vec_id", $"hier").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = both.repartition(13).select($"vec_id", $"hier").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2)
+  }
+
   test("semDedup keeps the lower-centroid-similarity member of a near-dup pair") {
     import spark.implicits._
     // two tight clusters far apart; ids 1/2 nearly identical, 3 distinct
