@@ -37,9 +37,14 @@ object CurationFunnel {
         st.getField("n1").as("_n1"), st.getField("n2").as("_n2"),
         st.getField("d2").as("_d2"))
       .join(deco, Seq(idCol))
+    // null text -> null kernel stats; coalesce to 0 so such docs fail the
+    // token-count stage instead of null-skipping every WHEN into stage 4
+    val n1 = coalesce(col("_n1"), lit(0L))
+    val n2 = coalesce(col("_n2"), lit(0L))
+    val d2 = coalesce(col("_d2"), lit(0L))
     val level = when(col("_chars") < minChars, 0L)
-      .when(col("_n1") < minToks || col("_n1") > maxToks, 1L)
-      .when((col("_n2") - col("_d2")) * 100 > col("_n2") * maxDupPct, 2L)
+      .when(n1 < minToks || n1 > maxToks, 1L)
+      .when((n2 - d2) * 100 > n2 * maxDupPct, 2L)
       .when(col("contaminated"), 3L)
       .otherwise(4L)
     flagged.withColumn("_level", level)

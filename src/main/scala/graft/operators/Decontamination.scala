@@ -44,4 +44,28 @@ object Decontamination {
       .select(col(idCol), col("n_grams"), col("n_contaminated"),
         (col("n_contaminated") > 0L).as("contaminated"))
   }
+
+  /** Distinct hashed n-gram set of an eval corpus, collected to the driver —
+    * benchmarks are small by construction (thousands of docs), so this is a
+    * bounded model, exactly like a trained quantizer. */
+  def evalGrams(eval: DataFrame, textCol: String, n: Int = 5): Array[Long] =
+    eval.select(explode(HashExpressions.shingleHashSet(col(textCol), n)).as("g"))
+      .distinct().orderBy(col("g")).collect().map(_.getLong(0))
+
+  /**
+   * MAP-ONLY variant of `overlap` against a driver-held eval gram set: the
+   * same (id, n_grams, n_contaminated, contaminated) profile as a pure
+   * per-row projection — no join, no aggregation, no state. This is the
+   * streaming-natural form (run it unchanged on a readStream) and the
+   * cheapest batch form when the eval set is already collected; semantics
+   * are identical to `overlap` (StreamingCorpusOpsSpec proves it).
+   */
+  def overlapMap(
+      train: DataFrame, grams: Array[Long],
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val g = HashExpressions.shingleHashSet(col(textCol), n)
+    val hits = size(array_intersect(g, lit(grams)))
+    train.select(col(idCol), size(g).cast("long").as("n_grams"),
+      hits.cast("long").as("n_contaminated"), (hits > 0).as("contaminated"))
+  }
 }

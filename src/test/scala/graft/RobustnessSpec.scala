@@ -58,6 +58,25 @@ class RobustnessSpec extends AnyFunSuite with SparkTestSession {
     assert(ld(3L) == ((3L, 1L, 0L, "")), ld(3L))
   }
 
+  test("curation funnel counts null-text docs at stage 0 even with lying metadata") {
+    import spark.implicits._
+    val good = (1 to 60).map(i => f"beta$i%03d").mkString(" ")
+    // doc 4 claims 300 chars but has null text: the null kernel stats must
+    // fail it at the token stage, not null-skip it into full survival
+    val docs = Seq((1L, good, good.length.toLong), (4L, null.asInstanceOf[String], 300L))
+      .toDF("doc_id", "text", "n_chars")
+    val eval = docs.where($"doc_id" === -1L) // empty eval set
+    val f = graft.operators.CurationFunnel
+      .funnel(docs, eval, "doc_id", "text", "n_chars")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).map(r => r._1 -> (r._2, r._3)).toMap
+    assert(f(0L) == ((2L, good.length.toLong + 300L)), f) // both docs at stage 0
+    // the null-text doc passes length (its metadata says 300 chars) but the
+    // null kernel stats fail it at the TOKEN stage: present at 1, gone at 2
+    assert(f(1L) == ((2L, good.length.toLong + 300L)), f)
+    assert(f(2L) == ((1L, good.length.toLong)), f)
+    assert(f(4L) == ((1L, good.length.toLong)), f)
+  }
+
   test("cosine contract: zero vectors score 0, never NaN") {
     import spark.implicits._
     val df = Seq(

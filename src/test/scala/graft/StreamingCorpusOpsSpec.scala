@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.operators.{Decontamination, Sketches}
+
+/**
+ * Batch ≡ streaming for the round-5 corpus operators:
+ *  - the count-min sketch is an incremental aggregate — streamed counts
+ *    after any number of micro-batches equal the batch sketch of the union;
+ *  - decontamination against a driver-held eval gram set is a STATELESS
+ *    MAP (`overlapMap`), so the same code runs unchanged on a stream and
+ *    agrees with the aggregating batch form (`overlap`) row for row.
+ */
+class StreamingCorpusOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("count-min sketch accumulates incrementally on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq.fill(30)("alpha") ++ Seq.fill(10)("beta") ++ (1 to 50).map(i => s"n$i")
+    val batch2 = Seq.fill(20)("alpha") ++ (51 to 90).map(i => s"n$i")
+
+    val expected = Sketches.countMin((batch1 ++ batch2).toDF("tok"), "tok", 4, 64)
+      .as[(Int, Long, Long)].collect().toSet
+
+    val stream = MemoryStream[String]
+    val sq = Sketches.countMin(stream.toDS().toDF("tok"), "tok", 4, 64)
+      .writeStream.format("memory").queryName("cms_parity").outputMode("complete").start()
+    stream.addData(batch1)
+    sq.processAllAvailable()
+    stream.addData(batch2)
+    sq.processAllAvailable()
+    val streamed = spark.table("cms_parity").as[(Int, Long, Long)].collect().toSet
+    sq.stop()
+
+    assert(streamed == expected)
+  }
+
+  test("map-only decontamination equals the aggregating form and streams unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, "the secret benchmark answer key sequence here")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a clean document with plenty of ordinary words inside it"),
+      (2L, "contains the secret benchmark answer key sequence here verbatim"),
+      (3L, "tiny"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+    val viaAgg = Decontamination.overlap(docs, evalDocs, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Boolean)].collect().sorted
+    val grams = Decontamination.evalGrams(evalDocs, "text", 5)
+    val viaMap = Decontamination.overlapMap(docs, grams, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Boolean)].collect().sorted
+    assert(viaAgg.toSeq == viaMap.toSeq, s"agg=${viaAgg.toSeq} map=${viaMap.toSeq}")
+    assert(viaMap.find(_._1 == 2L).get._4) // the contaminated doc is flagged
+
+    val stream = MemoryStream[(Long, String)]
+    val sq = Decontamination.overlapMap(stream.toDS().toDF("doc_id", "text"), grams, "doc_id", "text", 5)
+      .writeStream.format("memory").queryName("deco_parity").outputMode("append").start()
+    stream.addData(Seq((1L, "a clean document with plenty of ordinary words inside it")))
+    sq.processAllAvailable()
+    stream.addData(Seq((2L, "contains the secret benchmark answer key sequence here verbatim")))
+    sq.processAllAvailable()
+    val streamed = spark.table("deco_parity").as[(Long, Long, Long, Boolean)].collect().sorted
+    sq.stop()
+    assert(streamed.toSeq == viaMap.filter(r => r._1 == 1L || r._1 == 2L).toSeq)
+  }
+}
