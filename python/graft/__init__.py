@@ -147,3 +147,100 @@ class PoissonMixture(_JvmEstimator):
 class BernoulliMixture(_JvmEstimator):
     """graft.mixture.BernoulliMixture(mixtureCount)."""
     _jvm_class = "graft.mixture.BernoulliMixture"
+
+
+# ---------------------------------------------------------------------------
+# Pipeline operators (graft.operators / graft.dedup / graft.sim): module-level
+# functions over pyspark DataFrames. Scala object methods compile with fixed
+# arity, so every argument is passed explicitly (no keyword defaults cross
+# py4j). All compute stays in the JVM.
+
+def _module(spark, name):
+    obj = spark._jvm
+    for part in name.split("."):
+        obj = getattr(obj, part)
+    return getattr(obj, "MODULE$")
+
+
+def _str_seq(df, items):
+    jvm = df.sparkSession._jvm
+    return jvm.PythonUtils.toSeq(list(items))
+
+
+def _wrap(df, jdf):
+    return DataFrame(jdf, df.sparkSession)
+
+
+def with_split(df, id_col, train_pct=80, val_pct=10):
+    """Deterministic md5-bucket train/val/test split (adds a `split` column)."""
+    m = _module(df.sparkSession, "graft.operators.DatasetSplit$")
+    return _wrap(df, m.withSplit(df._jdf, id_col, train_pct, val_pct))
+
+
+def cap_per_group(df, id_col, group_col, k):
+    """Cap each group at k rows by deterministic lowest-hash sampling."""
+    m = _module(df.sparkSession, "graft.operators.DatasetSplit$")
+    return _wrap(df, m.capPerGroup(df._jdf, id_col, group_col, k))
+
+
+def stratified_sample(df, id_col, stratum_col, target):
+    """Keep ~target rows per stratum by integer hash-thresholding."""
+    m = _module(df.sparkSession, "graft.operators.DatasetSplit$")
+    return _wrap(df, m.stratifiedSample(df._jdf, id_col, stratum_col, target))
+
+
+def with_shard(df, id_col, weight_col, group_cols, capacity):
+    """Sequence packing: assign docs to fixed-budget shards within groups."""
+    m = _module(df.sparkSession, "graft.operators.ShardPacking$")
+    return _wrap(df, m.withShard(df._jdf, id_col, weight_col,
+                                 _str_seq(df, group_cols), capacity))
+
+
+def remove_boilerplate(df, id_col, text_col, min_doc_freq):
+    """Strip lines occurring in >= min_doc_freq distinct docs."""
+    m = _module(df.sparkSession, "graft.operators.LineDedup$")
+    return _wrap(df, m.removeBoilerplate(df._jdf, id_col, text_col, min_doc_freq))
+
+
+def decontaminate(train, eval_df, id_col, text_col, n=5):
+    """Per-doc token-n-gram overlap profile against an eval/benchmark set."""
+    m = _module(train.sparkSession, "graft.operators.Decontamination$")
+    return _wrap(train, m.overlap(train._jdf, eval_df._jdf, id_col, text_col, n))
+
+
+def curation_funnel(docs, eval_df, id_col, text_col, chars_col,
+                    min_chars=200, min_toks=30, max_toks=10000, max_dup_pct=30):
+    """Per-stage survivor counts for the length/token/repetition/decontam funnel."""
+    m = _module(docs.sparkSession, "graft.operators.CurationFunnel$")
+    return _wrap(docs, m.funnel(docs._jdf, eval_df._jdf, id_col, text_col,
+                                chars_col, min_chars, min_toks, max_toks, max_dup_pct))
+
+
+def top_ngrams(df, id_col, text_col, n, k):
+    """Top-k most frequent word n-grams with occurrence + doc frequencies."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.topNGrams(df._jdf, id_col, text_col, n, k))
+
+
+def surprisal(df, id_col, text_col):
+    """Quantized unigram surprisal (integer bits) per document."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.surprisal(df._jdf, id_col, text_col))
+
+
+def dedup_pipeline(df, id_col, text_col, threshold,
+                   num_hashes=32, bands=8, shingle=3, max_iters=20):
+    """Star LSH -> root resolution -> keep-longest; one row per final group."""
+    jvm = df.sparkSession._jvm
+    lsh = jvm.graft.dedup.MinHashLSH(num_hashes, bands, shingle)
+    m = _module(df.sparkSession, "graft.dedup.Dedup$")
+    return _wrap(df, m.pipeline(df._jdf, id_col, text_col, float(threshold),
+                                lsh, max_iters))
+
+
+def sem_dedup(df, id_col, vec_col, k, iters, threshold,
+              round_to=6, hier_assign=False):
+    """SemDeDup over an embedding column; set hier_assign once k is large."""
+    m = _module(df.sparkSession, "graft.sim.Similarity$")
+    return _wrap(df, m.semDedup(df._jdf, id_col, vec_col, k, iters,
+                                threshold, round_to, hier_assign))

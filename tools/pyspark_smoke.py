@@ -102,4 +102,51 @@ assert 0.0 < lo < 7.0 and hi > 12.0, m
 print("PASS GMM: means=%.2f / %.2f (true modes 3 / 20)" % (lo, hi))
 
 print("PASS: all graft py4j wrappers (LKF, RLS, GMM) driven from PySpark")
+
+# ------------------------------------------------- pipeline operator wrappers
+
+from graft import (with_split, stratified_sample, top_ngrams, surprisal,
+                   dedup_pipeline, curation_funnel, sem_dedup, with_shard)
+
+docs = spark.createDataFrame(
+    [(i, " ".join("tok%03d" % ((i * 37 + j) % 120) for j in range(60)),
+      "en" if i % 2 == 0 else "de") for i in range(40)] +
+    [(1000 + i, " ".join("tok%03d" % ((i * 37 + j) % 120) for j in range(55)),
+      "en") for i in range(3)],  # near-dups of docs 0-2 (shared 55-token prefix)
+    "doc_id long, text string, lang string"
+).withColumn("n_chars", F.length("text").cast("long"))
+
+sp = with_split(docs, "doc_id").groupBy("split").count().collect()
+assert {r["split"] for r in sp} <= {"train", "val", "test"} and sum(r["count"] for r in sp) == 43
+print("PASS with_split:", sorted((r["split"], r["count"]) for r in sp))
+
+st = stratified_sample(docs, "doc_id", "lang", 10)
+assert 0 < st.count() <= 43
+tn = top_ngrams(docs, "doc_id", "text", 2, 5).collect()
+assert len(tn) == 5 and tn[0]["n_occurrences"] >= tn[-1]["n_occurrences"]
+su = surprisal(docs, "doc_id", "text")
+assert su.count() == 43
+print("PASS stratified_sample/top_ngrams/surprisal")
+
+dp = dedup_pipeline(docs, "doc_id", "text", 0.4)
+groups = {r["canonical_id"]: r["n_members"] for r in dp.collect()}
+assert any(n >= 2 for n in groups.values()), groups  # the injected near-dups fold
+fu = curation_funnel(docs, docs.limit(0), "doc_id", "text", "n_chars",
+                     200, 30, 10000, 30)
+stages = {r["stage"]: r["n_docs"] for r in fu.collect()}
+assert stages[0] == 43 and all(stages[k] <= stages[k - 1] for k in range(1, 5))
+print("PASS dedup_pipeline/curation_funnel:", stages)
+
+emb = spark.createDataFrame(
+    [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(30)] +
+    [(100 + i, [float((i * 7 + d) % 13) + 0.001 for d in range(8)]) for i in range(3)],
+    "vec_id long, embedding array<float>")
+sd = sem_dedup(emb, "vec_id", "embedding", 4, 1, 0.999, 6, False)
+removed = sd.where("removed").count()
+assert removed >= 3, removed  # the three injected twins collapse
+sh = with_shard(docs, "doc_id", "n_chars", ["lang"], 2000)
+assert sh.groupBy("lang", "shard").count().count() > 2
+print("PASS sem_dedup/with_shard (removed=%d)" % removed)
+
+print("PASS: pipeline operator wrappers (split/sample/ngrams/surprisal/dedup/funnel/semdedup/shards)")
 spark.stop()
