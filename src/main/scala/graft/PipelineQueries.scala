@@ -486,6 +486,26 @@ object PipelineQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      // point-in-interval join WITHOUT a nested-loop plan: every 50th
+      // order opens a 7-day window; lineitems bucket by epoch-day div 7
+      // and equi-join, exact range check as residual. Per-window profile.
+      val days = (c: Column) => datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("long")
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), days(col("l_shipdate")).as("d"))
+      val ivs = t(s, dir, "orders").where(pmod(col("o_orderkey"), lit(50)) === 0)
+        .select(col("o_orderkey"), days(col("o_orderdate")).as("w_start"))
+        .withColumn("w_end", col("w_start") + 6L)
+      graft.operators.RangeJoin.pointInInterval(pts, ivs, "d", "w_start", "w_end", 7L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_pts"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").as("sum_qty"),
+          min(col("d") - col("w_start")).as("min_off"),
+          max(col("d") - col("w_start")).as("max_off"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // temporal alignment: each lineitem picks the most recent order (by
       // orderdate <= shipdate) in its group; groups interleave in time so
@@ -1023,6 +1043,24 @@ object PipelineQueries {
          |       CAST(sum(bits) AS BIGINT) AS sum_bits,
          |       CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // range join: the oracle needs no buckets — a BETWEEN join is exact;
+    // the Spark side's bucketing is a plan-shape device, not semantics
+    "q_range_join" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_quantity,
+        |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d
+        |  FROM lineitem),
+        |ivs AS (
+        |  SELECT o_orderkey,
+        |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS w_start
+        |  FROM orders WHERE o_orderkey % 50 = 0)
+        |SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_pts,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(min(d - w_start) AS BIGINT) AS min_off,
+        |  CAST(max(d - w_start) AS BIGINT) AS max_off
+        |FROM pts JOIN ivs ON d BETWEEN w_start AND w_start + 6
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     // shard packing: split replay + window cumsum (BIGINT cast!) + integer
     // offset-bucket division

@@ -138,6 +138,23 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(h1 == h2)
   }
 
+  test("range join matches a nested-loop reference and never plans one") {
+    import spark.implicits._
+    val pts = (0L until 200L).map(t => (t, s"p$t")).toDF("t", "p")
+    // overlapping, boundary-touching, empty and point-sized intervals
+    val ivs = Seq((1L, 10L, 20L), (2L, 15L, 40L), (3L, 20L, 20L),
+      (4L, 500L, 600L), (5L, 0L, 6L)).toDF("iv", "s", "e")
+    val out = graft.operators.RangeJoin.pointInInterval(pts, ivs, "t", "s", "e", 8L)
+    val got = out.select($"iv", $"t").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (iv, s, e) <- Seq((1L, 10L, 20L), (2L, 15L, 40L), (3L, 20L, 20L), (4L, 500L, 600L), (5L, 0L, 6L))
+      t <- 0L until 200L if t >= s && t <= e
+    } yield (iv, t)).toSet
+    assert(got == want)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("semDedup keeps the lower-centroid-similarity member of a near-dup pair") {
     import spark.implicits._
     // two tight clusters far apart; ids 1/2 nearly identical, 3 distinct
