@@ -55,5 +55,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2, "simhash_fingerprint(toks, bits)")
         SimHashFingerprint(args.head, intArg(args(1), "simhash_fingerprint"))
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGramsExpr].getName, "word_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "word_ngrams(text, n)")
+        WordNGramsExpr(args.head, intArg(args(1), "word_ngrams"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_stats"),
+      new ExpressionInfo(classOf[NGramStatsExpr].getName, "ngram_stats"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "ngram_stats(text)")
+        NGramStatsExpr(args.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "rolling_hash(hashes)")
+        RollingHashExpr(args.head)
+      }))
   }
 }

@@ -30,11 +30,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT size(shingle_hash_set(text, 3)) AS n_shingles,
           |       size(token_hash_array(text, 60)) AS n_toks,
           |       size(minhash_signature(shingle_hash_set(text, 3), 32)) AS sig_len,
-          |       simhash_fingerprint(token_hash_array(text, 60), 60) AS sh
+          |       simhash_fingerprint(token_hash_array(text, 60), 60) AS sh,
+          |       word_ngrams(text, 2) AS grams,
+          |       ngram_stats(text).n1 AS n1,
+          |       rolling_hash(token_hash_array(text, 31)) AS rh
           |FROM docs""".stripMargin).head()
       assert(row.getInt(0) == 5) // 7 shingles, 2 duplicates
       assert(row.getInt(1) == 9)
       assert(row.getInt(2) == 32)
+      assert(row.getSeq[String](4).length == 8 && row.getSeq[String](4).head == "the quick")
+      assert(row.getLong(5) == 9L)
+      assert(row.getLong(6) != 0L)
       val viaColumn = Seq("the quick brown fox jumps the quick brown fox").toDF("text")
         .select(graft.dedup.SimHash.simhash(org.apache.spark.sql.functions.col("text")))
         .head().getLong(0)
