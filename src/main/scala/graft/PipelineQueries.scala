@@ -431,6 +431,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_weighted_sample" -> ((s, dir) => {
+      // length-proportional sampling (token-budget curation): keep docs
+      // with probability min(1, n_chars/500); per-lang surviving profile
+      val kept = DatasetSplit.sampleProportional(t(s, dir, "documents"), "doc_id", "n_chars", 500L)
+      kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_percentiles" -> ((s, dir) => {
+      // exact per-lang length distribution: percentile_disc semantics by
+      // integer rank selection (no interpolation, deterministic on ties)
+      CorpusStats.percentilesDisc(t(s, dir, "documents"), "lang", "n_chars", "doc_id",
+        Seq(10, 25, 50, 75, 90))
+    }),
+
     "q_pack_shards" -> ((s, dir) => {
       // sequence packing: docs -> fixed-budget training shards (20k chars)
       // within (split, lang) groups; per-shard manifest profile
@@ -1043,6 +1060,30 @@ object PipelineQueries {
          |       CAST(sum(bits) AS BIGINT) AS sum_bits,
          |       CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // weighted sample: same integer threshold bucket(id) < w*10000 div W
+    "q_weighted_sample" ->
+      s"""WITH keep AS (
+         |  SELECT lang, doc_id, n_chars FROM documents
+         |  WHERE ${duckHash("CAST(doc_id AS VARCHAR)")} % 10000
+         |        < least(10000, n_chars * 10000 // 500))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_id
+         |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // percentiles: identical integer rank selection over the same
+    // (value, id) total order — percentile_disc semantics, no interpolation
+    "q_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |qs AS (SELECT unnest([10, 25, 50, 75, 90]) AS q)
+        |SELECT lang, CAST(q AS BIGINT) AS q, n_chars
+        |FROM ranked CROSS JOIN qs
+        |WHERE rk - 1 = ((n - 1) * q) // 100
+        |ORDER BY lang, q""".stripMargin,
 
     // range join: the oracle needs no buckets — a BETWEEN join is exact;
     // the Spark side's bucketing is a plan-shape device, not semantics

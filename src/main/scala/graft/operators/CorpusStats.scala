@@ -57,6 +57,33 @@ object CorpusStats {
    * table and a per-doc re-aggregation — the same two-shuffle shape as the
    * term-rarity profile.
    */
+  /**
+   * Exact per-group order statistics (percentile_disc semantics): for each
+   * quantile q (percent), the value at rank floor((n-1)*q/100) in the
+   * group's (value, id) order — pure integer selection, no interpolation
+   * arithmetic to disagree across engines, deterministic under ties.
+   *
+   * Scale shape: ONE shuffle (the window's partitioning on the group key)
+   * with an external sort — no per-group materialization (a
+   * sort_array(collect_list(...)) formulation holds whole groups in memory
+   * and dies on a 100 TB group); the count joins back group-local.
+   */
+  def percentilesDisc(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 100))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))
+    val ranked = df.select(col(groupCol), col(valueCol), col(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    ranked.select(col(groupCol), col(valueCol), col("_rk"), col("_n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .where(col("_rk") - 1 === expr("(_n - 1) * q div 100"))
+      .select(col(groupCol), col("q").cast("long").as("q"), col(valueCol))
+      .orderBy(col(groupCol), col("q"))
+  }
+
   def surprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))

@@ -77,6 +77,21 @@ object DatasetSplit {
       .drop(th)
   }
 
+  /**
+   * Weight-proportional deterministic sampling: keep each row with
+   * probability min(1, weight/fullWeight), decided by the integer md5
+   * threshold `bucket(id) mod 10000 < weight * 10000 div fullWeight`. The
+   * standard token-budget trick (sample docs ∝ length so kept TOKENS, not
+   * kept docs, follow the budget) made reproducible and replayable. Pure
+   * map — no shuffle, no state; weights must be non-negative integers.
+   */
+  def sampleProportional(
+      df: DataFrame, idCol: String, weightCol: String, fullWeight: Long): DataFrame = {
+    require(fullWeight > 0)
+    df.where(TextFunctions.stableHash(col(idCol).cast("string")) % 10000 <
+      least(lit(10000L), expr(s"$weightCol * 10000 div $fullWeight")))
+  }
+
   /** STREAMING twin of `capPerGroup`: admission-control cap. The batch cap's
     * deterministic lowest-hash selection needs the whole group in hand, so
     * it cannot stream; the streaming-natural semantics is "admit the first k

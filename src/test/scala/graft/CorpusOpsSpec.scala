@@ -138,6 +138,34 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(h1 == h2)
   }
 
+  test("proportional sampling keeps heavy rows surely and zero-weight rows never") {
+    import spark.implicits._
+    val docs = (1L to 1000L).map(i => (i, if (i <= 100) 0L else if (i <= 200) 1000L else 250L))
+      .toDF("id", "w")
+    val kept = graft.operators.DatasetSplit.sampleProportional(docs, "id", "w", 1000L)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(kept.intersect((1L to 100L).toSet).isEmpty)      // weight 0: never
+    assert((101L to 200L).forall(kept.contains))            // weight >= full: always
+    val frac = kept.count(_ > 200L).toDouble / 800.0        // weight 1/4: ~25%
+    assert(frac > 0.15 && frac < 0.35, frac)
+    // deterministic: a second run keeps the identical set
+    val again = graft.operators.DatasetSplit.sampleProportional(docs, "id", "w", 1000L)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(again == kept)
+  }
+
+  test("percentilesDisc selects exact order statistics per group") {
+    import spark.implicits._
+    // group g: values 10..19 (n=10): p0=10, p50 -> rank (9*50)/100=4 -> 14,
+    // p100 -> rank 9 -> 19; singleton group: every q returns the value
+    val df = ((0 until 10).map(i => ("g", 10L + i, i.toLong)) :+ (("s", 7L, 99L)))
+      .toDF("grp", "v", "id")
+    val out = graft.operators.CorpusStats.percentilesDisc(df, "grp", "v", "id", Seq(0, 50, 100))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("g", 0L, 10L), ("g", 50L, 14L), ("g", 100L, 19L),
+      ("s", 0L, 7L), ("s", 50L, 7L), ("s", 100L, 7L)), out)
+  }
+
   test("range join matches a nested-loop reference and never plans one") {
     import spark.implicits._
     val pts = (0L until 200L).map(t => (t, s"p$t")).toDF("t", "p")
