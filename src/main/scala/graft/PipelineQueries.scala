@@ -431,6 +431,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_gopher_rules" -> ((s, dir) => {
+      // Gopher quality rules with deterministic defect injection so every
+      // rule fires: every 7th doc gets '#' spam, every 11th a bullet wall,
+      // every 13th digit-run spam (the oracle replays the same enrichment)
+      val enriched = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" " + "# " * 40)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit("\n- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\n- ten" * 4))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit(" "), repeat(lit("12345 907 "), 30))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            repeat(lit("\nwait for it..."), 40)).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(19)) === 0,
+            concat(lit(" "), repeat(lit("x q z j k "), 40))).otherwise(lit(""))).as("text"))
+      graft.text.QualityRules.gopherFlags(enriched, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_weighted_sample" -> ((s, dir) => {
       // length-proportional sampling (token-budget curation): keep docs
       // with probability min(1, n_chars/500); per-lang surviving profile
@@ -1060,6 +1080,50 @@ object PipelineQueries {
          |       CAST(sum(bits) AS BIGINT) AS sum_bits,
          |       CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Gopher rules: identical enrichment, token/line/regex counts in the
+    // Java-regex ∩ RE2 common subset, integer cross-multiplied ratios
+    "q_gopher_rules" -> {
+      val stop = TextFunctions.EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' ' || repeat('# ', 40) ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN repeat(chr(10) || '- one' || chr(10) || '- two' ||
+         |      chr(10) || '- three' || chr(10) || '- four' || chr(10) || '- five' || chr(10) ||
+         |      '- six' || chr(10) || '- seven' || chr(10) || '- eight' || chr(10) || '- nine' ||
+         |      chr(10) || '- ten', 4) ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 0 THEN ' ' || repeat('12345 907 ', 30) ELSE '' END ||
+         |    CASE WHEN doc_id % 17 = 0 THEN repeat(chr(10) || 'wait for it...', 40) ELSE '' END ||
+         |    CASE WHEN doc_id % 19 = 0 THEN ' ' || repeat('x q z j k ', 40) ELSE '' END AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, ${duckToks()} AS tk,
+         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+         |    CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]')) AS BIGINT) AS n_bullet,
+         |    CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS BIGINT) AS n_ell,
+         |    CAST(len(regexp_extract_all(text, '\\b[0-9]+\\b')) AS BIGINT) AS n_digit
+         |  FROM docs),
+         |s AS (
+         |  SELECT doc_id, n_lines, n_sym, n_bullet, n_ell, n_digit,
+         |    CAST(len(tk) AS BIGINT) AS n_toks,
+         |    CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS BIGINT) AS len_sum,
+         |    CAST(len(list_filter(tk, x -> list_contains($stop, x))) AS BIGINT) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, n_toks, len_sum, stop_hits, n_lines, n_sym, n_bullet, n_ell, n_digit,
+         |  (n_toks >= 50 AND n_toks <= 100000) AS r_words,
+         |  (len_sum >= n_toks * 3 AND len_sum <= n_toks * 10) AS r_mean_len,
+         |  (n_sym * 10 <= n_toks) AS r_symbols,
+         |  (n_bullet * 10 <= n_lines * 9) AS r_bullets,
+         |  (n_ell * 10 <= n_lines * 3) AS r_ellipsis,
+         |  ((n_toks - n_digit) * 10 >= n_toks * 8) AS r_alpha,
+         |  (stop_hits >= 2) AS r_stopwords,
+         |  ((n_toks >= 50 AND n_toks <= 100000) AND (len_sum >= n_toks * 3 AND len_sum <= n_toks * 10)
+         |   AND (n_sym * 10 <= n_toks) AND (n_bullet * 10 <= n_lines * 9)
+         |   AND (n_ell * 10 <= n_lines * 3) AND ((n_toks - n_digit) * 10 >= n_toks * 8)
+         |   AND (stop_hits >= 2)) AS pass_all
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     // weighted sample: same integer threshold bucket(id) < w*10000 div W
     "q_weighted_sample" ->

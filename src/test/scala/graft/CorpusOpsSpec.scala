@@ -166,6 +166,32 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
       ("s", 0L, 7L), ("s", 50L, 7L), ("s", 100L, 7L)), out)
   }
 
+  test("gopher rules flag exactly the injected defect per document") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => f"gamma$i%03d").mkString(" ") + " the of and"
+    val docs = Seq(
+      (1L, base),                                    // passes everything
+      (2L, "too short the of"),                      // r_words
+      (3L, base + " " + "# " * 20),                  // r_symbols
+      (4L, base + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n- k\n- l"), // r_bullets
+      (5L, base + "\nmore..." * 10),                 // r_ellipsis
+      (6L, base + " " + "42 77 901 5 88 13 6 200 31 7 " * 5), // r_alpha
+      (7L, (1 to 60).map(i => f"delta$i%03d").mkString(" "))) // r_stopwords
+      .toDF("doc_id", "text")
+    val f = graft.text.QualityRules.gopherFlags(docs, "doc_id", "text")
+      .select($"doc_id", $"r_words", $"r_symbols", $"r_bullets", $"r_ellipsis",
+        $"r_alpha", $"r_stopwords", $"pass_all")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(f(1L)._8, f(1L))
+    assert(!f(2L)._2 && !f(2L)._8)
+    assert(!f(3L)._3 && f(3L)._2)
+    assert(!f(4L)._4 && f(4L)._3)
+    assert(!f(5L)._5 && f(5L)._4)
+    assert(!f(6L)._6 && f(6L)._5)
+    assert(!f(7L)._7 && f(7L)._6)
+  }
+
   test("range join matches a nested-loop reference and never plans one") {
     import spark.implicits._
     val pts = (0L until 200L).map(t => (t, s"p$t")).toDF("t", "p")
