@@ -244,3 +244,29 @@ def sem_dedup(df, id_col, vec_col, k, iters, threshold,
     m = _module(df.sparkSession, "graft.sim.Similarity$")
     return _wrap(df, m.semDedup(df._jdf, id_col, vec_col, k, iters,
                                 threshold, round_to, hier_assign))
+
+
+def sample_proportional(df, id_col, weight_col, full_weight):
+    """Keep rows with probability min(1, w/full_weight), md5-deterministic."""
+    m = _module(df.sparkSession, "graft.operators.DatasetSplit$")
+    return _wrap(df, m.sampleProportional(df._jdf, id_col, weight_col, full_weight))
+
+
+def percentiles_disc(df, group_col, value_col, id_col, qs):
+    """Exact per-group order statistics (percentile_disc by rank selection)."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.percentilesDisc(df._jdf, group_col, value_col, id_col,
+                                       _str_seq(df, [int(q) for q in qs])))
+
+
+def gopher_flags(df, id_col, text_col):
+    """Gopher quality-rule flags (7 rules + pass_all) per document."""
+    m = _module(df.sparkSession, "graft.text.QualityRules$")
+    return _wrap(df, m.gopherFlags(df._jdf, id_col, text_col))
+
+
+def range_join(points, intervals, t_col, start_col, end_col, bucket_width):
+    """Point-in-interval join via interval bucketing (no nested-loop plan)."""
+    m = _module(points.sparkSession, "graft.operators.RangeJoin$")
+    return _wrap(points, m.pointInInterval(points._jdf, intervals._jdf,
+                                           t_col, start_col, end_col, bucket_width))

@@ -149,4 +149,20 @@ assert sh.groupBy("lang", "shard").count().count() > 2
 print("PASS sem_dedup/with_shard (removed=%d)" % removed)
 
 print("PASS: pipeline operator wrappers (split/sample/ngrams/surprisal/dedup/funnel/semdedup/shards)")
+
+# -------------------------------------------------- round-5 wave-3 wrappers
+
+from graft import sample_proportional, percentiles_disc, gopher_flags, range_join
+
+ws = sample_proportional(docs, "doc_id", "n_chars", 200)
+assert 0 < ws.count() <= docs.count()
+pc = percentiles_disc(docs, "lang", "n_chars", "doc_id", [0, 50, 100]).collect()
+assert len(pc) == 6 and all(r["q"] in (0, 50, 100) for r in pc)
+gf = gopher_flags(docs, "doc_id", "text")
+assert gf.where("pass_all").count() >= 0 and "r_words" in gf.columns
+ivs = spark.createDataFrame([(1, 0, 100), (2, 50, 150)], "iv long, s long, e long")
+pts2 = spark.createDataFrame([(i,) for i in range(0, 200, 10)], "t long")
+rj = range_join(pts2, ivs, "t", "s", "e", 64)
+assert rj.count() == 11 + 11  # 0..100 by 10 in iv1, 50..150 by 10 in iv2
+print("PASS sample_proportional/percentiles_disc/gopher_flags/range_join")
 spark.stop()
