@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Dedup, ExactDedup, MinHashLSH, SimHash}
+import graft.dedup.{Dedup, ExactDedup, MinHashLSH, SimHash, SubstringDedup}
 import graft.operators.{CorpusStats, CurationFunnel, DatasetSplit, Decontamination, LineDedup, ShardPacking, Sketches}
 import graft.sim.Similarity
 import graft.text.TextFunctions
@@ -577,6 +577,46 @@ object PipelineQueries {
         .agg(sum(col("l_extendedprice").cast(d2) * (one - col("l_discount").cast(d2)))
           .cast("decimal(30,4)").cast("double").as("revenue"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    "q_substring_dedup" -> ((s, dir) => {
+      // exact repeated-substring profile (Lee et al. 2021 signal): 40-char
+      // windows, winnowing-style content-keyed 1-in-10 selection (offset-
+      // invariant), over the near-dup corpus; a kept window hash seen in
+      // >=2 distinct docs marks corpus-duplicated content
+      SubstringDedup.repeatedWindowProfile(nearDupCorpus(s, dir), "doc_id", "text", 40, 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_redact_pii" -> ((s, dir) => {
+      // actual PII redaction (same enrichment as q_pii so there is PII to
+      // redact); verified byte-exact via md5 of the redacted text
+      val d = t(s, dir, "documents")
+      val enriched = concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" see https://example.org/d/"), col("doc_id"))).otherwise(lit("")),
+        lit(" ref "), (col("doc_id") * 1234567L + 7654321L).cast("string"))
+      val red = TextFunctions.redactPii(enriched)
+      d.select(
+          col("doc_id"),
+          md5(red).as("redacted_md5"),
+          (length(enriched) - length(red)).cast("long").as("n_chars_delta"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_tfidf" -> ((s, dir) => {
+      // per-doc top-3 TF-IDF terms, idf as integer bit-length (libm-free)
+      CorpusStats.tfIdfTop(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    "q_quantize" -> ((s, dir) => {
+      // int8 absmax quantization audit profile over the embedding table
+      graft.sim.Quantization.int8Profile(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1449,6 +1489,92 @@ object PipelineQueries {
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |  AND l_shipdate > o_orderdate
         |GROUP BY o_orderkey, o_orderdate
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // repeated-substring: identical 40-char every-position windowing with
+    // the same content-keyed 1-in-10 selection; a kept hash in >=2
+    // distinct docs is "repeated" — pure md5 + integer arithmetic
+    "q_substring_dedup" ->
+      s"""WITH c AS (
+         |$nearDupCorpusSql
+         |),
+         |w AS (
+         |  SELECT doc_id, h FROM (
+         |    SELECT doc_id, md5(substring(text, CAST(p AS INT), 40)) AS h
+         |    FROM (SELECT doc_id, text,
+         |            unnest(range(1, CAST(length(text) AS BIGINT) - 38, 1)) AS p
+         |          FROM c WHERE length(text) >= 40))
+         |  WHERE CAST(('0x' || substring(h, 1, 8)) AS BIGINT) % 10 = 0
+         |),
+         |d AS (SELECT h, 1 AS dup FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT w.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN d.dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+         |  sum(CASE WHEN d.dup IS NOT NULL THEN 1 ELSE 0 END) > 0 AS has_repeat
+         |FROM w LEFT JOIN d USING (h)
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    // redaction: identical enrichment as q_pii, then the same two
+    // regexp_replace passes (RE2 'g' flag = Java replace-all), md5 compare
+    "q_redact_pii" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ' see https://example.org/d/' || doc_id ELSE '' END
+         |    || ' ref ' || (doc_id * 1234567 + 7654321) AS t
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id, t,
+         |    regexp_replace(
+         |      regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+         |      '[0-9]{7,}', '<ID>', 'g') AS red
+         |  FROM e
+         |)
+         |SELECT doc_id, md5(red) AS redacted_md5,
+         |       CAST(length(t) - length(red) AS BIGINT) AS n_chars_delta
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // tf-idf: integer bit-length idf (length(bin(n div df)) - 1), BIGINT
+    // score, ties broken on the term — no floating point anywhere
+    "q_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${duckToks()}) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY tok),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT doc_id, tok, tf,
+         |         tf * CAST(length(bin(n_docs // dfc)) - 1 AS BIGINT) AS score
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+         |),
+         |r AS (
+         |  SELECT doc_id, tok, tf, score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+         |  FROM sc
+         |)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, score
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // int8 quantization: float->double casts are exact, (v*127)/scale is
+    // one IEEE multiply + divide, floor(x+0.5) is the rounding rule —
+    // every output column integer, replayed op-for-op
+    "q_quantize" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, embedding,
+         |         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale
+         |  FROM embeddings
+         |)
+         |SELECT vec_id,
+         |  CAST(len(embedding) AS BIGINT) AS dim,
+         |  CAST(CASE WHEN scale > 0
+         |    THEN list_sum(list_transform(embedding,
+         |           v -> CAST(floor((CAST(v AS DOUBLE) * 127.0) / scale + 0.5) AS BIGINT)))
+         |    ELSE 0 END AS BIGINT) AS checksum,
+         |  CAST(CASE WHEN scale > 0
+         |    THEN len(list_filter(embedding,
+         |           v -> abs(CAST(floor((CAST(v AS DOUBLE) * 127.0) / scale + 0.5) AS BIGINT)) = 127))
+         |    ELSE 0 END AS BIGINT) AS n_sat,
+         |  CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_micro
+         |FROM q ORDER BY vec_id""".stripMargin
   )
 }

@@ -84,6 +84,36 @@ object CorpusStats {
       .orderBy(col(groupCol), col("q"))
   }
 
+  /**
+   * Quantized TF-IDF with per-document top-k terms: idf is the integer
+   * floor(log2(n_docs / doc_freq)) — length(bin(n div df)) - 1, the same
+   * libm-free bit-length arithmetic as [[surprisal]] — and the score is
+   * tf * idf_bits, a BIGINT. Exactly replayable in any engine; ranking
+   * ties break on the term string, so the top-k is fully deterministic.
+   *
+   * Plan: (doc, term) tf aggregation, a vocabulary-sized doc-frequency
+   * aggregation derived from it, a 1-row broadcast count, one join, and a
+   * window partitioned by document (per-doc groups are vocabulary-of-one-
+   * doc sized — no skew). Shuffle volume tracks distinct (doc, term)
+   * pairs, never raw token count, thanks to map-side partial aggregation.
+   */
+  def tfIdfTop(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * (length(bin(expr("n_docs div dfc"))) - 1).cast("long"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("tok").asc)))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("rk").cast("long").as("rk"), col("tok"), col("tf"), col("score"))
+  }
+
   def surprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))

@@ -119,6 +119,18 @@ object TextFunctions {
   def longDigitRunCount(text: Column): Column =
     regexp_count(text, lit("[0-9]{7,}"))
 
+  /** PII redaction (not just triage): emails then long digit runs are
+    * replaced with typed placeholder tokens, in that fixed order (emails
+    * contain digits, so the sequence matters and is part of the contract).
+    * Patterns stay within the Java-regex ∩ RE2 common subset so the
+    * redacted bytes are replayable — and auditable — in any engine.
+    * Map-side only: a projection, no shuffle, whole-stage codegen. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+", "<EMAIL>"),
+      "[0-9]{7,}", "<ID>")
+
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
 
