@@ -270,3 +270,32 @@ def range_join(points, intervals, t_col, start_col, end_col, bucket_width):
     m = _module(points.sparkSession, "graft.operators.RangeJoin$")
     return _wrap(points, m.pointInInterval(points._jdf, intervals._jdf,
                                            t_col, start_col, end_col, bucket_width))
+
+
+def substring_profile(df, id_col, text_col, width=40, rate=10):
+    """Per-doc repeated-substring profile: winnowing-sampled fixed-width
+    window hashes, flagged when shared by >=2 distinct docs."""
+    m = _module(df.sparkSession, "graft.dedup.SubstringDedup$")
+    return _wrap(df, m.repeatedWindowProfile(df._jdf, id_col, text_col, width, rate))
+
+
+def redact_pii(col):
+    """Column -> Column: emails then long digit runs replaced by
+    <EMAIL>/<ID> placeholder tokens (replay-exact regex subset)."""
+    from pyspark.sql.column import Column as _PyCol
+    from pyspark.sql import SparkSession as _S
+    spark = _S.getActiveSession()
+    m = _module(spark, "graft.text.TextFunctions$")
+    return _PyCol(m.redactPii(col._jc))
+
+
+def tfidf_top(df, id_col, text_col, k):
+    """Top-k TF-IDF terms per document (integer bit-length idf)."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.tfIdfTop(df._jdf, id_col, text_col, k))
+
+
+def quantize_int8(df, vec_col):
+    """Adds per-vector absmax `scale` and int8-range `qvec` code columns."""
+    m = _module(df.sparkSession, "graft.sim.Quantization$")
+    return _wrap(df, m.withInt8(df._jdf, vec_col))

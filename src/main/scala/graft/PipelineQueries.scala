@@ -1491,20 +1491,30 @@ object PipelineQueries {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY o_orderkey""".stripMargin,
 
-    // repeated-substring: identical 40-char every-position windowing with
-    // the same content-keyed 1-in-10 selection; a kept hash in >=2
-    // distinct docs is "repeated" — pure md5 + integer arithmetic
-    "q_substring_dedup" ->
+    // repeated-substring: replay the winnowed rolling hash per position as
+    // a direct modular polynomial (sum of codepoint * B^(39-j) mod M — the
+    // rolling update computes the same value), same 1-in-10 self-selection;
+    // a kept hash in >=2 distinct docs is "repeated" — integer-exact
+    "q_substring_dedup" -> {
+      val M = graft.functions.HashKernels.WinnowM
+      val B = graft.functions.HashKernels.WinnowB
+      val pows = new Array[Long](40)
+      pows(39) = 1L
+      for (k <- 38 to 0 by -1) pows(k) = pows(k + 1) * B % M
+      val powsList = pows.mkString("[", ", ", "]")
       s"""WITH c AS (
          |$nearDupCorpusSql
          |),
          |w AS (
          |  SELECT doc_id, h FROM (
-         |    SELECT doc_id, md5(substring(text, CAST(p AS INT), 40)) AS h
+         |    SELECT doc_id,
+         |      list_sum(list_transform(range(40),
+         |        j -> (CAST(ord(substring(text, CAST(p + j AS INT), 1)) AS BIGINT)
+         |              * (($powsList)[j + 1])) % $M)) % $M AS h
          |    FROM (SELECT doc_id, text,
          |            unnest(range(1, CAST(length(text) AS BIGINT) - 38, 1)) AS p
          |          FROM c WHERE length(text) >= 40))
-         |  WHERE CAST(('0x' || substring(h, 1, 8)) AS BIGINT) % 10 = 0
+         |  WHERE h % 10 = 0
          |),
          |d AS (SELECT h, 1 AS dup FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
          |SELECT w.doc_id,
@@ -1512,7 +1522,8 @@ object PipelineQueries {
          |  CAST(sum(CASE WHEN d.dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
          |  sum(CASE WHEN d.dup IS NOT NULL THEN 1 ELSE 0 END) > 0 AS has_repeat
          |FROM w LEFT JOIN d USING (h)
-         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+    },
 
     // redaction: identical enrichment as q_pii, then the same two
     // regexp_replace passes (RE2 'g' flag = Java replace-all), md5 compare

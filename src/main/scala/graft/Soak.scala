@@ -35,7 +35,10 @@ object Soak {
     Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_minhash_groups",
       "q_dedup_pipeline",
       "q_ann_ivf", "q_asof_join", "q_lkf_llt", "q_repetition",
-      "q_top_ngrams", "q_surprisal", "q_line_dedup")
+      "q_top_ngrams", "q_surprisal", "q_line_dedup",
+      // round-5 wave 4: per-position hashing (CPU-bound scan) + two aggs,
+      // the (doc,term) double aggregation, and the shuffle-free quantizer
+      "q_substring_dedup", "q_tfidf", "q_quantize")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

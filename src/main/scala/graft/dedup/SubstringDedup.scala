@@ -17,15 +17,18 @@ import org.apache.spark.sql.functions._
  * content — the boilerplate-paragraph contamination mode whole-document
  * MinHash misses.
  *
- * Scale shape: hashing every position costs one md5 per character — CPU-
- * heavy but embarrassingly parallel, map-side, and pre-shuffle; the 1/rate
- * selection happens in the same stage, so only len/rate rows per document
- * ever reach an exchange. The kept-window stream is materialized ONCE
- * (CachedProjections slot) and feeds two hash aggregations: the
- * duplicated-hash table (shuffle bounded by the distinct window
- * vocabulary, map-side partial aggregation) and the per-doc profile. The
- * join back is hash-on-md5 — uniformly distributed keys, no skew by
- * construction.
+ * Scale shape: the per-position hashing is a native rolling-hash kernel
+ * (WinnowedHashesExpr) — O(1) multiply-add per character with the window
+ * hash rolled forward, one kernel call per document, inside whole-stage
+ * codegen (the naive md5-per-window formulation costs two digest block
+ * transforms plus allocations per position — measured 100x slower at
+ * sf0.1). Selection happens inside the kernel, so only len/rate longs per
+ * document ever leave the expression or reach an exchange. The kept-window
+ * stream is materialized ONCE (CachedProjections slot) and feeds two hash
+ * aggregations: the duplicated-hash table (shuffle bounded by the distinct
+ * window vocabulary, map-side partial aggregation) and the per-doc
+ * profile. The join back is on the 40-bit-range hash — uniformly
+ * distributed keys, no skew by construction.
  */
 object SubstringDedup {
 
@@ -41,16 +44,10 @@ object SubstringDedup {
       df: DataFrame, idCol: String, textCol: String,
       width: Int = 40, rate: Int = 10): DataFrame = {
     require(width >= 8 && rate >= 1)
-    val t = col("_t")
-    val h = md5(t.substr(col("_pos"), lit(width)))
-    val selector = conv(substring(col("h"), 1, 8), 16, 10).cast("long") % rate
     val wins = CachedProjections.swap("substr_wins",
-      df.select(col(idCol), col(textCol).as("_t"))
-        .withColumn("_pos", explode(
-          when(length(t) >= width, sequence(lit(1), length(t) - (width - 1), lit(1)))
-            .otherwise(array().cast("array<int>"))))
-        .select(col(idCol), h.as("h"))
-        .where(selector === 0))
+      df.select(col(idCol),
+        explode(graft.functions.HashExpressions
+          .winnowedHashes(col(textCol), width, rate)).as("h")))
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .where(col("_nd") >= 2)

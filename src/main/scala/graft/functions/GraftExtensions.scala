@@ -79,5 +79,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 1, "rolling_hash(hashes)")
         RollingHashExpr(args.head)
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("winnowed_hashes"),
+      new ExpressionInfo(classOf[WinnowedHashesExpr].getName, "winnowed_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "winnowed_hashes(text, width, rate)")
+        WinnowedHashesExpr(args.head, intArg(args(1), "winnowed_hashes"),
+          intArg(args(2), "winnowed_hashes"))
+      }))
+
+    // composition of builtin codegen'd RegExpReplace nodes (not a custom
+    // kernel) — registered so SQL users get the same fixed redaction
+    // contract as TextFunctions.redactPii
+    ext.injectFunction((
+      new FunctionIdentifier("redact_pii"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+        "redact_pii"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "redact_pii(text)")
+        import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+        RegExpReplace(
+          RegExpReplace(args.head,
+            Literal(graft.text.TextFunctions.EmailPattern), Literal("<EMAIL>")),
+          Literal(graft.text.TextFunctions.LongDigitRunPattern), Literal("<ID>"))
+      }))
   }
 }

@@ -286,6 +286,38 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowed window hashes of a text column: rolling-hash every
+  * width-codepoint window, keep iff the hash selects itself (h % rate == 0).
+  * The repeated-substring detection hot path — one kernel call per document,
+  * only ~len/rate longs ever leave the expression. */
+case class WinnowedHashesExpr(child: Expression, width: Int, rate: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "winnowed_hashes"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    HashKernels.INSTANCE.winnowedHashes(v.asInstanceOf[UTF8String], width, rate)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("hashKernels", HashKernels.INSTANCE, "graft.functions.HashKernels")
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $javaType ${ev.value} = $kernels.winnowedHashes(
+          ${childGen.isNull} ? null : ${childGen.value}, $width, $rate);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowedHashesExpr =
+    copy(child = newChild)
+}
+
 /** {n1,d1,n2,d2,n3,d3}: total and distinct word-n-gram counts for
   * n = 1, 2, 3 in ONE kernel pass (the declarative sequence+transform
   * formulation runs interpreted and re-evaluates the gram array once per
@@ -336,6 +368,11 @@ object HashExpressions {
   /** Column wrapper: polynomial rolling hash of an array<long> column. */
   def rollingHash(hashes: Column): Column =
     Bridge.column(RollingHashExpr(Bridge.expression(hashes)))
+
+  /** Column wrapper: winnowed (content-selected) window hashes of a text
+    * column — the repeated-substring detection projection. */
+  def winnowedHashes(text: Column, width: Int, rate: Int): Column =
+    Bridge.column(WinnowedHashesExpr(Bridge.expression(text), width, rate))
 
   /** Column wrapper: per-token hash array (bits = 31 or 60) of a text column. */
   def tokenHashes(text: Column, bits: Int): Column =

@@ -129,6 +129,48 @@ class HashKernels extends Serializable {
     UnsafeArrayData.fromPrimitiveArray(out.toArray)
   }
 
+  /** Winnowed window hashes: polynomial rolling hash (base
+    * [[HashKernels.WinnowB]], modulus [[HashKernels.WinnowM]]) of every
+    * `width`-codepoint window, KEEPING a window iff its own hash selects it
+    * (h mod rate == 0) — content-keyed sampling, so selection is invariant
+    * to the window's offset in the document. O(1) per position via the
+    * rolling update (the md5-per-window formulation this replaces cost two
+    * digest block transforms + allocations per position — ~100x). Returns
+    * the kept hashes in position order (duplicates preserved); EMPTY array
+    * for docs shorter than `width`. Collision rate is ~1/1e12 per window
+    * pair (M is prime, codepoints < M), negligible against the >=2-distinct-
+    * docs flagging semantics. */
+  def winnowedHashes(text: UTF8String, width: Int, rate: Int): ArrayData = {
+    import HashKernels.{WinnowB => B, WinnowM => M}
+    if (text == null) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val s = text.toString
+    val sl = s.length
+    val n = s.codePointCount(0, sl)
+    if (n < width) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val cps = new Array[Int](n)
+    var i = 0
+    var ci = 0
+    while (i < sl) {
+      val cp = s.codePointAt(i)
+      cps(ci) = cp; ci += 1; i += Character.charCount(cp)
+    }
+    var bw = 1L // B^(width-1) mod M
+    i = 0
+    while (i < width - 1) { bw = bw * B % M; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < width) { h = (h * B + cps(i)) % M; i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n / rate + 1)
+    if (h % rate == 0) out += h
+    var p = 1
+    while (p <= n - width) {
+      h = (((h - cps(p - 1) * bw % M + M) % M) * B + cps(p + width - 1)) % M
+      if (h % rate == 0) out += h
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out.toArray)
+  }
+
   /** Per-token hashes in token order (31-bit mod-P or 60-bit md5 prefix);
     * null stays null (matching `transform(tokens(text), hash)`). */
   def tokenHashes(text: UTF8String, bits: Int): ArrayData = {
@@ -147,6 +189,12 @@ class HashKernels extends Serializable {
 
 object HashKernels {
   val INSTANCE = new HashKernels
+
+  /** Winnowed-window rolling-hash constants: the first prime above 1e12
+    * (keeps cp*M and the replay's 40-term sums inside int64 in ANY engine)
+    * and an odd base well above the codepoint alphabet's bit-mixing needs. */
+  val WinnowM = 1000000000039L
+  val WinnowB = 131L
 }
 
 /** Per-document token statistics in ONE tokenize pass: token count, sum of

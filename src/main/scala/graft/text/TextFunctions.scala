@@ -106,10 +106,14 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
-  /** Email-looking substring count (PII triage). Pattern stays within the
-    * Java-regex ∩ RE2 common subset so oracles replay it. */
+  /** PII patterns, each within the Java-regex ∩ RE2 common subset so
+    * oracles replay them. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+  val LongDigitRunPattern = "[0-9]{7,}"
+
+  /** Email-looking substring count (PII triage). */
   def emailCount(text: Column): Column =
-    regexp_count(text, lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"))
+    regexp_count(text, lit(EmailPattern))
 
   /** URL-looking substring count. */
   def urlCount(text: Column): Column =
@@ -117,7 +121,7 @@ object TextFunctions {
 
   /** Long digit runs (phone/account-number triage). */
   def longDigitRunCount(text: Column): Column =
-    regexp_count(text, lit("[0-9]{7,}"))
+    regexp_count(text, lit(LongDigitRunPattern))
 
   /** PII redaction (not just triage): emails then long digit runs are
     * replaced with typed placeholder tokens, in that fixed order (emails
@@ -127,9 +131,8 @@ object TextFunctions {
     * Map-side only: a projection, no shuffle, whole-stage codegen. */
   def redactPii(text: Column): Column =
     regexp_replace(
-      regexp_replace(text,
-        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+", "<EMAIL>"),
-      "[0-9]{7,}", "<ID>")
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongDigitRunPattern, "<ID>")
 
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")

@@ -45,6 +45,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .select(graft.dedup.SimHash.simhash(org.apache.spark.sql.functions.col("text")))
         .head().getLong(0)
       assert(row.getLong(3) == viaColumn)
+      val redacted = spark.sql(
+        "SELECT redact_pii('mail a@b.com ref 12345678 end') AS r").head().getString(0)
+      assert(redacted == "mail <EMAIL> ref <ID> end")
     } finally {
       // Do NOT spark.stop(): the JVM has ONE SparkContext, shared with the
       // suite session — stopping it here killed whichever suites were

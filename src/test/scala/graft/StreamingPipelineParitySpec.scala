@@ -141,4 +141,41 @@ class StreamingPipelineParitySpec extends AnyFunSuite with SparkTestSession {
       .groupBy("source").count().as[(String, Long)].collect().toMap
     assert(capped == Map("a" -> 25L, "b" -> 5L))
   }
+
+  test("PII redaction and int8 quantization run unchanged on a stream (stateless maps)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "mail me at a.user@example.com or call 5551234567 now"),
+      (2L, "clean row with no identifiers at all"),
+      (3L, "ids 99887766 and c@d.org mixed in"))
+    val vecs = Seq((1L, Array(1.0f, -2.0f, 0.5f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+
+    def redact(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), graft.text.TextFunctions.redactPii(col("text")).as("red"))
+    val batchRed = redact(docs.toDF("doc_id", "text"))
+      .as[(Long, String)].collect().sorted
+
+    val ds = MemoryStream[(Long, String)]
+    val sq1 = redact(ds.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("redact_parity").outputMode("append").start()
+    ds.addData(docs.take(2)); sq1.processAllAvailable()
+    ds.addData(docs.drop(2)); sq1.processAllAvailable()
+    val streamRed = spark.table("redact_parity").as[(Long, String)].collect().sorted
+    sq1.stop()
+    assert(batchRed.toSeq == streamRed.toSeq)
+    assert(streamRed.forall { case (_, s) => !s.contains("@example.com") && !s.contains("5551234567") })
+
+    def profile(df: org.apache.spark.sql.DataFrame) =
+      graft.sim.Quantization.int8Profile(df, "vec_id", "embedding")
+    val batchQ = profile(vecs.toDF("vec_id", "embedding"))
+      .as[(Long, Long, Long, Long, Long)].collect().sorted
+    val vs = MemoryStream[(Long, Array[Float])]
+    val sq2 = profile(vs.toDS().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("quant_parity").outputMode("append").start()
+    vs.addData(vecs); sq2.processAllAvailable()
+    val streamQ = spark.table("quant_parity").as[(Long, Long, Long, Long, Long)].collect().sorted
+    sq2.stop()
+    assert(batchQ.toSeq == streamQ.toSeq)
+  }
 }

@@ -165,4 +165,32 @@ pts2 = spark.createDataFrame([(i,) for i in range(0, 200, 10)], "t long")
 rj = range_join(pts2, ivs, "t", "s", "e", 64)
 assert rj.count() == 11 + 11  # 0..100 by 10 in iv1, 50..150 by 10 in iv2
 print("PASS sample_proportional/percentiles_disc/gopher_flags/range_join")
+
+# -------------------------------------------------- round-5 wave-4 wrappers
+
+from graft import substring_profile, redact_pii, tfidf_top, quantize_int8
+
+docs2 = spark.createDataFrame(
+    [(1, "the shared boilerplate paragraph appears here padded for width " * 2),
+     (2, "prefix " + "the shared boilerplate paragraph appears here padded for width " * 2),
+     (3, "completely unique content in this row that matches nothing else at all ever")],
+    "doc_id long, text string")
+sp = substring_profile(docs2, "doc_id", "text", 40, 10)
+rep = {r["doc_id"]: r["n_repeated"] for r in sp.collect()}
+assert rep.get(1, 0) > 0 and rep.get(2, 0) > 0 and rep.get(3, 0) == 0, rep
+
+red = docs2.select(redact_pii(F.concat(F.col("text"), F.lit(" a@b.com 12345678"))).alias("r"))
+row = red.first()["r"]
+assert "<EMAIL>" in row and "<ID>" in row and "a@b.com" not in row
+
+tt = tfidf_top(docs2, "doc_id", "text", 2)
+assert tt.count() == 6 and set(tt.columns) == {"doc_id", "rk", "tok", "tf", "score"}
+
+emb2 = spark.createDataFrame([(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+                             "vec_id long, embedding array<float>")
+q = quantize_int8(emb2, "embedding")
+qr = {r["vec_id"]: r["qvec"] for r in q.collect()}
+assert qr[1] == [64, -127, 32] or qr[1] == [64, -127, 32], qr
+assert qr[2] == [0, 0, 0]
+print("PASS substring_profile/redact_pii/tfidf_top/quantize_int8")
 spark.stop()
