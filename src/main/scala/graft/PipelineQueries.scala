@@ -617,6 +617,19 @@ object PipelineQueries {
       // int8 absmax quantization audit profile over the embedding table
       graft.sim.Quantization.int8Profile(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy(col("vec_id"))
+    }),
+
+    "q_source_overlap" -> ((s, dir) => {
+      // cross-source duplicate overlap (mirror-site provenance): every 5th
+      // doc is cloned under a mirror_ source; the matrix counts distinct
+      // contents shared byte-identically per source pair
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text"), col("source"))
+        .unionAll(d.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+            concat(lit("mirror_"), col("source")).as("source")))
+      ExactDedup.sourceOverlap(corpus, "text", "source")
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -1586,6 +1599,20 @@ object PipelineQueries {
          |           v -> abs(CAST(floor((CAST(v AS DOUBLE) * 127.0) / scale + 0.5) AS BIGINT)) = 127))
          |    ELSE 0 END AS BIGINT) AS n_sat,
          |  CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_micro
-         |FROM q ORDER BY vec_id""".stripMargin
+         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // source overlap: same mirror enrichment, distinct (md5, source)
+    // projection, self-join on the hash — pure md5 + integer counts
+    "q_source_overlap" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text, 'mirror_' || source FROM documents WHERE doc_id % 5 = 0
+         |),
+         |hs AS (SELECT DISTINCT md5(text) AS h, source FROM c)
+         |SELECT l.source AS source_a, r.source AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM hs l JOIN hs r ON l.h = r.h AND l.source < r.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -21,7 +21,8 @@ object Verify {
     "q_split", "q_cap_per_source", "q_vector_fns", "q_fingerprint", "q_quality",
     "q_token_count", "q_repetition", "q_pii", "q_redact_pii", "q_quantize",
     "q_gopher_rules", "q_lang_id",
-    "q_dedup_exact", "q_stratified_sample", "q_weighted_sample", "q_percentiles",
+    "q_dedup_exact", "q_source_overlap", "q_stratified_sample",
+    "q_weighted_sample", "q_percentiles",
     "q_pack_shards", "q_curation_funnel",
     "q_top_ngrams", "q_surprisal", "q_tfidf", "q_cms", "q_substring_dedup",
     "q_term_rarity", "q_decontaminate", "q_line_dedup", "q_window_agg",

@@ -22,6 +22,29 @@ object ExactDedup {
     val keep = groups(df, idCol, textCol).select(col("canonical_id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /**
+   * Cross-source duplicate-overlap matrix: for every pair of sources, how
+   * many DISTINCT contents they share byte-identically — the provenance
+   * profile that surfaces mirror sites and re-crawled feeds before
+   * near-dup analysis even starts.
+   *
+   * Scale shape: one distinct-projection shuffle on (content_hash, source),
+   * then a self-equi-join on the hash. Per-hash group size is bounded by
+   * the number of DISTINCT sources carrying that content (never by its copy
+   * count — the distinct collapses per-source multiplicity first), so a
+   * hash hot enough to appear everywhere contributes |sources|² pairs, not
+   * copies². The output is |sources|²-bounded — driver-safe at any corpus
+   * size.
+   */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val hs = df.select(md5(col(textCol)).as("h"), col(sourceCol).as("src")).distinct()
+    hs.select(col("h"), col("src").as("source_a"))
+      .join(hs.select(col("h"), col("src").as("source_b")), Seq("h"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }
 
 /**

@@ -101,9 +101,38 @@ class HashExpressionsSpec extends AnyFunSuite with SparkTestSession {
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(
         HashExpressions.shingleHashSet(col("text"), 3).as("s"),
-        HashExpressions.tokenHashes(col("text"), 60).as("t"))
+        HashExpressions.tokenHashes(col("text"), 60).as("t"),
+        HashExpressions.winnowedHashes(col("text"), 40, 10).as("w"))
       .queryExecution.executedPlan
     // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
     assert(plan.toString.startsWith("*("), plan.toString)
+  }
+
+  test("winnowedHashes rolling update equals the direct polynomial, on random unicode") {
+    import graft.functions.HashKernels.{WinnowB, WinnowM}
+    // independent reference: direct O(width) modular sum at every position
+    def reference(s: String, width: Int, rate: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - width).flatMap { p =>
+        var h = 0L
+        for (j <- 0 until width) h = (h * WinnowB + cps(p + j)) % WinnowM
+        if (h % rate == 0) Some(h) else None
+      }
+    }
+    val rng = new scala.util.Random(42)
+    // codepoint-safe alphabet (indexing chars would split the surrogate pair)
+    val alphabet = Seq("a", "b", "c", "h", " ", "X", "0", "9", ".", ",", "é", "漢", "🙂")
+    val strings = (1 to 50).map(_ =>
+      (1 to 30 + rng.nextInt(300)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString) :+
+      "short" :+ "" :+ ("x" * 40)
+    import spark.implicits._
+    for (w <- Seq(8, 40); r <- Seq(1, 10)) {
+      val viaKernel = strings.toDF("text")
+        .select(HashExpressions.winnowedHashes(col("text"), w, r).as("h"))
+        .as[Seq[Long]].collect()
+      strings.zip(viaKernel).foreach { case (s, got) =>
+        assert(got == reference(s, w, r), s"width=$w rate=$r for ${s.take(30)}")
+      }
+    }
   }
 }

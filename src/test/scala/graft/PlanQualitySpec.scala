@@ -143,4 +143,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("InMemoryTableScan"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("substring dedup reads the persisted winnowed-window projection (one corpus pass)") {
+    val p = plan("q_substring_dedup")
+    // both consumers (dup-hash table and per-doc profile) must read the
+    // cached kernel output — re-deriving it would hash every position twice
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(p.contains("winnowed_hashes"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("tf-idf: corpus count broadcasts; shuffles carry (doc,term) aggregates only") {
+    val p = plan("q_tfidf")
+    // the 1-row n_docs frame must ride as a broadcast, and the raw token
+    // stream must be partially aggregated before any exchange
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

@@ -100,6 +100,20 @@ class Wave4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(satPerVec >= 1, "the max-|x| element must map to ±127")
   }
 
+  test("sourceOverlap counts distinct shared contents, not copy multiplicity") {
+    import spark.implicits._
+    import graft.dedup.ExactDedup
+    val rows = Seq(
+      (1L, "shared page", "a"), (2L, "shared page", "b"),
+      (3L, "shared page", "b"),  // second copy in b must NOT double-count
+      (4L, "other page", "a"), (5L, "other page", "c"),
+      (6L, "only in a", "a")
+    ).toDF("doc_id", "text", "source")
+    val m = ExactDedup.sourceOverlap(rows, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(("a", "b") -> 1L, ("a", "c") -> 1L), m)
+  }
+
   test("quantization profile is map-side only: no exchange in the plan") {
     import spark.implicits._
     val vecs = (1L to 50L).map(i => (i, Array.fill(8)(i.toFloat))).toDF("vec_id", "embedding")
