@@ -630,6 +630,50 @@ object PipelineQueries {
             concat(lit("mirror_"), col("source")).as("source")))
       ExactDedup.sourceOverlap(corpus, "text", "source")
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    "q_hll" -> ((s, dir) => {
+      // approximate distinct contents per source: HLL register sketch whose
+      // shuffle is <=64 rows per source (vs count-distinct's full shuffle)
+      Sketches.hllDistinct(
+          t(s, dir, "documents").select(col("source"), col("text")), "source", "text")
+        .orderBy(col("source"))
+    }),
+
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      // constant-memory decontamination: eval 5-grams go into a 64K-bit
+      // Bloom bitset (8 KB forever, any eval size); corpus probed map-only
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val eval = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      val words = Decontamination.evalBloom(eval, "text", 5)
+      Decontamination.overlapBloom(docs, words, "doc_id", "text", 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_mix_weights" -> ((s, dir) => {
+      // temperature-scaled (alpha=0.5) mixing allocation across sources
+      DatasetSplit.mixAllocation(t(s, dir, "documents"), "source", 10000L)
+        .orderBy(col("source"))
+    }),
+
+    "q_leakage_split" -> ((s, dir) => {
+      // leakage-proof split: duplicated contents move as one unit; profile
+      // per split over a corpus where every 3rd doc is duplicated
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+      val corpus = d.unionAll(d.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"), col("n_chars")))
+      DatasetSplit.leakageSafeSplit(corpus, "doc_id", "text")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_groups"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("split"))
+    }),
+
+    "q_vocab" -> ((s, dir) => {
+      // Heaps-law vocabulary profile per source (template-vs-noise triage)
+      CorpusStats.vocabProfile(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
     })
   )
 
@@ -1613,6 +1657,121 @@ object PipelineQueries {
          |SELECT l.source AS source_a, r.source AS source_b,
          |       CAST(count(*) AS BIGINT) AS n_shared
          |FROM hs l JOIN hs r ON l.h = r.h AND l.source < r.source
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // HLL: replay bucket/rho salted hashes, per-register max, the 2^32-
+    // scaled harmonic sum in BIGINT, and the single IEEE-double division
+    "q_hll" ->
+      s"""WITH h AS (
+         |  SELECT source,
+         |    ${duckHash("text")} % 64 AS bucket,
+         |    ${duckHash("'rho:' || text")} AS v
+         |  FROM documents
+         |),
+         |r AS (
+         |  SELECT source, bucket,
+         |    max(CASE WHEN v = 0 THEN 32 ELSE 32 - length(bin(v)) END) AS mr
+         |  FROM h GROUP BY 1, 2
+         |),
+         |p AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_occupied,
+         |    CAST(sum(1::BIGINT << (32 - mr)) AS BIGINT) AS s_occ
+         |  FROM r GROUP BY 1
+         |)
+         |SELECT source, n_occupied,
+         |  CAST(s_occ + (64 - n_occupied) * 4294967296 AS BIGINT) AS s_scaled,
+         |  CAST(floor(0.709 * 64 * 64 * 4294967296.0 /
+         |       CAST(s_occ + (64 - n_occupied) * 4294967296 AS DOUBLE)) AS BIGINT)
+         |    AS est_distinct
+         |FROM p ORDER BY source""".stripMargin,
+
+    // Bloom decontamination: replay the k=3 salted positions of every
+    // distinct train gram against the eval position set — a gram is
+    // bloom-flagged iff none of its positions is missing
+    "q_bloom_decontaminate" ->
+      s"""WITH ev AS (
+         |  SELECT DISTINCT unnest(${duckShingleSet("text", 5)}) AS g
+         |  FROM documents WHERE doc_id % 50 = 0
+         |),
+         |pos AS (
+         |  SELECT DISTINCT unnest([
+         |    ${duckHash("'b0:' || CAST(g AS VARCHAR)")} % 65536,
+         |    ${duckHash("'b1:' || CAST(g AS VARCHAR)")} % 65536,
+         |    ${duckHash("'b2:' || CAST(g AS VARCHAR)")} % 65536]) AS p
+         |  FROM ev
+         |),
+         |tr AS (SELECT doc_id, ${duckShingleSet("text", 5)} AS grams FROM documents),
+         |trg AS (SELECT doc_id, unnest(grams) AS g FROM tr),
+         |gp AS (
+         |  SELECT g, unnest([
+         |    ${duckHash("'b0:' || CAST(g AS VARCHAR)")} % 65536,
+         |    ${duckHash("'b1:' || CAST(g AS VARCHAR)")} % 65536,
+         |    ${duckHash("'b2:' || CAST(g AS VARCHAR)")} % 65536]) AS p
+         |  FROM (SELECT DISTINCT g FROM trg)
+         |),
+         |blooms AS (
+         |  SELECT gp.g FROM gp LEFT JOIN pos ON gp.p = pos.p
+         |  GROUP BY gp.g HAVING count(CASE WHEN pos.p IS NULL THEN 1 END) = 0
+         |),
+         |hits AS (
+         |  SELECT trg.doc_id, CAST(count(*) AS BIGINT) AS nb
+         |  FROM trg JOIN blooms ON trg.g = blooms.g GROUP BY 1
+         |)
+         |SELECT t.doc_id, CAST(len(t.grams) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(h.nb, 0) AS BIGINT) AS n_bloom_hits,
+         |  coalesce(h.nb, 0) > 0 AS flagged
+         |FROM tr t LEFT JOIN hits h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // mix weights: IEEE-exact sqrt micro-quantized to BIGINT, then pure
+    // integer normalization
+    "q_mix_weights" ->
+      s"""WITH c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1
+         |),
+         |w AS (
+         |  SELECT source, n_docs,
+         |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight_micro
+         |  FROM c
+         |)
+         |SELECT source, n_docs, weight_micro,
+         |  CAST((10000 * weight_micro) // (SELECT sum(weight_micro) FROM w) AS BIGINT) AS alloc
+         |FROM w ORDER BY source""".stripMargin,
+
+    // leakage split: canonical (min) id per content group decides the
+    // bucket, so duplicate groups move between splits as one unit
+    "q_leakage_split" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text, n_chars FROM documents WHERE doc_id % 3 = 0
+         |),
+         |g AS (SELECT md5(text) AS ch, min(doc_id) AS canonical FROM corpus GROUP BY 1),
+         |s AS (
+         |  SELECT c.doc_id, c.n_chars, c.text,
+         |    CASE WHEN ${duckHash("CAST(g.canonical AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |         WHEN ${duckHash("CAST(g.canonical AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM corpus c JOIN g ON md5(c.text) = g.ch
+         |)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_groups,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // vocab profile: per-source token/type counts, integer milli ratio
+    "q_vocab" ->
+      s"""WITH tok AS (SELECT source, unnest(${duckToks()}) AS tok FROM documents),
+         |tt AS (SELECT source, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |tp AS (
+         |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM tt GROUP BY 1
+         |),
+         |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1)
+         |SELECT d.source, d.n_docs, tp.n_tokens, tp.n_terms,
+         |  CAST(tp.n_tokens * 1000 // tp.n_terms AS BIGINT) AS tokens_per_type_milli
+         |FROM d JOIN tp ON d.source = tp.source ORDER BY d.source""".stripMargin
   )
 }

@@ -20,11 +20,12 @@ object Verify {
   private val costOrder: Seq[String] = Seq(
     "q_split", "q_cap_per_source", "q_vector_fns", "q_fingerprint", "q_quality",
     "q_token_count", "q_repetition", "q_pii", "q_redact_pii", "q_quantize",
-    "q_gopher_rules", "q_lang_id",
-    "q_dedup_exact", "q_source_overlap", "q_stratified_sample",
+    "q_gopher_rules", "q_lang_id", "q_hll", "q_mix_weights",
+    "q_dedup_exact", "q_source_overlap", "q_leakage_split", "q_stratified_sample",
     "q_weighted_sample", "q_percentiles",
-    "q_pack_shards", "q_curation_funnel",
+    "q_pack_shards", "q_curation_funnel", "q_vocab",
     "q_top_ngrams", "q_surprisal", "q_tfidf", "q_cms", "q_substring_dedup",
+    "q_bloom_decontaminate",
     "q_term_rarity", "q_decontaminate", "q_line_dedup", "q_window_agg",
     "q_sessionize", "q_event_sequences",
     "q1_pricing", "q3_shipping", "q_rand_gaussian",

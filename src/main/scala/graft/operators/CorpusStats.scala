@@ -126,4 +126,27 @@ object CorpusStats {
         sum(col("bits")).as("sum_bits"))
       .withColumn("mean_bits", col("sum_bits").cast("double") / col("n_toks"))
   }
+
+  /**
+   * Per-group vocabulary profile — the Heaps-law dashboard of a corpus:
+   * (group, n_docs, n_tokens, n_terms, tokens_per_type_milli). A source
+   * whose vocabulary stops growing with volume (high tokens-per-type) is
+   * template/boilerplate-heavy; a crawl slice with an exploding vocabulary
+   * is noise/gibberish-heavy — both are curation triage signals.
+   *
+   * Scale shape: distinct-term counting aggregates (group, term) with
+   * map-side partials — shuffle volume is bounded by per-group vocabulary,
+   * never token count; the doc counts ride a second |groups|-row aggregate
+   * joined at the end. tokens_per_type is integer-quantized (×1000, BIGINT
+   * division), so the profile replays exactly in any engine.
+   */
+  def vocabProfile(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_terms"))
+    val docs = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    docs.join(terms, Seq(groupCol))
+      .withColumn("tokens_per_type_milli", expr("n_tokens * 1000 div n_terms"))
+  }
 }

@@ -92,6 +92,62 @@ object DatasetSplit {
       least(lit(10000L), expr(s"$weightCol * 10000 div $fullWeight")))
   }
 
+  /**
+   * Temperature-scaled mixing allocation across sources (the standard
+   * multi-corpus sampling weights: w_i ∝ n_i^alpha with alpha = 0.5, which
+   * up-weights small high-quality sources relative to raw proportions).
+   * Returns one row per group: (groupCol, n_docs, weight_micro, alloc)
+   * where alloc sums to at most `totalTarget`.
+   *
+   * Determinism: sqrt is IEEE-754 correctly rounded in every engine, so
+   * weight_micro = floor(sqrt(n) * 1e6) is bit-exact everywhere; the
+   * weight total and the final `target * w div W` allocation are pure
+   * BIGINT arithmetic. Scale shape: one partial-agg count shuffle of
+   * |groups| rows; the weight-normalizing window runs on that tiny frame,
+   * never on the corpus.
+   */
+  def mixAllocation(df: DataFrame, groupCol: String, totalTarget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalTarget > 0)
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_micro",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      .withColumn("_wt", sum(col("weight_micro")).over(Window.partitionBy())) // tiny frame
+      .withColumn("alloc", expr(s"CAST($totalTarget AS BIGINT) * weight_micro div _wt"))
+      .drop("_wt")
+  }
+
+  /**
+   * Leakage-proof split: like `withSplit`, but byte-identical documents
+   * always land in the SAME split — the bucket hashes the content group's
+   * canonical id, not the row's own id. A plain id-hash split leaks
+   * duplicated text across the train/test boundary (the classic
+   * contamination bug: the eval answer is literally in the training set);
+   * here a whole duplicate group moves as one unit. One exact-dedup
+   * hash-agg plus one join on the id; the split decision itself stays a
+   * projection.
+   */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column; rename it before calling leakageSafeSplit")
+    val ch = Iterator.from(0).map(i => s"_ch$i").find(!df.columns.contains(_)).get
+    val cn = Iterator.from(0).map(i => s"_cn$i").find(!df.columns.contains(_)).get
+    val canon = graft.dedup.ExactDedup.groups(df, idCol, textCol)
+      .select(col("content_hash").as(ch), col("canonical_id").as(cn))
+    val b = bucket(col(cn))
+    df.withColumn(ch, md5(col(textCol)))
+      .join(canon, Seq(ch))
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop(ch, cn)
+  }
+
   /** STREAMING twin of `capPerGroup`: admission-control cap. The batch cap's
     * deterministic lowest-hash selection needs the whole group in hand, so
     * it cannot stream; the streaming-natural semantics is "admit the first k

@@ -68,4 +68,33 @@ object Decontamination {
     train.select(col(idCol), size(g).cast("long").as("n_grams"),
       hits.cast("long").as("n_contaminated"), (hits > 0).as("contaminated"))
   }
+
+  /** Bloom bitset over an eval corpus's distinct hashed n-grams: m/8 bytes
+    * of driver state no matter how many benchmarks go in. */
+  def evalBloom(eval: DataFrame, textCol: String, n: Int = 5,
+      k: Int = 3, m: Int = 65536): Array[Long] =
+    Sketches.bloomBuild(
+      eval.select(explode(HashExpressions.shingleHashSet(col(textCol), n)).as("gl"))
+        .select(col("gl").cast("string").as("g")), "g", k, m)
+
+  /**
+   * CONSTANT-MEMORY variant of `overlapMap`: probe each training doc's
+   * grams against the Bloom bitset instead of the exact gram list. Same
+   * map-only scale shape (no join, no shuffle, streaming-natural), but the
+   * broadcast state is m/8 bytes even when the eval set has billions of
+   * grams — the piece `overlapMap` can't promise. One-sided error: every
+   * truly contaminated doc is flagged (no false negatives); a clean doc is
+   * mis-flagged with probability ~(1 - e^{-kn/m})^k per gram.
+   * Output: (id, n_grams, n_bloom_hits, flagged).
+   */
+  def overlapBloom(
+      train: DataFrame, words: Array[Long],
+      idCol: String, textCol: String, n: Int = 5,
+      k: Int = 3, m: Int = 65536): DataFrame = {
+    val grams = HashExpressions.shingleHashSet(col(textCol), n)
+    val hits = size(filter(grams, g =>
+      Sketches.bloomMightContain(g.cast("string"), words, k, m)))
+    train.select(col(idCol), size(grams).cast("long").as("n_grams"),
+      hits.cast("long").as("n_bloom_hits"), (hits > 0).as("flagged"))
+  }
 }

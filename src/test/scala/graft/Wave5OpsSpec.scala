@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.operators.{CorpusStats, DatasetSplit, Decontamination, Sketches}
+
+/**
+ * Behavior specs for the round-5 fifth-wave operators: HyperLogLog distinct
+ * sketching, Bloom-filter decontamination, temperature-scaled mixing
+ * allocation, leakage-proof splitting, and the vocabulary profile. The
+ * driver's DuckDB oracle pins exact outputs on the real tables; these specs
+ * pin the SEMANTICS on constructed inputs where the right answer is known
+ * by inspection.
+ */
+class Wave5OpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("hll estimate lands within the m=64 error envelope on 5000 distincts") {
+    import spark.implicits._
+    // 5000 distinct items + heavy duplication: the sketch must see through
+    // multiplicity (distinct counting, not row counting)
+    val rows = (1 to 5000).map(i => ("g", s"item_$i")) ++
+      (1 to 20000).map(i => ("g", s"item_${i % 100}"))
+    val out = Sketches.hllDistinct(rows.toDF("grp", "item"), "grp", "item").collect()
+    assert(out.length == 1)
+    val est = out(0).getAs[Long]("est_distinct")
+    // rel err ~1.04/sqrt(64) = 13%; allow 3 sigma on one draw
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est vs 5000 exact")
+  }
+
+  test("hll registers merge: union+remax of two halves equals the whole") {
+    import spark.implicits._
+    val all = (1 to 2000).map(i => ("g", s"doc_$i")).toDF("grp", "item")
+    val whole = Sketches.hllRegisters(all, "grp", "item")
+    val halves = Sketches.hllRegisters(all.where($"item" <= "doc_1"), "grp", "item")
+      .unionAll(Sketches.hllRegisters(all.where($"item" > "doc_1"), "grp", "item"))
+      .groupBy($"grp", $"bucket").agg(max($"max_rho").as("max_rho"))
+    // daily-ingest mergeability: sketch state unions exactly
+    assert(whole.unionAll(halves).distinct().count() == whole.count())
+  }
+
+  test("bloom decontamination has no false negatives and a sane fp rate") {
+    import spark.implicits._
+    val mk = (i: Int, tag: String) =>
+      (i.toLong, s"$tag sentence number $i carries five tokens minimum for grams")
+    val eval = (1 to 20).map(i => mk(i, "evalset")).toDF("doc_id", "text")
+    val clean = (100 to 400).map(i => mk(i, s"clean$i")).toDF("doc_id", "text")
+    val dirty = (1 to 20).map(i => mk(i, "evalset")).map { case (id, t) => (id + 1000L, t) }
+      .toDF("doc_id", "text")
+    val train = clean.unionAll(dirty)
+    val words = Decontamination.evalBloom(eval, "text", 5)
+    val out = Decontamination.overlapBloom(train, words, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // one-sided error: every truly contaminated doc must be flagged
+    (1001L to 1020L).foreach(id => assert(out(id), s"false negative on $id"))
+    val fps = (100L to 400L).count(out(_))
+    assert(fps <= 15, s"$fps false positives out of 301 clean docs (k=3, m=65536)")
+  }
+
+  test("mixAllocation computes sqrt-temperature weights exactly") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("a", i)) ++ (1 to 400).map(i => ("b", i)))
+      .toDF("src", "i")
+    val m = DatasetSplit.mixAllocation(df, "src", 300L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // sqrt(100)=10, sqrt(400)=20 -> weights 10e6/20e6, allocs 100/200
+    assert(m("a") == ((100L, 10000000L, 100L)), m)
+    assert(m("b") == ((400L, 20000000L, 200L)), m)
+  }
+
+  test("leakageSafeSplit never splits a duplicate group across splits") {
+    import spark.implicits._
+    // 300 contents, each duplicated 3x under different ids; an id-hash split
+    // would scatter copies across train/test
+    val docs = (1 to 900).map(i => (i.toLong, s"content number ${i % 300} body"))
+      .toDF("doc_id", "text")
+    val out = DatasetSplit.leakageSafeSplit(docs, "doc_id", "text")
+    val spans = out.groupBy(md5($"text"))
+      .agg(countDistinct($"split").as("n_splits"))
+      .where($"n_splits" > 1).count()
+    assert(spans == 0L, "a content group straddles the split boundary")
+    // and the split is a real partition of the corpus
+    assert(out.count() == 900L)
+    assert(out.select("split").distinct().count() >= 2)
+  }
+
+  test("vocabProfile counts tokens, types, and the milli ratio exactly") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "one two two three three three"),
+      ("a", "one four"),
+      ("b", "five five five five")
+    ).toDF("src", "text")
+    val m = CorpusStats.vocabProfile(df, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a: 2 docs, 8 tokens, 4 types, 8*1000/4=2000; b: 1 doc, 4 tokens, 1 type
+    assert(m("a") == ((2L, 8L, 4L, 2000L)), m)
+    assert(m("b") == ((1L, 4L, 1L, 4000L)), m)
+  }
+
+  test("bloom probe is map-only: no exchange in the plan") {
+    import spark.implicits._
+    val words = new Array[Long](1024)
+    java.util.Arrays.fill(words, -1L) // all bits set; plan shape is what matters
+    val docs = (1 to 50).map(i => (i.toLong, s"some text body number $i with words"))
+      .toDF("doc_id", "text")
+    val plan = Decontamination.overlapBloom(docs, words, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("hll shuffle is register-sized: partial max before the exchange") {
+    import spark.implicits._
+    val docs = (1 to 500).map(i => ("s" + (i % 4), s"text $i")).toDF("src", "text")
+    val plan = Sketches.hllRegisters(docs, "src", "text")
+      .queryExecution.executedPlan.toString
+    // partial_max on the map side means the exchange carries <= m rows per
+    // (partition, group), never one row per input document
+    assert(plan.contains("partial_max") || plan.contains("partial"), plan.take(2000))
+  }
+}
