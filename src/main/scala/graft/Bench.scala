@@ -7,8 +7,9 @@ import java.nio.file.{Files, Paths}
   * passes (default 3; single-run timings on a shared host proved 20×-noisy
   * in round 1). Pass 1 always covers every query; further passes run while
   * the SPARK_GRAFT_BENCH_BUDGET_S soft deadline allows. Failures are
-  * reported by name+error and make the exit code nonzero — a broken query
-  * must not masquerade as a fast one.
+  * reported by name+error in the JSON `errors` field and on stderr; the
+  * exit code stays 0 so the sbt runner never appends [error] lines after
+  * the JSON stdout line (that overflow is what unparsed BENCH_r05).
   *
   * Contention-proofing (round 4): the round-3 artifact captured a loaded
   * host and overstated total cost 3.3× — median-of-3-within-one-window has
@@ -77,7 +78,7 @@ object Bench {
           times(name) = dt :: times(name)
           System.err.println(f"[bench] rep$rep $name ${dt}%.2fs (total ${elapsedS}%.1fs)")
         } catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}"
           System.err.println(s"[bench] rep$rep $name FAILED: ${errors(name)}")
         }
       }
@@ -119,6 +120,11 @@ object Bench {
     Files.writeString(Paths.get("bench_raw.json"),
       s"""{"raw":$raw,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"reps":$reps,"sf":${jq(sfDir)}}""" + "\n")
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    // Always exit 0: a nonzero exit makes the sbt runner append [error]
+    // lines AFTER the JSON stdout line, which round 5 proved can push the
+    // line out of the driver's tail-capture window (BENCH_r05 parsed:null).
+    // Broken queries stay loud via the `errors` field and stderr.
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.toSeq.sorted.mkString(",")}")
   }
 }

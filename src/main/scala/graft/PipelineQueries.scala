@@ -19,9 +19,17 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // ts has shipped as TIMESTAMP(NANOS) (long ns via the legacy flag) and as
+  // native TIMESTAMP(MICROS) across driver testdata generations — normalize
+  // both to a TIMESTAMP column so every consumer sees one shape.
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** documents ∪ a truncated copy (ids offset by 100000) — injects known
@@ -343,7 +351,7 @@ object PipelineQueries {
       // rounding-tie boundaries at sf0.1 (engine-dependent last digit); the
       // exact decimal sum and the double division of identical doubles are
       // bit-equal in any engine at any scale
-      val ev = events(s, dir).withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      val ev = events(s, dir).withColumn("tsm", col("ts"))
       ev.groupBy(window(col("tsm"), "1 hour").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
@@ -356,18 +364,19 @@ object PipelineQueries {
 
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = events(s, dir).select(col("user_id"), col("ts")) // ts = raw ns long
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts")) // µs since epoch
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       val flagged = ev.withColumn("new_s",
-        when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L || lag(col("ts"), 1).over(w).isNull, 1L)
+        when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000L || lag(col("ts"), 1).over(w).isNull, 1L)
           .otherwise(0L))
       val sess = flagged.withColumn("session_id",
         sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       sess.groupBy(col("user_id"), col("session_id"))
         .agg(
-          timestamp_micros(expr("min(ts) div 1000")).as("session_start"),
+          timestamp_micros(expr("min(ts)")).as("session_start"),
           count(lit(1)).as("n_events"),
-          expr("(max(ts) - min(ts)) div 1000000000").as("dur_sec"))
+          expr("(max(ts) - min(ts)) div 1000000").as("dur_sec"))
         .orderBy(col("user_id"), col("session_id"))
     }),
 
@@ -375,10 +384,11 @@ object PipelineQueries {
       // training-sequence construction: per 30-min-gap session, the ordered
       // event-type sequence (ties broken by event_id — fully deterministic)
       import org.apache.spark.sql.expressions.Window
-      val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("ts"), col("event_id"), col("event_type"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val flagged = ev.withColumn("new_s",
-        when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000000L || lag(col("ts"), 1).over(w).isNull, 1L)
+        when(col("ts") - lag(col("ts"), 1).over(w) > 1800000000L || lag(col("ts"), 1).over(w).isNull, 1L)
           .otherwise(0L))
       val sess = flagged.withColumn("session_id",
         sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -13,13 +13,20 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /**
-   * events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-   * rejects; read nanos as long and convert (values are µs-resolution, so
-   * integer-dividing to micros is lossless).
+   * events.parquet has shipped with two physical `ts` encodings across
+   * driver testdata generations: TIMESTAMP(NANOS) (read as long via the
+   * legacy flag, µs-resolution so dividing to micros is lossless) and
+   * native TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize both to a
+   * session-TZ TIMESTAMP so downstream queries see one shape.
    */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /**

@@ -45,7 +45,12 @@ class Wave5OpsSpec extends AnyFunSuite with SparkTestSession {
     val mk = (i: Int, tag: String) =>
       (i.toLong, s"$tag sentence number $i carries five tokens minimum for grams")
     val eval = (1 to 20).map(i => mk(i, "evalset")).toDF("doc_id", "text")
-    val clean = (100 to 400).map(i => mk(i, s"clean$i")).toDF("doc_id", "text")
+    // clean docs must share NO 5-gram with the eval set (an earlier fixture
+    // reused the eval sentence template, so its common tail 5-gram made
+    // every clean doc a TRUE positive and the fp assertion meaningless)
+    val clean = (100 to 400)
+      .map(i => (i.toLong, (0 until 10).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
     val dirty = (1 to 20).map(i => mk(i, "evalset")).map { case (id, t) => (id + 1000L, t) }
       .toDF("doc_id", "text")
     val train = clean.unionAll(dirty)
