@@ -299,3 +299,37 @@ def quantize_int8(df, vec_col):
     """Adds per-vector absmax `scale` and int8-range `qvec` code columns."""
     m = _module(df.sparkSession, "graft.sim.Quantization$")
     return _wrap(df, m.withInt8(df._jdf, vec_col))
+
+
+# -------------------------------------------------- round-6 wrappers
+
+def normalize_text(col):
+    """Column -> Column: deterministic canonicalization (lowercase, collapse
+    whitespace, trim, squeeze stuttered .!?- runs) — the dedup pre-step."""
+    from pyspark.sql.column import Column as _PyCol
+    from pyspark.sql import SparkSession as _S
+    spark = _S.getActiveSession()
+    m = _module(spark, "graft.text.TextFunctions$")
+    return _PyCol(m.normalize(col._jc))
+
+
+def bigram_surprisal(df, id_col, text_col):
+    """Quantized bigram surprisal (integer conditional-LM bits) per doc."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.bigramSurprisal(df._jdf, id_col, text_col))
+
+
+def knn_graph(df, id_col, vec_col, k, planes, dim, round_to=6):
+    """Approximate k-NN graph: top-k cosine neighbors within LSH buckets."""
+    m = _module(df.sparkSession, "graft.sim.Similarity$")
+    return _wrap(df, m.knnGraph(df._jdf, id_col, vec_col, k, planes, dim, round_to))
+
+
+def pq_search(corpus, queries, id_col, vec_col, qid_col, qvec_col,
+              dim, m_sub=8, codes=32, iters=2, k=10, shortlist=100):
+    """Product-quantization ANN: per-subspace codebooks, ADC scan over
+    codes, exact rerank of a per-query shortlist."""
+    m = _module(corpus.sparkSession, "graft.sim.ProductQuantizer$")
+    return _wrap(corpus, m.searchTopK(corpus._jdf, queries._jdf, id_col, vec_col,
+                                      qid_col, qvec_col, dim, m_sub, codes,
+                                      iters, k, shortlist))

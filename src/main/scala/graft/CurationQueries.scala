@@ -1,0 +1,308 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.MinHashLSH
+import graft.operators.CorpusStats
+import graft.sim.{ProductQuantizer, Similarity}
+import graft.text.TextFunctions
+
+/**
+ * Round-6 curation-operator wave: text canonicalization, corpus profiling
+ * (log2 length histogram, rollup domain profile, bigram surprisal), the
+ * k-NN graph, an LSH-estimate-vs-exact audit, and product-quantization ANN.
+ *
+ * Same contract discipline as PipelineQueries: every query integer-exact or
+ * fixed-op-order IEEE, every oracle a DuckDB replay of the identical
+ * arithmetic, no UDFs, no driver-side loops (the only collects are k-row
+ * codebook fetches, as in the IVF path).
+ */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // =================================================================== queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_text_normalize" -> ((s, dir) => {
+      // canonical bytes (dedup pre-step): verified by md5 + length, so a
+      // one-char divergence anywhere in any doc fails the gate
+      val norm = TextFunctions.normalize(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("norm_md5"),
+          length(norm).cast("long").as("n_chars_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_length_hist" -> ((s, dir) => {
+      // per-language log2-bucketed length histogram: bucket = bit length of
+      // n_chars (floor(log2)+1) — pure integer, one hash aggregation
+      t(s, dir, "documents")
+        .withColumn("bucket",
+          when(col("n_chars") > 0, length(bin(col("n_chars")))).otherwise(lit(0)).cast("long"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
+    "q_domain_profile" -> ((s, dir) => {
+      // source × lang curation dashboard in ONE pass via ROLLUP: leaf rows,
+      // per-source subtotals and the grand total share the partial
+      // aggregates (Spark expands grouping sets map-side; one shuffle)
+      t(s, dir, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("sum_chars"), col("min_chars"), col("max_chars"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    "q_bigram_surprisal" -> ((s, dir) => {
+      CorpusStats.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_knn_graph" -> ((s, dir) => {
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, planes = 5, dim = 64)
+        .orderBy(col("src"), col("rank"))
+    }),
+
+    "q_minhash_audit" -> ((s, dir) => {
+      // estimator calibration: for every LSH candidate pair, the signature
+      // agreement count (32·Ĵ) NEXT TO the exact intersection/union — the
+      // query you run before trusting a MinHash threshold on a new corpus.
+      // One signature projection feeds both the banding and the audit.
+      val corpus = PipelineQueries.nearDupCorpus(s, dir)
+      val lsh = new MinHashLSH(32, 8, 3)
+      val sigs = lsh.signatures(corpus, "doc_id", "text")
+      val bands = sigs.select(col("doc_id"), explode(array((0 until 8).map { bIdx =>
+        struct(lit(bIdx).as("band"),
+          concat_ws("_", (0 until 4).map(r => col("sig")(bIdx * 4 + r)): _*).as("bucket"))
+      }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cand = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
+        .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .where(col("a") < col("b")).select("a", "b").distinct()
+      val sa = sigs.select(col("doc_id").as("a"), col("sig").as("siga"), col("sset").as("seta"))
+      val sb = sigs.select(col("doc_id").as("b"), col("sig").as("sigb"), col("sset").as("setb"))
+      val inter = size(array_intersect(col("seta"), col("setb")))
+      cand.join(sa, Seq("a")).join(sb, Seq("b"))
+        .select(col("a"), col("b"),
+          aggregate(
+            zip_with(col("siga"), col("sigb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), _ + _).as("n_eq_sig"),
+          inter.cast("long").as("n_inter"),
+          (size(col("seta")) + size(col("setb")) - inter).cast("long").as("n_union"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // m=8 × k=32 with a 100-row exact-rerank shortlist: ≥0.9 recall@10 on
+      // the synthetic (near-random, hence PQ-hostile) embeddings
+      val cbs = ProductQuantizer.train(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 32, iters = 2)
+      ProductQuantizer.adcTopK(cbs, emb, q, "vec_id", "embedding", "qid", "qv",
+          dim = 64, k = 10, shortlist = 100)
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  // =================================================================== oracles
+
+  import PipelineQueries.{cosineSql, duckShingleSet, duckToks, lshBucketSql,
+    minhashBandSelects, minhashSigSql, nearDupCorpusSql}
+
+  /** DuckDB replay of TextFunctions.normalize — same fixed op order, all
+    * patterns in the Java-regex ∩ RE2 common subset, 'g' flags throughout. */
+  private def duckNormalize(te: String): String = {
+    val base = s"trim(regexp_replace(lower($te), '\\s+', ' ', 'g'))"
+    Seq(("\\.", "."), ("!", "!"), ("\\?", "?"), ("-", "-")).foldLeft(base) {
+      case (acc, (pat, rep)) => s"regexp_replace($acc, '$pat{2,}', '$rep', 'g')"
+    }
+  }
+
+  /**
+   * Sub-vector Lloyd replay for PQ subspace `s` (mirrors
+   * Similarity.ivfTrainKMeans on the sliced corpus: LCG-sampled init
+   * re-keyed 0..k-1, cosine argmax assignment with smallest-cell tie-break,
+   * scaled-integer means). Emits CTEs prefixed s$s, ending with s${s}cf
+   * (final centroids) and s${s}codes (per-vector final cell).
+   */
+  private def pqKmeansCtes(s: Int, ds: Int, k: Int, iters: Int): String = {
+    val p = s"s$s"
+    val sub = s"list_transform(list_slice(embedding, ${s * ds + 1}, ${s * ds + ds}), v -> CAST(v AS DOUBLE))"
+    val base =
+      s"""${p}sub AS (
+         |  SELECT vec_id, $sub AS sub FROM embeddings
+         |)""".stripMargin
+    def assign(centsCte: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT e.vec_id, e.sub, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.sub", "c.cvec")} DESC, c.cid ASC) AS rk
+         |    FROM ${p}sub e CROSS JOIN $centsCte c) WHERE rk = 1
+         |)""".stripMargin
+    def means(cellsCte: String, name: String): String = {
+      val sums = (0 until ds).map { d =>
+        s"CAST(sum(CAST(floor(CAST(sub[${d + 1}] AS DOUBLE)*65536.0E0 + 0.5E0) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE)*65536.0E0)"
+      }.mkString(",\n      ")
+      s"""$name AS (
+         |  SELECT cell, [
+         |      $sums] AS mean
+         |  FROM $cellsCte GROUP BY cell
+         |)""".stripMargin
+    }
+    def refresh(prevCents: String, meansCte: String, name: String): String =
+      s"""$name AS (
+         |  SELECT o.cid, CASE WHEN m.cell IS NULL THEN o.cvec ELSE m.mean END AS cvec
+         |  FROM $prevCents o LEFT JOIN $meansCte m ON m.cell = o.cid
+         |)""".stripMargin
+    val init =
+      s"""${p}c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT) AS cid, cvec
+         |  FROM (SELECT vec_id AS cid, sub AS cvec FROM ${p}sub
+         |        ORDER BY (1103515245*(vec_id+7)+12345) % 2147483647, vec_id LIMIT $k)
+         |)""".stripMargin
+    val iterCtes = (0 until iters).flatMap { it =>
+      Seq(assign(s"${p}c$it", s"${p}cells$it"), means(s"${p}cells$it", s"${p}m$it"),
+        refresh(s"${p}c$it", s"${p}m$it", s"${p}c${it + 1}"))
+    }
+    ((base +: init +: iterCtes) :+ assign(s"${p}c$iters", s"${p}codes"))
+      .mkString(",\n") + s",\n${p}cf AS (SELECT * FROM ${p}c$iters)"
+  }
+
+  private def annPqOracle: String = {
+    val m = 8
+    val kms = (0 until m).map(s => pqKmeansCtes(s, ds = 64 / m, k = 32, iters = 2)).mkString(",\n")
+    val codeJoins = (0 until m).map(s => s"JOIN s${s}codes s$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"s$s.cell AS code$s").mkString(", ")
+    val centJoins = (0 until m).map(s => s"JOIN s${s}cf c$s ON c$s.cid = c.code$s").mkString(" ")
+    val reconList = (1 until m).foldLeft("c0.cvec")((acc, s) => s"list_concat($acc, c$s.cvec)")
+    s"""WITH $kms,
+       |coded AS (
+       |  SELECT e.vec_id, $codeCols
+       |  FROM embeddings e $codeJoins
+       |),
+       |recon AS (
+       |  SELECT c.vec_id, $reconList AS rv
+       |  FROM coded c $centJoins
+       |),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |adc AS (
+       |  SELECT q.qid, r.vec_id, ROUND(${cosineSql("r.rv", "q.qv")}, 6) AS adc_sim
+       |  FROM recon r CROSS JOIN q WHERE r.vec_id != q.qid
+       |),
+       |shortl AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc_sim DESC, vec_id ASC) AS ar
+       |    FROM adc) WHERE ar <= 100
+       |),
+       |rr AS (
+       |  SELECT s.qid, s.vec_id, ROUND(${cosineSql("e.embedding", "q.qv")}, 6) AS sim
+       |  FROM shortl s JOIN embeddings e ON e.vec_id = s.vec_id JOIN q ON q.qid = s.qid
+       |),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM rr
+       |)
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_text_normalize" ->
+      s"""WITH n AS (SELECT doc_id, ${duckNormalize("text")} AS nt FROM documents)
+         |SELECT doc_id, md5(nt) AS norm_md5, CAST(length(nt) AS BIGINT) AS n_chars_norm
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_length_hist" ->
+      """SELECT lang,
+        |  CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) ELSE 0 END AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "q_domain_profile" ->
+      """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY source, lang""".stripMargin,
+
+    "q_bigram_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, ${duckToks()} AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+         |    THEN list_transform(range(len(tk) - 1),
+         |                        i -> array_to_string(list_slice(tk, i+1, i+2), ' '))
+         |    ELSE [] END) AS g
+         |  FROM toks),
+         |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY g),
+         |c1 AS (SELECT string_split(g, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, CAST(length(bin(c1 // c2)) - 1 AS BIGINT) AS bits
+         |  FROM grams JOIN c2 USING (g) JOIN c1 ON string_split(g, ' ')[1] = c1.w1),
+         |agg AS (SELECT doc_id, count(*) AS n, sum(bits) AS sb FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(a.sb, 0) AS BIGINT) AS sum_bits
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_knn_graph" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 5, 64)} AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT l.vec_id AS src, r.vec_id AS nbr,
+         |         ROUND(${cosineSql("l.embedding", "r.embedding")}, 6) AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id
+         |),
+         |ranked AS (
+         |  SELECT src, nbr, sim,
+         |         CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr ASC) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT src, rank, nbr, sim FROM ranked WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
+
+    "q_minhash_audit" ->
+      s"""WITH corpus AS (
+         |$nearDupCorpusSql
+         |),
+         |sets AS (
+         |  SELECT doc_id, ${duckShingleSet()} AS sset FROM corpus
+         |),
+         |sigs AS (
+         |  SELECT doc_id, sset, $minhashSigSql AS sig FROM sets
+         |),
+         |bands AS (
+         |  $minhashBandSelects
+         |),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |)
+         |SELECT c.a, c.b,
+         |  CAST(len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1])) AS BIGINT) AS n_eq_sig,
+         |  CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_inter,
+         |  CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS n_union
+         |FROM cands c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id
+         |ORDER BY a, b""".stripMargin,
+
+    "q_ann_pq" -> annPqOracle
+  )
+}

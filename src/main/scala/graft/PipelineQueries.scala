@@ -34,7 +34,7 @@ object PipelineQueries {
 
   /** documents ∪ a truncated copy (ids offset by 100000) — injects known
     * near-duplicates so dedup operators have positives to find. */
-  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").where(col("n_chars") > 120)
       .select(col("doc_id"), col("text"))
     docs.unionAll(docs.select(
@@ -42,7 +42,7 @@ object PipelineQueries {
       col("text").substr(lit(1), length(col("text")) - 30).as("text")))
   }
 
-  private val nearDupCorpusSql =
+  private[graft] val nearDupCorpusSql =
     """SELECT doc_id, text FROM documents WHERE n_chars > 120
       |UNION ALL
       |SELECT doc_id + 100000 AS doc_id, substring(text, 1, CAST(length(text) - 30 AS INT)) AS text
@@ -51,11 +51,11 @@ object PipelineQueries {
   // ------------------------------------------------- shared DuckDB fragments
 
   private val P = TextFunctions.P // 2147483647
-  private def duckToks(te: String = "text") =
+  private[graft] def duckToks(te: String = "text") =
     s"list_filter(string_split_regex(lower($te), '[^a-z0-9]+'), t -> t != '')"
-  private def duckHash(e: String) =
+  private[graft] def duckHash(e: String) =
     s"(CAST(('0x' || substring(md5($e),1,8)) AS BIGINT) % $P)"
-  private def duckShingleSet(te: String = "text", n: Int = 3) =
+  private[graft] def duckShingleSet(te: String = "text", n: Int = 3) =
     s"""list_distinct(list_transform(
        |  CASE WHEN len(${duckToks(te)}) >= $n
        |       THEN list_transform(range(len(${duckToks(te)}) - ${n - 1}),
@@ -689,7 +689,7 @@ object PipelineQueries {
 
   // ================================================================== oracles
 
-  private def minhashSigSql: String = {
+  private[graft] def minhashSigSql: String = {
     val sigs = (0 until 32).map { i =>
       val a = MinHashLSH.coefA(i); val b = MinHashLSH.coefB(i)
       s"coalesce(list_min(list_transform(sset, x -> ($a*x + $b) % $P)), $P)"
@@ -697,7 +697,7 @@ object PipelineQueries {
     s"[${sigs.mkString(",\n    ")}]"
   }
 
-  private def minhashBandSelects: String = (0 until 8).map { bIdx =>
+  private[graft] def minhashBandSelects: String = (0 until 8).map { bIdx =>
     val parts = (1 to 4).map(r => s"sig[${bIdx * 4 + r}]")
     s"SELECT doc_id, $bIdx AS band, concat_ws('_', ${parts.mkString(", ")}) AS bucket FROM sigs"
   }.mkString("\n  UNION ALL\n  ")
@@ -907,7 +907,7 @@ object PipelineQueries {
        |SELECT a, b, hamming FROM pairs WHERE hamming <= 3 ORDER BY a, b""".stripMargin
   }
 
-  private def cosineSql(a: String, b: String): String = {
+  private[graft] def cosineSql(a: String, b: String): String = {
     val prod = s"list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))"
     val sq = (v: String) => s"list_transform(range(len($v)), i -> CAST($v[i+1] AS DOUBLE) * CAST($v[i+1] AS DOUBLE))"
     val fold = (l: String) => s"list_reduce($l, (x, y) -> x + y)"
@@ -916,7 +916,7 @@ object PipelineQueries {
   }
 
   /** LSH bucket replay: same LCG planes, same left-fold dot product. */
-  private def lshBucketSql(vec: String, planes: Int, dim: Int): String = {
+  private[graft] def lshBucketSql(vec: String, planes: Int, dim: Int): String = {
     val bits = (0 until planes).map { j =>
       val comps = (0 until dim).map { d =>
         s"CAST(${Similarity.lcg(j * dim + d) % 2001L} - 1000 AS DOUBLE)/1000.0"

@@ -52,7 +52,8 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    filterQueries ++ PipelineQueries.queries ++ ModelQueries.queries
+    filterQueries ++ PipelineQueries.queries ++ ModelQueries.queries ++
+      CurationQueries.queries
 
   private def filterQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_outlier" -> ((s, dir) => {
@@ -361,5 +362,6 @@ object SparkEntry {
     "q_lkf_blr" -> blrOracle,
     "q_rls" -> rlsOracle,
     "q_lms" -> lmsOracle
-  ) ++ PipelineQueries.oracleSql ++ ModelQueries.oracleSql
+  ) ++ PipelineQueries.oracleSql ++ ModelQueries.oracleSql ++
+    CurationQueries.oracleSql
 }

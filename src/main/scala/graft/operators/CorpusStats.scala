@@ -128,6 +128,43 @@ object CorpusStats {
   }
 
   /**
+   * Quantized BIGRAM surprisal per document — the conditional-LM upgrade of
+   * `surprisal`: each bigram w1→w2 contributes floor(log2(c(w1·*)/c(w1·w2)))
+   * bits, i.e. how surprising w2 is GIVEN w1 under the corpus bigram model.
+   * Repetitive/templated text scores near zero even when its unigrams are
+   * rare (the failure mode of unigram surprisal on boilerplate with exotic
+   * vocabulary); genuinely novel continuations score high.
+   *
+   * Same integer discipline as `surprisal`: the prefix count c(w1·*) is the
+   * SUM of bigram counts sharing the prefix (so c1 >= c2 >= 1 and the
+   * quotient is a positive BIGINT), bits = length(bin(c1 div c2)) - 1 —
+   * replayable in any engine, partitioning-independent.
+   *
+   * Plan: one bigram-count aggregation (bigram-vocabulary-sized shuffle),
+   * a prefix re-aggregation OF THE COUNT TABLE (never the corpus), then one
+   * join of the doc bigram stream against the (bigram → c2, c1) table and a
+   * per-doc re-aggregation. Docs with <2 tokens survive via a left join
+   * with zero counts.
+   */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(graft.functions.HashExpressions.wordNGrams(col(textCol), 2)).as("g"))
+    val c2 = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val scored = grams
+      .join(c2, Seq("g"))
+      .join(c1, substring_index(col("g"), " ", 1) === col("w1"))
+      .withColumn("bits", (length(bin(expr("c1 div c2"))) - 1).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"))
+  }
+
+  /**
    * Per-group vocabulary profile — the Heaps-law dashboard of a corpus:
    * (group, n_docs, n_tokens, n_terms, tokens_per_type_milli). A source
    * whose vocabulary stops growing with volume (high tokens-per-type) is

@@ -137,6 +137,23 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
 
+  /**
+   * Deterministic text canonicalization — the dedup pre-step that folds
+   * trivial variants (case, spacing, stuttered punctuation) onto one byte
+   * sequence BEFORE hashing, so exact dedup catches near-identical mirrors.
+   * Fixed operation order (part of the contract): lowercase → collapse
+   * whitespace runs to one space → trim → squeeze runs of `.` `!` `?` `-`
+   * to a single char, in that order. Every pattern sits in the Java-regex ∩
+   * RE2 common subset (no backreferences — RE2 has none), so any engine
+   * replays the exact bytes. Map-side projection, whole-stage codegen.
+   */
+  def normalize(text: Column): Column = {
+    val base = trim(regexp_replace(lower(text), "\\s+", " "))
+    Seq("\\.", "!", "\\?", "-").foldLeft(base) { (c, p) =>
+      regexp_replace(c, s"$p{2,}", p.replace("\\", ""))
+    }
+  }
+
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.operators.CorpusStats
+import graft.sim.{ProductQuantizer, Similarity}
+import graft.text.TextFunctions
+
+/**
+ * Behavior specs for the round-6 operators: text canonicalization, bigram
+ * surprisal, the k-NN graph, and product-quantization ANN. The driver's
+ * DuckDB oracle pins exact outputs on the real tables; these pin the
+ * SEMANTICS on constructed inputs where the right answer is known by
+ * inspection.
+ */
+class Round6OpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("normalize folds case/whitespace/stuttered punctuation and is idempotent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Hello   WORLD!!!  "),
+      (2L, "hello world!"),
+      (3L, "a--b...c???d"),
+      (4L, "Tabs\tand\nnewlines  collapse")
+    ).toDF("id", "t")
+    val out = df.select($"id", TextFunctions.normalize($"t").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1) == "hello world!")
+    assert(out(2) == "hello world!") // 1 and 2 now hash-identical: the dedup win
+    assert(out(3) == "a-b.c?d")
+    assert(out(4) == "tabs and newlines collapse")
+    // idempotence: normalizing a normal form is the identity
+    val twice = df.select(TextFunctions.normalize(TextFunctions.normalize($"t")).as("n2"),
+        TextFunctions.normalize($"t").as("n1"))
+      .where($"n1" =!= $"n2").count()
+    assert(twice == 0L)
+  }
+
+  test("bigram surprisal: templated repetition scores zero bits, novel continuations score high") {
+    import spark.implicits._
+    // doc 1 repeats one bigram — its continuation is fully predictable;
+    // doc 2's continuations are unique given a shared prefix token
+    val df = Seq(
+      (1L, "go north go north go north go north"),
+      (2L, "go south go west go east go up"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 3 has <2 tokens: survives with zero counts
+    assert(out(3L) == ((0L, 0L)))
+    assert(out(1L)._1 == 7L && out(2L)._1 == 7L)
+    // "go north" occurs 4x of 8 go-prefixed bigrams -> floor(log2(8/4)) = 1 bit;
+    // "north go" 3x of 4 -> floor(log2(4/3)) = 0 bits -> sum = 4*1 + 3*0 = 4
+    assert(out(1L)._2 == 4L, s"doc1 bits ${out(1L)}")
+    // each "go X" occurs once of 8 -> 3 bits x4; "X go" once of 1 -> 0 x3
+    assert(out(2L)._2 == 12L, s"doc2 bits ${out(2L)}")
+  }
+
+  test("knn graph: neighbors are exact within a bucket, ranked by cosine, no self-edges") {
+    import spark.implicits._
+    // all vectors land in one bucket iff they agree on every plane sign;
+    // use near-identical directions so the bucket is shared
+    val base = Array.tabulate(8)(i => 1.0 + 0.01 * i)
+    val vecs = (0 until 5).map { i =>
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + 0.001 * i * d }.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(df, "vec_id", "embedding", k = 2, planes = 3, dim = 8)
+      .collect()
+    assert(out.nonEmpty, "expected shared-bucket neighbors")
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)), "self-edge found")
+    val perSrc = out.groupBy(_.getLong(0))
+    perSrc.foreach { case (_, rows) =>
+      assert(rows.length <= 2)
+      val ranked = rows.sortBy(_.getLong(1))
+      assert(ranked.map(_.getLong(1)).toSeq == (1L to ranked.length).toSeq)
+      // sims non-increasing with rank
+      val sims = ranked.map(_.getDouble(3))
+      assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("pq adc recall@10 (rerank shortlist) vs brute force stays above 0.85 on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "qid", "qv", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cbs = ProductQuantizer.train(emb, "vec_id", "embedding", dim = 64, m = 8, k = 32, iters = 2)
+    val approx = ProductQuantizer.adcTopK(cbs, emb, q, "vec_id", "embedding", "qid", "qv",
+        dim = 64, k = 10, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.85, s"PQ recall@10 = $recall")
+  }
+
+  test("pq codes compress: 8 codebooks of 32 centroids, codes in range") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cbs = ProductQuantizer.train(emb, "vec_id", "embedding", dim = 64, m = 8, k = 32, iters = 2)
+    assert(cbs.length == 8)
+    assert(cbs.forall(_.length == 32))
+    assert(cbs.forall(_.forall(_._2.length == 8)))
+    val coded = ProductQuantizer.withCodes(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("cv")), "cv", cbs, 64)
+    val bad = coded.where(
+      (0 until 8).map(s => col(s"code_$s") < 0 || col(s"code_$s") > 31).reduce(_ || _)).count()
+    assert(bad == 0L)
+  }
+
+  test("pq adc plan broadcasts the query side and never shuffles the corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cbs = ProductQuantizer.train(emb, "vec_id", "embedding", dim = 64, m = 8, k = 32, iters = 2)
+    val plan = ProductQuantizer.adcTopK(cbs, emb, q, "vec_id", "embedding", "qid", "qv",
+      dim = 64, k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$plan")
+  }
+}

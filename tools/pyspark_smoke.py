@@ -193,4 +193,31 @@ qr = {r["vec_id"]: r["qvec"] for r in q.collect()}
 assert qr[1] == [64, -127, 32] or qr[1] == [64, -127, 32], qr
 assert qr[2] == [0, 0, 0]
 print("PASS substring_profile/redact_pii/tfidf_top/quantize_int8")
+
+# -------------------------------------------------- round-6 wrappers
+
+from graft import normalize_text, bigram_surprisal, knn_graph, pq_search
+
+docs3 = spark.createDataFrame(
+    [(1, "  Hello   WORLD!!!  "), (2, "hello world!"),
+     (3, "go north go north go north go north")],
+    "doc_id long, text string")
+nn = docs3.select("doc_id", normalize_text(F.col("text")).alias("n")).collect()
+nmap = {r["doc_id"]: r["n"] for r in nn}
+assert nmap[1] == nmap[2] == "hello world!", nmap
+
+bs = bigram_surprisal(docs3, "doc_id", "text")
+bm = {r["doc_id"]: (r["n_bigrams"], r["sum_bits"]) for r in bs.collect()}
+assert bm[1] == (1, 0) and bm[3][0] == 7, bm
+
+emb3 = spark.createDataFrame(
+    [(i, [1.0 + 0.01 * i + 0.001 * d for d in range(8)]) for i in range(6)],
+    "vec_id long, embedding array<float>")
+kg = knn_graph(emb3, "vec_id", "embedding", 2, 3, 8)
+assert kg.count() > 0 and set(kg.columns) == {"src", "rank", "nbr", "sim"}
+
+qs3 = emb3.where("vec_id < 2").selectExpr("vec_id AS qid", "embedding AS qv")
+pq = pq_search(emb3, qs3, "vec_id", "embedding", "qid", "qv", 8, 2, 3, 1, 3, 5)
+assert pq.count() == 6 and set(pq.columns) == {"qid", "vec_id", "sim", "rank"}
+print("PASS normalize_text/bigram_surprisal/knn_graph/pq_search")
 spark.stop()
