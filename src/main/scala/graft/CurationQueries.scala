@@ -73,6 +73,15 @@ object CurationQueries {
         .orderBy(col("src"), col("rank"))
     }),
 
+    "q_knn_graph_auto" -> ((s, dir) => {
+      // production variant: planes sized from the corpus so bucket
+      // occupancy stays constant as data grows (no static-SQL oracle —
+      // the plane count is data-dependent; rows-only check + soak)
+      Similarity.knnGraphAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, dim = 64)
+        .orderBy(col("src"), col("rank"))
+    }),
+
     "q_minhash_audit" -> ((s, dir) => {
       // estimator calibration: for every LSH candidate pair, the signature
       // agreement count (32·Ĵ) NEXT TO the exact intersection/union — the

@@ -38,7 +38,12 @@ object Soak {
       "q_top_ngrams", "q_surprisal", "q_line_dedup",
       // round-5 wave 4: per-position hashing (CPU-bound scan) + two aggs,
       // the (doc,term) double aggregation, and the shuffle-free quantizer
-      "q_substring_dedup", "q_tfidf", "q_quantize")
+      "q_substring_dedup", "q_tfidf", "q_quantize",
+      // round 6: the bucketed self-join graph (sum(bucket²) candidates must
+      // scale ~linearly while buckets stay balanced), the double-aggregated
+      // bigram LM, the PQ code scan (bounded model + map-side codes), and
+      // the pure-scan canonicalization
+      "q_knn_graph_auto", "q_bigram_surprisal", "q_ann_pq", "q_text_normalize")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -83,6 +83,23 @@ class Round6OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("knn graph auto-sizing holds bucket occupancy constant as the corpus grows") {
+    // at the gate corpora (500 vectors, target occupancy 16) auto must pick
+    // exactly 5 planes — i.e. produce byte-identical output to the fixed
+    // oracle-replayed variant; at 8x the data it must add 3 planes
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fixed = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3, planes = 5, dim = 64)
+    val auto = Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 3, dim = 64)
+    assert(fixed.unionAll(auto).distinct().count() == fixed.count(),
+      "auto(500 rows) must equal fixed planes=5")
+    // 8x corpus: ceil(log2(4000/16)) = 8 planes -> 256 buckets; candidate
+    // volume stays ~occupancy^2 * buckets instead of growing 64x
+    val big = (0 until 8).map(c => emb.select((col("vec_id") + c * 1000).as("vec_id"),
+      col("embedding"))).reduce(_ unionAll _)
+    val bigGraph = Similarity.knnGraphAuto(big, "vec_id", "embedding", k = 1, dim = 64)
+    assert(bigGraph.count() <= big.count(), "k=1 graph bounded by node count")
+  }
+
   test("pq adc recall@10 (rerank shortlist) vs brute force stays above 0.85 on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") < 5)

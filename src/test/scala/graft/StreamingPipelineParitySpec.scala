@@ -178,4 +178,29 @@ class StreamingPipelineParitySpec extends AnyFunSuite with SparkTestSession {
     sq2.stop()
     assert(batchQ.toSeq == streamQ.toSeq)
   }
+
+  test("text normalization runs unchanged on a stream (stateless map)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "  Mixed   CASE...  and   gaps!!! "),
+      (2L, "mixed case. and gaps!"),
+      (3L, "untouched line"))
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), graft.text.TextFunctions.normalize(col("text")).as("n"))
+    val batchN = norm(docs.toDF("doc_id", "text")).as[(Long, String)].collect().sorted
+
+    val ds = MemoryStream[(Long, String)]
+    val sq = norm(ds.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("norm_parity").outputMode("append").start()
+    ds.addData(docs.take(1)); sq.processAllAvailable()
+    ds.addData(docs.drop(1)); sq.processAllAvailable()
+    val streamN = spark.table("norm_parity").as[(Long, String)].collect().sorted
+    sq.stop()
+    assert(batchN.toSeq == streamN.toSeq)
+    // 1 and 2 canonicalize to the same bytes — the streaming dedup key
+    val m = streamN.toMap
+    assert(m(1L) == m(2L))
+  }
 }
