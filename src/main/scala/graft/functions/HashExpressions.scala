@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.text.TextFunctions.P
@@ -318,6 +318,30 @@ case class WinnowedHashesExpr(child: Expression, width: Int, rate: Int)
     copy(child = newChild)
 }
 
+/** Bloom-probe hit count over an array<long> gram column: how many grams
+  * have all k probe bits set in the (driver-built, codegen-referenced)
+  * bitset. Bit-identical to `filter(grams, bloomMightContain)` + size —
+  * which runs interpreted (HOF lambda) with a fresh 3×md5 expression walk
+  * per gram. */
+case class BloomHitsExpr(child: Expression, words: Array[Long], k: Int, m: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bloom_hits"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.INSTANCE.bloomHits(input.asInstanceOf[ArrayData], words, k, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernels = ctx.addReferenceObj("hashKernels", HashKernels.INSTANCE, "graft.functions.HashKernels")
+    val wordsRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kernels.bloomHits($c, $wordsRef, $k, $m);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomHitsExpr =
+    copy(child = newChild)
+}
+
 /** {n1,d1,n2,d2,n3,d3}: total and distinct word-n-gram counts for
   * n = 1, 2, 3 in ONE kernel pass (the declarative sequence+transform
   * formulation runs interpreted and re-evaluates the gram array once per
@@ -385,4 +409,8 @@ object HashExpressions {
   /** Column wrapper: simhash fingerprint of an array<long> token-hash column. */
   def simhashFingerprint(toks: Column, bits: Int): Column =
     Bridge.column(SimHashFingerprint(Bridge.expression(toks), bits))
+
+  /** Column wrapper: count of grams whose k Bloom probes are all set. */
+  def bloomHits(grams: Column, words: Array[Long], k: Int, m: Int): Column =
+    Bridge.column(BloomHitsExpr(Bridge.expression(grams), words, k, m))
 }

@@ -171,6 +171,32 @@ class HashKernels extends Serializable {
     UnsafeArrayData.fromPrimitiveArray(out.toArray)
   }
 
+  /** Count of gram hashes whose k Bloom probes are ALL set in `words`:
+    * probe i of gram g = stableHash("b&lt;i&gt;:&lt;g decimal&gt;") % m — byte-identical
+    * to the declarative `filter(grams, g => bloomMightContain(...))`
+    * formulation (which runs interpreted: HOF lambdas are CodegenFallback
+    * and re-walk a 3×md5 expression tree per gram). One kernel call per
+    * row; probes short-circuit on the first clear bit. */
+  def bloomHits(grams: ArrayData, words: Array[Long], k: Int, m: Int): Int = {
+    var c = 0
+    var i = 0
+    val n = grams.numElements()
+    while (i < n) {
+      val g = grams.getLong(i)
+      var ok = true
+      var j = 0
+      while (ok && j < k) {
+        val bytes = ("b" + j + ":" + g).getBytes(StandardCharsets.UTF_8)
+        val p = hash31(bytes) % m
+        ok = (words((p / 64).toInt) & (1L << (p % 64).toInt)) != 0L
+        j += 1
+      }
+      if (ok) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Per-token hashes in token order (31-bit mod-P or 60-bit md5 prefix);
     * null stays null (matching `transform(tokens(text), hash)`). */
   def tokenHashes(text: UTF8String, bits: Int): ArrayData = {

@@ -31,19 +31,57 @@ import org.apache.spark.sql.functions._
  */
 object ProductQuantizer {
 
-  /** Per-subspace codebooks: `m` arrays of (code 0..k-1, centroid of the
-    * sub-dimension). Training data for subspace s is slice s of every
-    * corpus vector; k stays constant in the corpus size (bounded model). */
+  /**
+   * Per-subspace codebooks: `m` arrays of (code 0..k-1, centroid of the
+   * sub-dimension). Training data for subspace s is slice s of every
+   * corpus vector; k stays constant in the corpus size (bounded model).
+   *
+   * ALL m codebooks train together: one deterministic LCG sample of full
+   * vectors seeds every subspace (its slice), and each Lloyd iteration is
+   * ONE job — rows explode into (subspace, cell, sub-vector) and a single
+   * (m·k)-group aggregation computes every scaled-integer mean. Training a
+   * subspace at a time costs m× the corpus passes for identical results
+   * (the per-(s,cell) integer sums are the same numbers either way — the
+   * DuckDB oracle replays them subspace-by-subspace and still matches).
+   */
   def train(
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, k: Int, iters: Int): Array[Array[(Long, Array[Double])]] = {
     require(dim % m == 0, "dim must split evenly into m subspaces")
     val ds = dim / m
-    (0 until m).map { s =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol).cast("array<double>"), s * ds + 1, ds).as("sub"))
-      Similarity.ivfTrainKMeans(sub, idCol, "sub", k, iters)
-    }.toArray
+    val sampled = Similarity.ivfTrain(corpus, idCol, vecCol, k)
+    var cbs: Array[Array[(Long, Array[Double])]] = Array.tabulate(m) { s =>
+      sampled.zipWithIndex.map { case ((_, v), i) => (i.toLong, v.slice(s * ds, s * ds + ds)) }
+    }
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var it = 0
+      while (it < iters) {
+        val parts = array((0 until m).map { s =>
+          struct(lit(s).as("s"),
+            Similarity.ivfCellExpr(slice(col("cv"), s * ds + 1, ds), cbs(s)).as("cell"),
+            slice(col("cv"), s * ds + 1, ds).as("sub"))
+        }: _*)
+        val agg = vecs.select(explode(parts).as("p"))
+          .select(col("p.s").as("s"), col("p.cell").as("cell"), col("p.sub").as("sub"))
+          .groupBy(col("s"), col("cell"))
+          .agg(count(lit(1)).as("n"),
+            array((0 until ds).map(d =>
+              sum(floor(col("sub")(d) * Similarity.KMeansShift + 0.5))): _*).as("sums"))
+          .collect()
+        val bySub = agg.groupBy(_.getInt(0))
+        cbs = Array.tabulate(m) { s =>
+          val means = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row]).map { r =>
+            val n = r.getLong(2).toDouble
+            r.getLong(1) -> r.getSeq[Long](3).map(x => x.toDouble / (n * Similarity.KMeansShift)).toArray
+          }.toMap
+          cbs(s).map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+        }
+        it += 1
+      }
+      cbs
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Adds integer code columns code_0..code_{m-1} — one map-side
