@@ -333,3 +333,18 @@ def pq_search(corpus, queries, id_col, vec_col, qid_col, qvec_col,
     return _wrap(corpus, m.searchTopK(corpus._jdf, queries._jdf, id_col, vec_col,
                                       qid_col, qvec_col, dim, m_sub, codes,
                                       iters, k, shortlist))
+
+
+def ivfpq_search(corpus, queries, id_col, vec_col, qid_col, qvec_col,
+                 dim, k_coarse=32, m_sub=8, codes=32, iters=2,
+                 k=10, nprobe=4, shortlist=50):
+    """IVF-PQ ANN (FAISS IVFADC layout): coarse cells route each query to
+    nprobe cells, PQ codes score only those cells' rows, exact rerank."""
+    jvm = corpus.sparkSession._jvm
+    sim = _module(corpus.sparkSession, "graft.sim.Similarity$")
+    pq = _module(corpus.sparkSession, "graft.sim.ProductQuantizer$")
+    coarse = sim.ivfTrainKMeans(corpus._jdf, id_col, vec_col, k_coarse, iters, False)
+    cbs = pq.train(corpus._jdf, id_col, vec_col, dim, m_sub, codes, iters)
+    return _wrap(corpus, pq.ivfPqTopK(coarse, cbs, corpus._jdf, queries._jdf,
+                                      id_col, vec_col, qid_col, qvec_col,
+                                      dim, k, nprobe, shortlist, 6))

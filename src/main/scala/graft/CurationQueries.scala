@@ -112,6 +112,22 @@ object CurationQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // the billion-vector composition (FAISS IVFADC layout): the SAME
+      // coarse quantizer q_ann_ivf trains routes queries to nprobe cells,
+      // the SAME PQ codebooks q_ann_pq trains score only those cells'
+      // codes, exact floats rerank a 50-row shortlist
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val coarse = Similarity.ivfTrainKMeans(emb, "vec_id", "embedding", 32, iters = 2)
+      val cbs = ProductQuantizer.train(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 32, iters = 2)
+      ProductQuantizer.ivfPqTopK(coarse, cbs, emb, q, "vec_id", "embedding", "qid", "qv",
+          dim = 64, k = 10, nprobe = 4, shortlist = 50)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "q_ann_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 5)
@@ -230,7 +246,60 @@ object CurationQueries {
        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** IVF-PQ replay: the coarse Lloyd CTEs (cf/cellsf — IDENTICAL to the
+    * q_ann_ivf oracle) + the 8 PQ sub-replays, probes by query-centroid
+    * cosine, ADC over probed cells only, exact rerank of the shortlist. */
+  private def annIvfPqOracle: String = {
+    val m = 8
+    val kms = (0 until m).map(s => pqKmeansCtes(s, ds = 64 / m, k = 32, iters = 2)).mkString(",\n")
+    val codeJoins = (0 until m).map(s => s"JOIN s${s}codes s$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"s$s.cell AS code$s").mkString(", ")
+    val centJoins = (0 until m).map(s => s"JOIN s${s}cf c$s ON c$s.cid = c.code$s").mkString(" ")
+    val reconList = (1 until m).foldLeft("c0.cvec")((acc, s) => s"list_concat($acc, c$s.cvec)")
+    s"""WITH ${PipelineQueries.kmeansReplayCtes(iters = 2, dim = 64)},
+       |$kms,
+       |coded AS (
+       |  SELECT e.vec_id, cs.cell, $codeCols
+       |  FROM embeddings e $codeJoins
+       |  JOIN cellsf cs ON cs.vec_id = e.vec_id
+       |),
+       |recon AS (
+       |  SELECT c.vec_id, c.cell, $reconList AS rv
+       |  FROM coded c $centJoins
+       |),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.qid, q.qv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cosineSql("q.qv", "c.cvec")} DESC, c.cid ASC) AS pr
+       |    FROM q CROSS JOIN cf c) WHERE pr <= 4
+       |),
+       |adc AS (
+       |  SELECT p.qid, r.vec_id, ROUND(${cosineSql("r.rv", "p.qv")}, 6) AS adc_sim
+       |  FROM recon r JOIN probes p ON r.cell = p.cell WHERE r.vec_id != p.qid
+       |),
+       |shortl AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc_sim DESC, vec_id ASC) AS ar
+       |    FROM adc) WHERE ar <= 50
+       |),
+       |rr AS (
+       |  SELECT s.qid, s.vec_id, ROUND(${cosineSql("e.embedding", "q.qv")}, 6) AS sim
+       |  FROM shortl s JOIN embeddings e ON e.vec_id = s.vec_id JOIN q ON q.qid = s.qid
+       |),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM rr
+       |)
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_ann_ivfpq" -> annIvfPqOracle,
 
     "q_text_normalize" ->
       s"""WITH n AS (SELECT doc_id, ${duckNormalize("text")} AS nt FROM documents)

@@ -950,7 +950,7 @@ object PipelineQueries {
    * which is order-independent, hence bit-replayable. Ends with CTEs
    * `cf` (final centroids) and `cellsf` (final corpus assignment).
    */
-  private def kmeansReplayCtes(iters: Int, dim: Int): String = {
+  private[graft] def kmeansReplayCtes(iters: Int, dim: Int): String = {
     def assign(centsCte: String, name: String): String =
       s"""$name AS (
          |  SELECT vec_id, cv, cell FROM (

@@ -47,8 +47,10 @@ object Soak {
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val soakDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", "target/soak/sf1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALE", "10").toInt
+    // scale-suffixed default: the _DONE marker is per-directory, so a shared
+    // dir would silently serve 10x data to a scale-100 run (round-6 bite)
+    val soakDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", s"target/soak/scale$scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()

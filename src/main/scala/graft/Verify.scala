@@ -22,7 +22,8 @@ object Verify {
     "q_token_count", "q_repetition", "q_pii", "q_redact_pii", "q_quantize",
     "q_text_normalize", "q_length_hist", "q_domain_profile",
     "q_gopher_rules", "q_lang_id", "q_hll", "q_mix_weights",
-    "q_knn_graph", "q_knn_graph_auto", "q_bigram_surprisal", "q_minhash_audit", "q_ann_pq",
+    "q_knn_graph", "q_knn_graph_auto", "q_bigram_surprisal", "q_minhash_audit",
+    "q_ann_pq", "q_ann_ivfpq",
     "q_dedup_exact", "q_source_overlap", "q_leakage_split", "q_stratified_sample",
     "q_weighted_sample", "q_percentiles",
     "q_pack_shards", "q_curation_funnel", "q_vocab",

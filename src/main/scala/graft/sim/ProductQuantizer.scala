@@ -121,6 +121,53 @@ object ProductQuantizer {
    * partition by query id over shortlist-bounded rows). Deterministic: both
    * stages round to `roundTo` and tie-break by corpus id.
    */
+  /**
+   * IVF-PQ search — the billion-vector composition (FAISS's IVFADC layout,
+   * Jégou et al. 2011 §V): a coarse IVF quantizer routes each query to its
+   * `nprobe` nearest cells, the PQ codes of ONLY those cells' rows are
+   * ADC-scored, and the exact vectors of a per-query shortlist rerank.
+   * Per query the scan touches ~nprobe/k_coarse of the corpus's codes and
+   * shortlist rows of floats; corpus shuffles zero times (cell assignment
+   * and codes are map-side projections against driver-held models).
+   */
+  def ivfPqTopK(
+      coarse: Array[(Long, Array[Double])],
+      codebooks: Array[Array[(Long, Array[Double])]],
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      dim: Int, k: Int, nprobe: Int, shortlist: Int = 50,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val floats = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("cv"))
+    val coded = withCodes(floats, "cv", codebooks, dim)
+      .withColumn("cell", Similarity.ivfCellExpr(col("cv"), coarse))
+      .drop("cv")
+    val q = queries.select(col(qidCol), col(qvecCol).cast("array<double>").as("qv"))
+    // nprobe cells per query: rank cells by cosine(qv, centroid), ties -> cid
+    val centRows = coarse.map { case (cid, v) => (cid, v.toSeq) }.toSeq
+    val cents = corpus.sparkSession.createDataFrame(centRows).toDF("cell", "cvec")
+    val wProbe = Window.partitionBy(col(qidCol))
+      .orderBy(Similarity.cosine(col("qv"), col("cvec")).desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nprobe)
+      .select(col(qidCol), col("qv"), col("cell"))
+    val adc = coded.join(broadcast(probes), Seq("cell"))
+      .where(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        round(Similarity.cosine(reconstruction(codebooks), col("qv")), roundTo).as("adc_sim"))
+    val wAdc = Window.partitionBy(col(qidCol)).orderBy(col("adc_sim").desc, col(idCol).asc)
+    val short = adc.withColumn("adc_rank", row_number().over(wAdc))
+      .where(col("adc_rank") <= shortlist)
+      .select(col(qidCol), col(idCol))
+    val rerank = short.join(floats, Seq(idCol)).join(broadcast(q), Seq(qidCol))
+      .withColumn("sim", round(Similarity.cosine(col("cv"), col("qv")), roundTo))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol).asc)
+    rerank.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("sim"), col("rank").cast("long").as("rank"))
+  }
+
   /** Train + search in one call (the PySpark entry point — codebooks stay
     * in the JVM). */
   def searchTopK(

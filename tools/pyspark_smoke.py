@@ -220,4 +220,14 @@ qs3 = emb3.where("vec_id < 2").selectExpr("vec_id AS qid", "embedding AS qv")
 pq = pq_search(emb3, qs3, "vec_id", "embedding", "qid", "qv", 8, 2, 3, 1, 3, 5)
 assert pq.count() == 6 and set(pq.columns) == {"qid", "vec_id", "sim", "rank"}
 print("PASS normalize_text/bigram_surprisal/knn_graph/pq_search")
+
+from graft import ivfpq_search
+emb4 = spark.createDataFrame(
+    [(i, [float((i * 3 + d) % 7) + 0.01 * i for d in range(8)]) for i in range(40)],
+    "vec_id long, embedding array<float>")
+qs4 = emb4.where("vec_id < 2").selectExpr("vec_id AS qid", "embedding AS qv")
+ipq = ivfpq_search(emb4, qs4, "vec_id", "embedding", "qid", "qv", 8,
+                   k_coarse=4, m_sub=2, codes=4, iters=1, k=3, nprobe=2, shortlist=10)
+assert ipq.count() > 0 and set(ipq.columns) == {"qid", "vec_id", "sim", "rank"}
+print("PASS ivfpq_search")
 spark.stop()
