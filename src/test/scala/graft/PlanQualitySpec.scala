@@ -161,4 +161,44 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("text normalize / length hist / domain profile are scan + single-agg plans") {
+    for (q <- Seq("q_text_normalize", "q_length_hist", "q_domain_profile")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"$q has a join:\n${p.take(2000)}")
+    }
+    // normalization must prune the documents scan to (doc_id, text)
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(plan("q_text_normalize")).getOrElse("")
+    assert(!schema.contains("source") && !schema.contains("lang"), schema)
+  }
+
+  test("knn graph: bucket computed map-side, pairs join is an equi-join on bucket") {
+    val p = plan("q_knn_graph")
+    assert(p.contains("hyperplane_bucket") || p.contains("HyperplaneBucket"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("pq adc: codes are map-side projections; only the query side broadcasts") {
+    val df = SparkEntry.queries("q_ann_pq")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the 5-row query probe must broadcast against the coded corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("ivf-pq: probes and rerank queries broadcast; corpus side never exchanges by row") {
+    val df = SparkEntry.queries("q_ann_ivfpq")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("bigram surprisal: count tables join the gram stream as broadcasts at this scale") {
+    val p = plan("q_bigram_surprisal")
+    // vocabulary-sized count tables; at gate scale AQE should broadcast
+    // them — and there must never be a nested-loop fallback
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
 }
