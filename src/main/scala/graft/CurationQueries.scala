@@ -62,6 +62,23 @@ object CurationQueries {
         .orderBy(col("source"), col("lang"))
     }),
 
+    "q_canon_dedup" -> ((s, dir) => {
+      // the normalize→dedup composition: copies that differ only by case/
+      // padding are invisible to byte-exact dedup and collapse after
+      // canonicalization. Inject an upper-cased and a whitespace-padded
+      // variant of every doc; each content must form one 3-variant group.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionAll(docs.select((col("doc_id") + 200000L).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionAll(docs.select((col("doc_id") + 400000L).as("doc_id"),
+          concat(lit("  "), col("text"), lit("   ")).as("text")))
+      corpus.select(col("doc_id"), md5(TextFunctions.normalize(col("text"))).as("canon_hash"))
+        .groupBy(col("canon_hash"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("canonical_id"))
+        .orderBy(col("canon_hash"))
+    }),
+
     "q_bigram_surprisal" -> ((s, dir) => {
       CorpusStats.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -321,6 +338,19 @@ object CurationQueries {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY ROLLUP (source, lang)
         |ORDER BY source, lang""".stripMargin,
+
+    "q_canon_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, upper(text) FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 400000, '  ' || text || '   ' FROM documents
+         |)
+         |SELECT md5(${duckNormalize("text")}) AS canon_hash,
+         |  CAST(count(*) AS BIGINT) AS n_variants,
+         |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+         |FROM corpus GROUP BY 1 ORDER BY canon_hash""".stripMargin,
 
     "q_bigram_surprisal" ->
       s"""WITH toks AS (SELECT doc_id, ${duckToks()} AS tk FROM documents),

@@ -20,7 +20,7 @@ object Verify {
   private val costOrder: Seq[String] = Seq(
     "q_split", "q_cap_per_source", "q_vector_fns", "q_fingerprint", "q_quality",
     "q_token_count", "q_repetition", "q_pii", "q_redact_pii", "q_quantize",
-    "q_text_normalize", "q_length_hist", "q_domain_profile",
+    "q_text_normalize", "q_length_hist", "q_domain_profile", "q_canon_dedup",
     "q_gopher_rules", "q_lang_id", "q_hll", "q_mix_weights",
     "q_knn_graph", "q_knn_graph_auto", "q_bigram_surprisal", "q_minhash_audit",
     "q_ann_pq", "q_ann_ivfpq",
