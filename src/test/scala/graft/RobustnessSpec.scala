@@ -94,6 +94,19 @@ class RobustnessSpec extends AnyFunSuite with SparkTestSession {
     assert(splits.forall(Set("train", "val", "test")), splits.toSeq)
   }
 
+  test("normalize and bigram surprisal are null/empty-safe") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "  A  ")).toDF("doc_id", "text")
+    val norm = df.select(col("doc_id"), graft.text.TextFunctions.normalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(norm(1L).isEmpty)       // null propagates, no exception
+    assert(norm(2L).contains(""))  // empty stays empty
+    assert(norm(3L).contains("a"))
+    val bs = graft.operators.CorpusStats.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bs.size == 3 && bs.values.forall(_ == ((0L, 0L))), bs) // <2 tokens everywhere
+  }
+
   test("ngram stats and PII counters are null-safe") {
     import spark.implicits._
     val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("id", "text")
