@@ -335,6 +335,13 @@ def pq_search(corpus, queries, id_col, vec_col, qid_col, qvec_col,
                                       iters, k, shortlist))
 
 
+def contamination_attribution(train, eval_df, id_col, text_col, n=5):
+    """Per (train doc, eval doc) shared distinct n-gram counts — the audit
+    behind decontamination drop decisions."""
+    m = _module(train.sparkSession, "graft.operators.Decontamination$")
+    return _wrap(train, m.attribution(train._jdf, eval_df._jdf, id_col, text_col, n))
+
+
 def ivfpq_search(corpus, queries, id_col, vec_col, qid_col, qvec_col,
                  dim, k_coarse=32, m_sub=8, codes=32, iters=2,
                  k=10, nprobe=4, shortlist=50):

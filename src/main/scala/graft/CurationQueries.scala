@@ -62,6 +62,16 @@ object CurationQueries {
         .orderBy(col("source"), col("lang"))
     }),
 
+    "q_contaminated_by" -> ((s, dir) => {
+      // contamination attribution: which eval doc hit each flagged training
+      // doc, and by how many shared 5-grams (the review table behind any
+      // drop decision). Same eval set as q_decontaminate.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val eval = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      graft.operators.Decontamination.attribution(docs, eval, "doc_id", "text", 5)
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+
     "q_canon_dedup" -> ((s, dir) => {
       // the normalize→dedup composition: copies that differ only by case/
       // padding are invisible to byte-exact dedup and collapse after
@@ -338,6 +348,18 @@ object CurationQueries {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY ROLLUP (source, lang)
         |ORDER BY source, lang""".stripMargin,
+
+    "q_contaminated_by" ->
+      s"""WITH ev AS (
+         |  SELECT doc_id AS eval_id, unnest(${duckShingleSet("text", 5)}) AS g
+         |  FROM documents WHERE doc_id % 50 = 0
+         |),
+         |tr AS (
+         |  SELECT doc_id, unnest(${duckShingleSet("text", 5)}) AS g FROM documents
+         |)
+         |SELECT tr.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM tr JOIN ev USING (g)
+         |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin,
 
     "q_canon_dedup" ->
       s"""WITH corpus AS (

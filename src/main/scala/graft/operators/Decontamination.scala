@@ -45,6 +45,27 @@ object Decontamination {
         (col("n_contaminated") > 0L).as("contaminated"))
   }
 
+  /**
+   * Contamination ATTRIBUTION — the audit behind any decontamination
+   * decision: for every (training doc, eval doc) pair sharing at least one
+   * token n-gram, the count of shared distinct grams. `overlap` says "this
+   * doc is dirty"; this says WHICH benchmark hit it and how hard, which is
+   * what you review before dropping data. Same scale shape: the per-eval-doc
+   * gram table is still benchmark-sized and broadcasts; the corpus is
+   * scanned once and the shuffle carries only surviving (train, eval) pairs.
+   */
+  def attribution(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val ev = eval.select(col(idCol).as("eval_id"),
+      explode(HashExpressions.shingleHashSet(col(textCol), n)).as("g"))
+    val tr = train.select(col(idCol),
+      explode(HashExpressions.shingleHashSet(col(textCol), n)).as("g"))
+    tr.join(broadcast(ev), Seq("g"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared")) // both sides per-doc-distinct grams
+  }
+
   /** Distinct hashed n-gram set of an eval corpus, collected to the driver —
     * benchmarks are small by construction (thousands of docs), so this is a
     * bounded model, exactly like a trained quantizer. */

@@ -221,7 +221,10 @@ pq = pq_search(emb3, qs3, "vec_id", "embedding", "qid", "qv", 8, 2, 3, 1, 3, 5)
 assert pq.count() == 6 and set(pq.columns) == {"qid", "vec_id", "sim", "rank"}
 print("PASS normalize_text/bigram_surprisal/knn_graph/pq_search")
 
-from graft import ivfpq_search
+from graft import contamination_attribution, ivfpq_search
+ca = contamination_attribution(docs3, docs3.where("doc_id = 3"), "doc_id", "text", 2)
+assert ca.count() >= 1  # doc 3 shares its own 2-grams
+
 emb4 = spark.createDataFrame(
     [(i, [float((i * 3 + d) % 7) + 0.01 * i for d in range(8)]) for i in range(40)],
     "vec_id long, embedding array<float>")
