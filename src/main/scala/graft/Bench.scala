@@ -117,14 +117,27 @@ object Bench {
       System.err.println("[bench] WARNING: median >3x min for at least one query — " +
         "host contention suspected; trust total_min/queries_min over the medians")
     val loadAfter = loadavg
-    val qs2 = medians.map { case (k, v) => jq(k) + ":" + r2(v) }.mkString("{", ",", "}")
-    val stdoutLine =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs2,"errors":$errJson,"reps":$reps,"sf":${jq(sfDir)},"total_min":${r2(totalMin)},"contended":$contended}"""
+    // Adaptive stdout line: start at 2-decimal medians; if the query count
+    // has grown past what 2000 bytes holds, drop to 1 decimal, then omit
+    // the CHEAPEST queries (keeping an "omitted" count) — a parseable line
+    // with the expensive tail beats a complete line the driver can't read.
+    def buildLine(prec: Int, entries: Seq[(String, Double)], omitted: Int): String = {
+      def r(v: Double): Double = { val s = math.pow(10, prec); math.round(v * s) / s }
+      val qm = entries.map { case (k, v) => jq(k) + ":" + r(v) }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${r(total)},"unit":"sec","queries":$qm,"errors":$errJson,"reps":$reps,"sf":${jq(sfDir)},"total_min":${r(totalMin)},"contended":$contended$om}"""
+    }
+    val byCost = medians.sortBy(-_._2)
+    var stdoutLine = buildLine(2, medians, 0)
+    if (stdoutLine.length > 1800) stdoutLine = buildLine(1, medians, 0)
+    var keep = byCost.length
+    while (stdoutLine.length > 1900 && keep > 10) {
+      keep -= 5
+      stdoutLine = buildLine(1, byCost.take(keep).sortBy(_._1), byCost.length - keep)
+    }
     val fullLine =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":${jq(sfDir)},"total_min":${r4(totalMin)},"queries_min":$qsMin,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended}"""
     println(stdoutLine)
-    if (stdoutLine.length > 1800)
-      System.err.println(s"[bench] WARNING: stdout line ${stdoutLine.length} B nears the driver's 2000 B tail window — trim precision or query count")
     Files.writeString(Paths.get("bench.json"), fullLine + "\n")
     Files.writeString(Paths.get("bench_raw.json"),
       s"""{"raw":$raw,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"reps":$reps,"sf":${jq(sfDir)}}""" + "\n")
