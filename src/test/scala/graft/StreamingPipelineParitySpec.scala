@@ -179,6 +179,32 @@ class StreamingPipelineParitySpec extends AnyFunSuite with SparkTestSession {
     assert(batchQ.toSeq == streamQ.toSeq)
   }
 
+  test("bloom decontamination probes run unchanged on a stream (map-only, broadcast-free)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val words = graft.operators.Decontamination.evalBloom(eval, "text", 5)
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"), // shares eval 5-grams
+      (11L, "one two three four five six seven"))       // disjoint
+
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Decontamination.overlapBloom(df, words, "doc_id", "text", 5)
+    val batch = probe(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Boolean)].collect().sorted
+
+    val ds = MemoryStream[(Long, String)]
+    val sq = probe(ds.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bloom_parity").outputMode("append").start()
+    ds.addData(docs.take(1)); sq.processAllAvailable()
+    ds.addData(docs.drop(1)); sq.processAllAvailable()
+    val stream = spark.table("bloom_parity").as[(Long, Long, Long, Boolean)].collect().sorted
+    sq.stop()
+    assert(batch.toSeq == stream.toSeq)
+    val flags = stream.map(r => r._1 -> r._4).toMap
+    assert(flags(10L) && !flags(11L), flags)
+  }
+
   test("text normalization runs unchanged on a stream (stateless map)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
