@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainingOrder
+import graft.sim.Similarity
+import graft.text.{TextClassifiers, TextFunctions}
+
+/**
+ * Round-6 wave 2: training-set ASSEMBLY operators — what happens after
+ * curation says "keep": a corpus-trained quality classifier (Naive Bayes),
+ * DSIR importance weighting toward a target domain, the deterministic
+ * per-epoch shuffle into training shards, and the embedding-cluster topic
+ * dashboard that tells you WHAT the kept corpus contains.
+ *
+ * Contract discipline unchanged: integer-exact arithmetic (bit-length
+ * quantized log-ratios), every oracle a DuckDB replay, no UDFs, the only
+ * collect is the k-row k-means codebook fetch the IVF path already proved.
+ */
+object TrainingQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // =================================================================== queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_nb_classifier" -> ((s, dir) => {
+      // corpus-trained quality classifier (the CCNet/GPT-3 gate): train
+      // multinomial NB on lang=='en' as the positive class, score every
+      // doc with bit-quantized log-likelihood ratios. Train = one
+      // vocab-bounded aggregation; score = broadcast model join.
+      val docs = t(s, dir, "documents")
+        .withColumn("y", (col("lang") === "en").cast("long"))
+      val model = TextClassifiers.naiveBayesTrain(docs, "text", "y")
+      TextClassifiers.naiveBayesScore(docs, "doc_id", "text", "y", model)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR (Xie et al. 2023): hashed-bigram bucket distributions for
+      // target (lang=='en') vs raw (all docs); per-doc quantized
+      // log(p_target/p_raw) importance weight. Model = 1024 rows at ANY
+      // corpus size — the hashing trick is the scale story.
+      val docs = t(s, dir, "documents")
+        .withColumn("y", (col("lang") === "en").cast("long"))
+      TextClassifiers.dsirWeights(docs, "doc_id", "text", "y", buckets = 1024)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_shuffle_shards" -> ((s, dir) => {
+      // deterministic per-epoch training shuffle: 2 epochs × 8 shards,
+      // shard chosen map-side from md5(id, epoch), position = in-shard
+      // rank of the same key. No global sort anywhere — the window runs
+      // per (epoch, shard). Per-shard manifest keeps output bounded.
+      TrainingOrder.shuffleShards(t(s, dir, "documents"), "doc_id",
+          epochs = 2, nShards = 8)
+        .groupBy(col("epoch").cast("long").as("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"),
+          sum(col("doc_id") * col("pos")).as("order_sig"))
+        .orderBy(col("epoch"), col("shard"))
+    }),
+
+    "q_doc_topics" -> ((s, dir) => {
+      // corpus topic dashboard: k-means cluster the embedding space (the
+      // SAME deterministic Lloyd the IVF/SemDeDup path trains), then per
+      // cluster report its size and top-3 tokens of its member docs —
+      // the "what did we actually keep" review table.
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfTrainKMeans(emb, "vec_id", "embedding", 32, iters = 2)
+      val assigned = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+        .withColumn("cluster", Similarity.ivfCellExpr(col("cv"), cents))
+        .select(col("vec_id"), col("cluster"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = docs.join(assigned, docs("doc_id") === assigned("vec_id"))
+        .select(col("cluster"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      val nDocs = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+      val tc = toks.groupBy(col("cluster"), col("token")).agg(count(lit(1)).as("n_occ"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+        .orderBy(col("n_occ").desc, col("token").asc)
+      tc.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .join(nDocs, Seq("cluster"))
+        .select(col("cluster"), col("n_docs"), col("rank"), col("token"), col("n_occ"))
+        .orderBy(col("cluster"), col("rank"))
+    })
+  )
+
+  // =================================================================== oracles
+
+  import PipelineQueries.{duckHash, duckToks, kmeansReplayCtes}
+
+  /** DuckDB word-bigram list replay (same construction as q_bigram_surprisal). */
+  private def duckBigrams(tk: String): String =
+    s"""CASE WHEN len($tk) >= 2
+       |  THEN list_transform(range(len($tk) - 1),
+       |                      i -> array_to_string(list_slice($tk, i+1, i+2), ' '))
+       |  ELSE [] END""".stripMargin
+
+  private def qb(e: String): String = s"(length(bin(($e) + 1)) - 1)"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_nb_classifier" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |),
+         |toks AS (SELECT doc_id, y, unnest(${duckToks()}) AS token FROM d),
+         |model AS (
+         |  SELECT token, sum(y) AS c_pos, sum(1 - y) AS c_neg
+         |  FROM toks GROUP BY token
+         |),
+         |mb AS (SELECT token, ${qb("c_pos")} - ${qb("c_neg")} AS bits FROM model),
+         |prior AS (SELECT ${qb("sum(y)")} - ${qb("sum(1 - y)")} AS p FROM d),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_toks, sum(bits) AS s
+         |  FROM toks JOIN mb USING (token) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.n_toks, 0) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(sc.s, 0) + prior.p AS BIGINT) AS score,
+         |  CAST(CASE WHEN coalesce(sc.s, 0) + prior.p > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN prior
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |),
+         |tk AS (SELECT doc_id, y, ${duckToks()} AS tk FROM d),
+         |grams AS (
+         |  SELECT doc_id, y, unnest(${duckBigrams("tk")}) AS g FROM tk
+         |),
+         |gb AS (SELECT doc_id, y, ${duckHash("g")} % 1024 AS bucket FROM grams),
+         |model AS (
+         |  SELECT bucket, sum(y) AS c_target, count(*) AS c_raw
+         |  FROM gb GROUP BY bucket
+         |),
+         |mb AS (SELECT bucket, ${qb("c_target")} - ${qb("c_raw")} AS bits FROM model),
+         |norm AS (
+         |  SELECT ${qb("sum(c_raw)")} - ${qb("sum(c_target)")} AS nm FROM model
+         |),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_grams, sum(bits) AS s
+         |  FROM gb JOIN mb USING (bucket) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(sc.s, 0) + coalesce(sc.n_grams, 0) * norm.nm AS BIGINT) AS weight,
+         |  CAST(CASE WHEN coalesce(sc.s, 0) + coalesce(sc.n_grams, 0) * norm.nm >= 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN norm
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_shuffle_shards" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest([1, 2]) AS epoch FROM documents
+        |),
+        |k AS (
+        |  SELECT doc_id, epoch, md5(concat_ws('_', doc_id, epoch)) AS skey FROM e
+        |),
+        |a AS (
+        |  SELECT CAST(epoch AS BIGINT) AS epoch,
+        |    CAST(('0x' || substring(skey, 1, 8)) AS BIGINT) % 8 AS shard,
+        |    doc_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY epoch, CAST(('0x' || substring(skey, 1, 8)) AS BIGINT) % 8
+        |      ORDER BY skey, doc_id) AS BIGINT) AS pos
+        |  FROM k
+        |)
+        |SELECT epoch, shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_id,
+        |  CAST(max(doc_id) AS BIGINT) AS last_id,
+        |  CAST(sum(doc_id * pos) AS BIGINT) AS order_sig
+        |FROM a GROUP BY epoch, shard
+        |ORDER BY epoch, shard""".stripMargin,
+
+    "q_doc_topics" ->
+      s"""WITH ${kmeansReplayCtes(iters = 2, dim = 64)},
+         |toks AS (
+         |  SELECT a.cell AS cluster, unnest(${duckToks("d.text")}) AS token
+         |  FROM documents d JOIN cellsf a ON a.vec_id = d.doc_id
+         |),
+         |nd AS (SELECT cell AS cluster, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM cellsf GROUP BY cell),
+         |tc AS (SELECT cluster, token, count(*) AS n_occ FROM toks GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT cluster, token, n_occ,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_occ DESC, token ASC) AS BIGINT) AS rank
+         |  FROM tc
+         |)
+         |SELECT r.cluster, nd.n_docs, r.rank, r.token, CAST(r.n_occ AS BIGINT) AS n_occ
+         |FROM rk r JOIN nd USING (cluster) WHERE r.rank <= 3
+         |ORDER BY cluster, rank""".stripMargin
+  )
+}

@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-trained text classifiers for curation — the "quality classifier"
+ * stage of an LLM data pipeline (CCNet / GPT-3 / LLaMA all gate their crawl
+ * on one): a model is TRAINED distributed (count aggregations over the
+ * corpus), then APPLIED distributed (the model table rides a broadcast join
+ * against the token stream).
+ *
+ * Everything is integer-exact: log-likelihoods are quantized to whole bits
+ * via integer bit-length (floor(log2(n)) = length(bin(n)) - 1), so scores
+ * replay bit-for-bit in any engine — same discipline as the surprisal and
+ * TF-IDF operators.
+ *
+ * Scale shape (both classifiers):
+ *   - training = one explode + one hash aggregation, shuffle bounded by
+ *     VOCABULARY (or the fixed hash-bucket count), never token count;
+ *   - inference = one map-side explode + one broadcast join against the
+ *     model + one per-doc aggregation. No stage holds more than the model
+ *     in memory; the corpus is scanned exactly twice (train, score) and
+ *     the two scans pipeline independently.
+ */
+object TextClassifiers {
+
+  /** floor(log2(n+1)) as a pure-integer column (n >= 0). */
+  private def qbits(n: Column): Column =
+    (length(bin(n + lit(1L))) - lit(1)).cast("long")
+
+  /**
+   * Multinomial Naive Bayes with bit-quantized log-likelihood ratios.
+   *
+   * Train: per token t, pos/neg occurrence counts over the corpus where
+   * `labelCol` (0/1) marks the positive class. The model row carries
+   * bits(t) = floor(log2(c_pos+1)) - floor(log2(c_neg+1)) — the quantized
+   * log-ratio; +1 smoothing keeps zero counts finite (bits=0 for unseen).
+   *
+   * Returns (token, c_pos, c_neg, bits).
+   */
+  def naiveBayesTrain(df: DataFrame, textCol: String, labelCol: String): DataFrame = {
+    val toks = df.select(col(labelCol).cast("long").as("_y"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    toks.groupBy(col("token"))
+      .agg(sum(col("_y")).as("c_pos"),
+        sum(lit(1L) - col("_y")).as("c_neg"))
+      .withColumn("bits", qbits(col("c_pos")) - qbits(col("c_neg")))
+  }
+
+  /**
+   * Score every document under a trained NB model: per-doc score =
+   * prior bits (floor(log2(n_pos+1)) - floor(log2(n_neg+1)), doc counts)
+   * + sum over TOKEN OCCURRENCES of the model's bits. `pred` = score > 0.
+   *
+   * The model broadcasts (token vocabularies are ~1e6-1e7 rows — tens of
+   * MB); docs with no in-vocab token score exactly the prior. Output:
+   * (id, n_toks, score, pred).
+   */
+  def naiveBayesScore(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      model: DataFrame): DataFrame = {
+    val priors = df.agg(
+      sum(col(labelCol).cast("long")).as("_np"),
+      sum(lit(1L) - col(labelCol).cast("long")).as("_nn"))
+      .select((qbits(col("_np")) - qbits(col("_nn"))).as("_prior"))
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val scored = toks
+      .join(broadcast(model.select(col("token"), col("bits"))), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("_s"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .crossJoin(broadcast(priors))
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        (coalesce(col("_s"), lit(0L)) + col("_prior")).as("score"),
+        (coalesce(col("_s"), lit(0L)) + col("_prior") > 0L).cast("long").as("pred"))
+  }
+
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+   * Models via Importance Resampling"): represent target and raw corpora as
+   * HASHED n-gram bucket distributions (the hashing trick — fixed model
+   * size `buckets` regardless of vocabulary), weight each raw doc by its
+   * log-likelihood ratio under the two bucket models, keep the
+   * highest-weight docs. Quantized to whole bits like everything else.
+   *
+   * `targetCol` (0/1) marks target-domain docs. Per bucket b:
+   * bits(b) = floor(log2(c_target+1)) - floor(log2(c_raw+1)) (c_raw counts
+   * ALL docs, target included — the "raw" distribution of the paper).
+   * Counts are unnormalized, so each gram also carries the normalizer
+   * floor(log2(N_raw+1)) - floor(log2(N_target+1)) (N = total gram
+   * occurrences) — the quantized log(N_r/N_t) that turns count ratios into
+   * probability ratios. Per doc:
+   * weight = Σ_grams bits(bucket) + n_grams · normalizer, i.e. the
+   * quantized log(p_target(doc)/p_raw(doc)).
+   *
+   * The model is `buckets` rows TOTAL (default 1024) — broadcast for free
+   * at any corpus size; that fixed-size-model property is exactly why DSIR
+   * scales where per-vocab models need care. Output:
+   * (id, n_grams, weight, keep = weight >= 0).
+   */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String, targetCol: String,
+      buckets: Int = 1024): DataFrame = {
+    val grams = df.select(col(idCol), col(targetCol).cast("long").as("_y"),
+      explode(graft.functions.HashExpressions.wordNGrams(col(textCol), 2)).as("g"))
+      .withColumn("bucket", pmod(TextFunctions.stableHash(col("g")), lit(buckets.toLong)))
+    val model = grams.groupBy(col("bucket"))
+      .agg(sum(col("_y")).as("c_target"), count(lit(1)).as("c_raw"))
+      .withColumn("bits", qbits(col("c_target")) - qbits(col("c_raw")))
+    val norm = model.agg(sum(col("c_raw")).as("_nr"), sum(col("c_target")).as("_nt"))
+      .select((qbits(col("_nr")) - qbits(col("_nt"))).as("_norm"))
+    val scored = grams
+      .join(broadcast(model.select(col("bucket"), col("bits"))), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("bits")).as("_s"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .crossJoin(broadcast(norm))
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        (coalesce(col("_s"), lit(0L)) +
+          coalesce(col("n_grams"), lit(0L)) * col("_norm")).as("weight"))
+      .withColumn("keep", (col("weight") >= 0L).cast("long"))
+  }
+}

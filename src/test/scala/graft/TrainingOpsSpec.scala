@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.operators.TrainingOrder
+import graft.text.TextClassifiers
+
+/**
+ * Behavior specs for the training-assembly operators (NB classifier, DSIR
+ * weights, shuffle shards): semantics pinned on constructed inputs where the
+ * right answer is known by inspection; the driver's DuckDB oracle pins exact
+ * outputs on the real tables.
+ */
+class TrainingOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("naive bayes separates classes with disjoint vocabularies") {
+    import spark.implicits._
+    // positive docs speak only 'alpha beta', negative only 'gamma delta';
+    // a perfectly separable corpus must classify itself perfectly
+    val docs = (1L to 10L).map { i =>
+      if (i <= 5) (i, "alpha beta alpha beta", 1L)
+      else (i, "gamma delta gamma delta", 0L)
+    }.toDF("id", "text", "y")
+    val model = TextClassifiers.naiveBayesTrain(docs, "text", "y")
+    val out = TextClassifiers.naiveBayesScore(docs, "id", "text", "y", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    (1L to 5L).foreach(i => assert(out(i)._2 == 1L, s"doc $i should be positive: ${out(i)}"))
+    (6L to 10L).foreach(i => assert(out(i)._2 == 0L, s"doc $i should be negative: ${out(i)}"))
+    // bits('alpha') = floor(log2(10+1)) - floor(log2(0+1)) = 3 - 0; 4 tokens
+    // per doc, prior = 0 (balanced classes) -> score 12
+    assert(out(1L)._1 == 12L)
+    assert(out(6L)._1 == -12L)
+  }
+
+  test("naive bayes: doc with no tokens scores exactly the prior") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha", 1L), (2L, "beta", 0L), (3L, "...", 0L)
+    ).toDF("id", "text", "y")
+    val model = TextClassifiers.naiveBayesTrain(docs, "text", "y")
+    val out = TextClassifiers.naiveBayesScore(docs, "id", "text", "y", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // prior = floor(log2(1+1)) - floor(log2(2+1)) = 1 - 1 = 0
+    assert(out(3L) == ((0L, 0L)))
+  }
+
+  test("dsir weights rank target-like docs above off-target docs") {
+    import spark.implicits._
+    // target domain speaks 'spark sql' bigrams; off-target speaks 'cat dog'.
+    // A raw doc in target vocabulary must out-weight one in off-target
+    // vocabulary, and weights must be identical for identical docs.
+    val docs = ((1L to 8L).map(i => (i, "spark sql spark sql spark", 1L)) ++
+      (9L to 16L).map(i => (i, "cat dog cat dog cat", 0L))).toDF("id", "text", "y")
+    val out = TextClassifiers.dsirWeights(docs, "id", "text", "y")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 > out(9L)._1, s"target doc must out-weight off-target: ${out(1L)} vs ${out(9L)}")
+    assert(out(1L) == out(8L) && out(9L) == out(16L)) // deterministic per content
+    assert(out(1L)._2 == 1L && out(9L)._2 == 0L)
+  }
+
+  test("shuffle shards: every doc placed once per epoch, epochs permute differently") {
+    import spark.implicits._
+    val docs = (0L until 400L).toDF("doc_id")
+    val out = TrainingOrder.shuffleShards(docs, "doc_id", epochs = 2, nShards = 8)
+      .cache()
+    try {
+      // exactly one placement per (doc, epoch)
+      assert(out.count() == 800L)
+      assert(out.select("epoch", "doc_id").distinct().count() == 800L)
+      // positions within a shard are 1..n with no gaps
+      val bad = out.groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+        .where(col("mx") =!= col("n") || col("mn") =!= 1L).count()
+      assert(bad == 0L)
+      // epoch 1 and epoch 2 orders differ (different md5 keys): the same
+      // doc lands elsewhere for at least most docs
+      val same = out.where(col("epoch") === 1).as("a")
+        .join(out.where(col("epoch") === 2).as("b"), Seq("doc_id"))
+        .where(col("a.shard") === col("b.shard") && col("a.pos") === col("b.pos"))
+        .count()
+      assert(same < 40L, s"epochs must permute differently, $same/400 fixed points")
+      // determinism: recompute equals first run byte-for-byte
+      val again = TrainingOrder.shuffleShards(docs, "doc_id", epochs = 2, nShards = 8)
+      assert(out.exceptAll(again).count() == 0L && again.exceptAll(out).count() == 0L)
+      // shard balance: binomial concentration keeps every shard within 3x mean
+      val sizes = out.groupBy("epoch", "shard").count()
+        .agg(min("count"), max("count")).head()
+      assert(sizes.getLong(1) <= 3 * sizes.getLong(0))
+    } finally out.unpersist()
+  }
+
+  test("classifier scoring plans broadcast the model, never shuffle it") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5}", i % 2)).toDF("id", "text", "y")
+    val model = TextClassifiers.naiveBayesTrain(docs, "text", "y")
+    val plan = TextClassifiers.naiveBayesScore(docs, "id", "text", "y", model)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"model join must broadcast:\n$plan")
+    val dsirPlan = TextClassifiers.dsirWeights(docs, "id", "text", "y")
+      .queryExecution.executedPlan.toString
+    assert(dsirPlan.contains("BroadcastHashJoin") || dsirPlan.contains("BroadcastExchange"),
+      s"dsir bucket-model join must broadcast:\n$dsirPlan")
+  }
+}
