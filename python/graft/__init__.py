@@ -355,3 +355,34 @@ def ivfpq_search(corpus, queries, id_col, vec_col, qid_col, qvec_col,
     return _wrap(corpus, pq.ivfPqTopK(coarse, cbs, corpus._jdf, queries._jdf,
                                       id_col, vec_col, qid_col, qvec_col,
                                       dim, k, nprobe, shortlist, 6))
+
+
+# -------------------------------------------------- training-assembly wrappers
+
+def nb_train(df, text_col, label_col):
+    """Train a multinomial Naive Bayes quality model: per token, pos/neg
+    occurrence counts and the bit-quantized log-likelihood ratio."""
+    m = _module(df.sparkSession, "graft.text.TextClassifiers$")
+    return _wrap(df, m.naiveBayesTrain(df._jdf, text_col, label_col))
+
+
+def nb_score(df, id_col, text_col, label_col, model):
+    """Score every doc under a trained NB model (broadcast join):
+    (id, n_toks, score, pred)."""
+    m = _module(df.sparkSession, "graft.text.TextClassifiers$")
+    return _wrap(df, m.naiveBayesScore(df._jdf, id_col, text_col, label_col,
+                                       model._jdf))
+
+
+def dsir_weights(df, id_col, text_col, target_col, buckets=1024):
+    """DSIR importance weights (hashed-bigram bucket models, target vs raw):
+    per doc the quantized log(p_target/p_raw) and a keep flag."""
+    m = _module(df.sparkSession, "graft.text.TextClassifiers$")
+    return _wrap(df, m.dsirWeights(df._jdf, id_col, text_col, target_col, buckets))
+
+
+def shuffle_shards(df, id_col, epochs, n_shards):
+    """Deterministic per-epoch training shuffle: (epoch, shard, id, pos),
+    reproducible from (id, epoch) alone, no global sort."""
+    m = _module(df.sparkSession, "graft.operators.TrainingOrder$")
+    return _wrap(df, m.shuffleShards(df._jdf, id_col, epochs, n_shards))

@@ -43,7 +43,11 @@ object Soak {
       // scale ~linearly while buckets stay balanced), the double-aggregated
       // bigram LM, the PQ code scan (bounded model + map-side codes), and
       // the pure-scan canonicalization
-      "q_knn_graph_auto", "q_bigram_surprisal", "q_ann_pq", "q_text_normalize")
+      "q_knn_graph_auto", "q_bigram_surprisal", "q_ann_pq", "q_text_normalize",
+      // round-6 wave 2: vocab-model train+broadcast-score (NB), fixed-size
+      // hashed bucket model (DSIR), the epoch×shard window shuffle, and the
+      // kmeans + token double-agg topic dashboard
+      "q_nb_classifier", "q_dsir_weights", "q_shuffle_shards", "q_doc_topics")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

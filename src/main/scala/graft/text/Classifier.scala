@@ -79,6 +79,45 @@ object TextClassifiers {
   }
 
   /**
+   * Driver-held form of a trained NB model: (token -> bits, prior bits).
+   * The model fetch is one vocab-sized collect — the streaming-inference
+   * path, where the model must ride to every micro-batch as broadcast
+   * state (the batch path keeps the join form instead).
+   */
+  def naiveBayesModel(df: DataFrame, textCol: String, labelCol: String): (Map[String, Long], Long) = {
+    val m = naiveBayesTrain(df, textCol, labelCol)
+      .select(col("token"), col("bits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p = df.agg(
+      sum(col(labelCol).cast("long")).as("_np"),
+      sum(lit(1L) - col(labelCol).cast("long")).as("_nn"))
+      .select((qbits(col("_np")) - qbits(col("_nn"))).as("_prior"))
+      .head().getLong(0)
+    (m, p)
+  }
+
+  /**
+   * STATELESS-MAP NB scoring against a driver-held model: per row, one
+   * higher-order fold over the token array against a literal map — no
+   * explode, no join, no aggregation, so the identical column expression
+   * runs unchanged on a Structured Streaming source (append mode, no
+   * watermark needed). Tokens outside the vocabulary contribute 0 bits.
+   * Agrees with `naiveBayesScore` row-for-row on any corpus whose tokens
+   * the model covers (StreamingTrainingOpsSpec proves batch ≡ stream).
+   */
+  def naiveBayesScoreMap(
+      df: DataFrame, idCol: String, textCol: String,
+      bits: Map[String, Long], prior: Long): DataFrame = {
+    val m = typedlit(bits)
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_toks"),
+      (aggregate(transform(toks, t => coalesce(element_at(m, t), lit(0L))),
+        lit(0L), _ + _) + lit(prior)).as("score"))
+      .withColumn("pred", (col("score") > 0L).cast("long"))
+  }
+
+  /**
    * DSIR importance weights (Xie et al. 2023, "Data Selection for Language
    * Models via Importance Resampling"): represent target and raw corpora as
    * HASHED n-gram bucket distributions (the hashing trick — fixed model

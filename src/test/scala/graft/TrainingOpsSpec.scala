@@ -91,6 +91,37 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestSession {
     } finally out.unpersist()
   }
 
+  test("map-form NB scoring equals the join form and streams unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta alpha", 1L), (2L, "alpha beta beta", 1L),
+      (3L, "gamma delta gamma", 0L), (4L, "delta gamma delta", 0L),
+      (5L, "...", 0L)).toDF("id", "text", "y")
+    val model = TextClassifiers.naiveBayesTrain(docs, "text", "y")
+    val viaJoin = TextClassifiers.naiveBayesScore(docs, "id", "text", "y", model)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val (bits, prior) = TextClassifiers.naiveBayesModel(docs, "text", "y")
+    val viaMap = TextClassifiers.naiveBayesScoreMap(
+      docs.select("id", "text"), "id", "text", bits, prior)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(viaJoin == viaMap, s"join=$viaJoin map=$viaMap")
+
+    // the SAME expression on a stream, across micro-batch boundaries
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(Long, String)]
+    val sq = TextClassifiers.naiveBayesScoreMap(
+      stream.toDS().toDF("id", "text"), "id", "text", bits, prior)
+      .writeStream.format("memory").queryName("nb_parity").outputMode("append").start()
+    stream.addData(Seq((1L, "alpha beta alpha"), (3L, "gamma delta gamma")))
+    sq.processAllAvailable()
+    stream.addData(Seq((2L, "alpha beta beta")))
+    sq.processAllAvailable()
+    val streamed = spark.table("nb_parity").as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    sq.stop()
+    assert(streamed == viaMap.filter(r => Set(1L, 2L, 3L).contains(r._1)))
+  }
+
   test("classifier scoring plans broadcast the model, never shuffle it") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5}", i % 2)).toDF("id", "text", "y")

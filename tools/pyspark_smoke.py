@@ -233,4 +233,18 @@ ipq = ivfpq_search(emb4, qs4, "vec_id", "embedding", "qid", "qv", 8,
                    k_coarse=4, m_sub=2, codes=4, iters=1, k=3, nprobe=2, shortlist=10)
 assert ipq.count() > 0 and set(ipq.columns) == {"qid", "vec_id", "sim", "rank"}
 print("PASS ivfpq_search")
+
+from graft import nb_train, nb_score, dsir_weights, shuffle_shards
+docs5 = spark.createDataFrame(
+    [(1, "alpha beta alpha", 1), (2, "alpha beta beta", 1),
+     (3, "gamma delta gamma", 0), (4, "delta gamma delta", 0)],
+    "doc_id long, text string, y long")
+nbm = nb_train(docs5, "text", "y")
+nbs = {r["doc_id"]: r["pred"] for r in nb_score(docs5, "doc_id", "text", "y", nbm).collect()}
+assert nbs == {1: 1, 2: 1, 3: 0, 4: 0}, nbs
+dw = dsir_weights(docs5, "doc_id", "text", "y", 64)
+assert set(dw.columns) == {"doc_id", "n_grams", "weight", "keep"}
+sh = shuffle_shards(docs5.select("doc_id"), "doc_id", 2, 2)
+assert sh.count() == 8 and sh.select("epoch", "doc_id").distinct().count() == 8
+print("PASS nb_train/nb_score/dsir_weights/shuffle_shards")
 spark.stop()
