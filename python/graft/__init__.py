@@ -386,3 +386,17 @@ def shuffle_shards(df, id_col, epochs, n_shards):
     reproducible from (id, epoch) alone, no global sort."""
     m = _module(df.sparkSession, "graft.operators.TrainingOrder$")
     return _wrap(df, m.shuffleShards(df._jdf, id_col, epochs, n_shards))
+
+
+def upsample_to_allocation(df, id_col, group_col, alloc):
+    """Materialize a mixing allocation into exactly `alloc` rows per group
+    by deterministic repetition (full copies + lowest-hash remainder)."""
+    m = _module(df.sparkSession, "graft.operators.TrainingOrder$")
+    return _wrap(df, m.upsampleToAllocation(df._jdf, id_col, group_col, alloc._jdf))
+
+
+def interleave(upsampled, id_col, group_col):
+    """Deterministic proportional interleave (Bresenham schedule): each
+    group's rows spaced evenly over the whole training order."""
+    m = _module(upsampled.sparkSession, "graft.operators.TrainingOrder$")
+    return _wrap(upsampled, m.interleave(upsampled._jdf, id_col, group_col))

@@ -65,6 +65,26 @@ object TrainingQueries {
         .orderBy(col("epoch"), col("shard"))
     }),
 
+    "q_mix_interleave" -> ((s, dir) => {
+      // the full mixture materialization: temperature-scaled allocation
+      // (q_mix_weights) -> deterministic upsampling to exactly alloc rows
+      // per source -> Bresenham interleave into one training order.
+      // Profiled per source: row/doc/copy counts and position coverage —
+      // pos_sig pins every (row, position) assignment exactly.
+      val docs = t(s, dir, "documents")
+      val alloc = graft.operators.DatasetSplit.mixAllocation(docs, "source", 10000L)
+      val ups = TrainingOrder.upsampleToAllocation(docs, "doc_id", "source", alloc)
+      TrainingOrder.interleave(ups, "doc_id", "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs_used"),
+          max(col("copy")).as("max_copy"),
+          min(col("pos_key")).as("first_pos"),
+          max(col("pos_key")).as("last_pos"),
+          sum(col("pos_key") * col("rank_in_group")).as("pos_sig"))
+        .orderBy(col("source"))
+    }),
+
     "q_doc_topics" -> ((s, dir) => {
       // corpus topic dashboard: k-means cluster the embedding space (the
       // SAME deterministic Lloyd the IVF/SemDeDup path trains), then per
@@ -182,6 +202,54 @@ object TrainingQueries {
         |  CAST(sum(doc_id * pos) AS BIGINT) AS order_sig
         |FROM a GROUP BY epoch, shard
         |ORDER BY epoch, shard""".stripMargin,
+
+    "q_mix_interleave" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1
+        |),
+        |w AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS wm
+        |  FROM c
+        |),
+        |a AS (
+        |  SELECT source, n_docs,
+        |    CAST((10000 * wm) // (SELECT sum(wm) FROM w) AS BIGINT) AS alloc
+        |  FROM w
+        |),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(concat_ws('_', doc_id)), doc_id) AS BIGINT) AS r
+        |  FROM documents
+        |),
+        |ups AS (
+        |  SELECT r.source, r.doc_id,
+        |    unnest(range(1, 1 + (a.alloc // a.n_docs)
+        |      + CASE WHEN r.r <= a.alloc % a.n_docs THEN 1 ELSE 0 END)) AS copy
+        |  FROM r JOIN a USING (source)
+        |),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS gsz FROM ups GROUP BY 1),
+        |ik AS (
+        |  SELECT source, doc_id, copy,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(concat_ws('_', doc_id, copy)), doc_id, copy) AS BIGINT) AS r
+        |  FROM ups
+        |),
+        |pos AS (
+        |  SELECT ik.source, ik.doc_id, ik.copy, ik.r,
+        |    ((2 * ik.r - 1) * (SELECT sum(gsz) FROM g)) // (2 * g.gsz) AS pos_key
+        |  FROM ik JOIN g USING (source)
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_used,
+        |  CAST(max(copy) AS BIGINT) AS max_copy,
+        |  CAST(min(pos_key) AS BIGINT) AS first_pos,
+        |  CAST(max(pos_key) AS BIGINT) AS last_pos,
+        |  CAST(sum(pos_key * r) AS BIGINT) AS pos_sig
+        |FROM pos GROUP BY source ORDER BY source""".stripMargin,
 
     "q_doc_topics" ->
       s"""WITH ${kmeansReplayCtes(iters = 2, dim = 64)},

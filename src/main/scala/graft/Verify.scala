@@ -23,7 +23,8 @@ object Verify {
     "q_text_normalize", "q_length_hist", "q_domain_profile", "q_canon_dedup",
     "q_gopher_rules", "q_lang_id", "q_hll", "q_mix_weights",
     "q_knn_graph", "q_knn_graph_auto", "q_bigram_surprisal", "q_minhash_audit",
-    "q_shuffle_shards", "q_doc_topics", "q_nb_classifier", "q_dsir_weights",
+    "q_shuffle_shards", "q_mix_interleave", "q_doc_topics", "q_nb_classifier",
+    "q_dsir_weights",
     "q_ann_pq", "q_ann_ivfpq",
     "q_dedup_exact", "q_source_overlap", "q_leakage_split", "q_stratified_sample",
     "q_weighted_sample", "q_percentiles",
@@ -77,9 +78,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
 
     def elapsedS: Double = (System.nanoTime() - t0) / 1e9
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
-      val i = costOrder.indexOf(n); (if (i < 0) Int.MaxValue else i, n)
-    }
+    // SPARK_GRAFT_VERIFY_ONLY=q_a,q_b runs a subset (targeted re-checks
+    // after an oracle edit without the full sweep); default = everything.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) =>
+        val i = costOrder.indexOf(n); (if (i < 0) Int.MaxValue else i, n)
+      }
     var failures = 0
     ordered.foreach { case (name, fn) =>
       if (elapsedS > budgetS) {

@@ -44,4 +44,64 @@ object TrainingOrder {
     e.withColumn("pos", row_number().over(w).cast("long"))
       .select(col("epoch"), col("shard"), col(idCol), col("pos"))
   }
+
+  /**
+   * Materialize a mixing allocation (`DatasetSplit.mixAllocation` output or
+   * any (group, alloc) table) into exactly `alloc` rows per group by
+   * REPEATING documents — the "Wikipedia × 4" upsampling step of every
+   * published mixture recipe. Per group: every doc gets `alloc div n` full
+   * copies, and the `alloc mod n` remainder goes to the docs with the
+   * LOWEST md5(id) — deterministic, auditable, growth-stable.
+   *
+   * Scale shape: one window per group (rank by hash — same shape as the
+   * per-source cap), a broadcast join against the |groups|-row allocation,
+   * and a map-side `sequence` explode. Output rows = Σ alloc exactly.
+   * Output: (group, id, copy) with copy in 1..copies(doc).
+   */
+  def upsampleToAllocation(
+      df: DataFrame, idCol: String, groupCol: String,
+      alloc: DataFrame): DataFrame = {
+    val n = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val a = alloc.select(col(groupCol), col("alloc")).join(n, Seq(groupCol))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws("_", col(idCol))), col(idCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .join(broadcast(a), Seq(groupCol))
+      .withColumn("_copies",
+        expr("alloc div _n") +
+          when(col("_r") <= pmod(col("alloc"), col("_n")), 1L).otherwise(0L))
+      .where(col("_copies") > 0L)
+      .select(col(groupCol), col(idCol),
+        explode(sequence(lit(1L), col("_copies"))).as("copy"))
+  }
+
+  /**
+   * Deterministic proportional interleave of an upsampled mixture into ONE
+   * training order: group g's r-th row (rank by md5(id, copy) within g)
+   * lands at pos_key = ((2r−1)·T) div (2·|g|) — the Bresenham schedule
+   * that spaces each group's rows evenly over [0, T), so a consumer
+   * reading in (pos_key, group, rank) order sees every source at its
+   * allocated proportion CONTINUOUSLY, not in source-sized runs (the
+   * failure mode that makes loss curves sawtooth).
+   *
+   * Scale shape: one window per group + a broadcast of the |groups|-row
+   * size table; nothing global. BIGINT-exact while T·2·max_rank < 2^63,
+   * i.e. interleave units up to ~1.5e9 rows — for a 1e11-doc corpus,
+   * compose with `shuffleShards` and interleave within each shard.
+   * Output: (pos_key, group, id, copy, rank_in_group).
+   */
+  def interleave(
+      upsampled: DataFrame, idCol: String, groupCol: String): DataFrame = {
+    val sizes = upsampled.groupBy(col(groupCol)).agg(count(lit(1)).as("_g"))
+      .withColumn("_t", sum(col("_g")).over(Window.partitionBy())) // |groups| rows
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws("_", col(idCol), col("copy"))), col(idCol), col("copy"))
+    upsampled
+      .withColumn("_r", row_number().over(w).cast("long"))
+      .join(broadcast(sizes), Seq(groupCol))
+      .select(
+        expr("((2 * _r - 1) * _t) div (2 * _g)").as("pos_key"),
+        col(groupCol), col(idCol), col("copy"), col("_r").as("rank_in_group"))
+  }
 }

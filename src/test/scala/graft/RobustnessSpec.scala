@@ -118,4 +118,39 @@ class RobustnessSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.find(_.getLong(0) == 1L).get.isNullAt(1))
     assert(rows.find(_.getLong(0) == 2L).get.getStruct(1).getLong(0) == 0L)
   }
+
+  test("classifiers tolerate null/empty text and single-class corpora") {
+    import graft.text.TextClassifiers
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta", 1L), (2L, null.asInstanceOf[String], 1L),
+      (3L, "", 0L), (4L, "alpha", 0L)).toDF("id", "text", "y")
+    val model = TextClassifiers.naiveBayesTrain(df, "text", "y")
+    val nb = TextClassifiers.naiveBayesScore(df, "id", "text", "y", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nb.keySet == Set(1L, 2L, 3L, 4L) && nb(2L) == 0L && nb(3L) == 0L)
+    val dw = TextClassifiers.dsirWeights(df, "id", "text", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dw.keySet == Set(1L, 2L, 3L, 4L) && dw(2L) == 0L)
+    // single-class corpus: prior dominates, nothing divides by zero
+    val onecls = Seq((1L, "alpha beta", 1L), (2L, "beta", 1L)).toDF("id", "text", "y")
+    val m1 = TextClassifiers.naiveBayesTrain(onecls, "text", "y")
+    val preds = TextClassifiers.naiveBayesScore(onecls, "id", "text", "y", m1)
+      .select("pred").as[Long].collect()
+    assert(preds.forall(_ == 1L))
+  }
+
+  test("upsample with allocation below group size keeps a deterministic subset") {
+    import graft.operators.TrainingOrder
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => ("s", i)).toDF("source", "doc_id")
+    val alloc = Seq(("s", 3L)).toDF("source", "alloc")
+    val ups = TrainingOrder.upsampleToAllocation(docs, "doc_id", "source", alloc)
+    assert(ups.count() == 3L)
+    assert(ups.select(max("copy")).head().getLong(0) == 1L)
+    // zero allocation: group vanishes entirely, no exception
+    val none = TrainingOrder.upsampleToAllocation(docs, "doc_id", "source",
+      Seq(("s", 0L)).toDF("source", "alloc"))
+    assert(none.count() == 0L)
+  }
 }

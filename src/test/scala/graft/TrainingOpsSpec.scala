@@ -91,6 +91,37 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestSession {
     } finally out.unpersist()
   }
 
+  test("upsample materializes exactly the allocation; interleave spaces groups evenly") {
+    import spark.implicits._
+    // 3 sources with 10 docs each; force allocations 20 / 10 / 4
+    val docs = (for (s <- Seq("a", "b", "c"); i <- 0 until 10)
+      yield (s, s.hashCode.toLong * 100 + i)).toDF("source", "doc_id")
+    val alloc = Seq(("a", 20L), ("b", 10L), ("c", 4L)).toDF("source", "alloc")
+    val ups = TrainingOrder.upsampleToAllocation(docs, "doc_id", "source", alloc).cache()
+    try {
+      // exact allocation per group
+      val got = ups.groupBy("source").count().as[(String, Long)].collect().toMap
+      assert(got == Map("a" -> 20L, "b" -> 10L, "c" -> 4L), got.toString)
+      // a: 10 docs x2 copies exactly; b: every doc once; c: 4 distinct docs once
+      assert(ups.where($"source" === "a").groupBy("doc_id").count()
+        .where($"count" =!= 2).count() == 0L)
+      assert(ups.where($"source" === "c").select("doc_id").distinct().count() == 4L)
+      // interleave: every row gets a unique (pos_key, source, rank) slot;
+      // group a (20 of 34 rows) never waits more than 3 positions between
+      // consecutive rows — even spacing, not run-length batching
+      val il = TrainingOrder.interleave(ups, "doc_id", "source")
+      assert(il.count() == 34L)
+      val aPos = il.where($"source" === "a").select("pos_key")
+        .as[Long].collect().sorted
+      assert(aPos.length == 20 && aPos.head <= 1L && aPos.last >= 32L)
+      val maxGap = aPos.sliding(2).map(p => p(1) - p(0)).max
+      assert(maxGap <= 3L, s"group a spacing broke: gap $maxGap in ${aPos.mkString(",")}")
+      // determinism
+      val again = TrainingOrder.interleave(ups, "doc_id", "source")
+      assert(il.exceptAll(again).count() == 0L)
+    } finally ups.unpersist()
+  }
+
   test("map-form NB scoring equals the join form and streams unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -247,4 +247,14 @@ assert set(dw.columns) == {"doc_id", "n_grams", "weight", "keep"}
 sh = shuffle_shards(docs5.select("doc_id"), "doc_id", 2, 2)
 assert sh.count() == 8 and sh.select("epoch", "doc_id").distinct().count() == 8
 print("PASS nb_train/nb_score/dsir_weights/shuffle_shards")
+
+from graft import upsample_to_allocation, interleave
+alloc5 = spark.createDataFrame([("x", 6), ("y", 2)], "source string, alloc long")
+docs6 = spark.createDataFrame([("x", i) for i in range(3)] + [("y", 10 + i) for i in range(4)],
+                              "source string, doc_id long")
+ups5 = upsample_to_allocation(docs6, "doc_id", "source", alloc5)
+assert {r["source"]: r["count"] for r in ups5.groupBy("source").count().collect()} == {"x": 6, "y": 2}
+il5 = interleave(ups5, "doc_id", "source")
+assert il5.count() == 8 and set(il5.columns) == {"pos_key", "source", "doc_id", "copy", "rank_in_group"}
+print("PASS upsample_to_allocation/interleave")
 spark.stop()
