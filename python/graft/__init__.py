@@ -400,3 +400,10 @@ def interleave(upsampled, id_col, group_col):
     group's rows spaced evenly over the whole training order."""
     m = _module(upsampled.sparkSession, "graft.operators.TrainingOrder$")
     return _wrap(upsampled, m.interleave(upsampled._jdf, id_col, group_col))
+
+
+def token_drift(df, text_col, side_col, k):
+    """Distribution-shift monitor between two corpus slices: top-k tokens by
+    cross-multiplied frequency gap |n_a*T_b - n_b*T_a| (BIGINT-exact)."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.tokenDrift(df._jdf, text_col, side_col, k))

@@ -85,6 +85,17 @@ object TrainingQueries {
         .orderBy(col("source"))
     }),
 
+    "q_corpus_drift" -> ((s, dir) => {
+      // distribution-shift monitor: which tokens moved most between two
+      // corpus slices (parity split stands in for yesterday/today)? One
+      // vocab-bounded agg + broadcast totals + top-k; cross-multiplied
+      // integer frequency gaps, no division anywhere.
+      val docs = t(s, dir, "documents")
+        .withColumn("side", pmod(col("doc_id"), lit(2)))
+      graft.operators.CorpusStats.tokenDrift(docs, "text", "side", 20)
+        .orderBy(col("drift_scaled").desc, col("token"))
+    }),
+
     "q_doc_topics" -> ((s, dir) => {
       // corpus topic dashboard: k-means cluster the embedding space (the
       // SAME deterministic Lloyd the IVF/SemDeDup path trains), then per
@@ -250,6 +261,23 @@ object TrainingQueries {
         |  CAST(max(pos_key) AS BIGINT) AS last_pos,
         |  CAST(sum(pos_key * r) AS BIGINT) AS pos_sig
         |FROM pos GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_drift" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id % 2 AS side, unnest(${duckToks()}) AS token
+         |  FROM documents
+         |),
+         |counts AS (
+         |  SELECT token,
+         |    CAST(sum(1 - side) AS BIGINT) AS n_a,
+         |    CAST(sum(side) AS BIGINT) AS n_b
+         |  FROM toks GROUP BY token
+         |),
+         |tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts)
+         |SELECT token, n_a, n_b,
+         |  CAST(abs(n_a * tot.tb - n_b * tot.ta) AS BIGINT) AS drift_scaled
+         |FROM counts CROSS JOIN tot
+         |ORDER BY drift_scaled DESC, token ASC LIMIT 20""".stripMargin,
 
     "q_doc_topics" ->
       s"""WITH ${kmeansReplayCtes(iters = 2, dim = 64)},

@@ -186,4 +186,40 @@ object CorpusStats {
     docs.join(terms, Seq(groupCol))
       .withColumn("tokens_per_type_milli", expr("n_tokens * 1000 div n_terms"))
   }
+
+  /**
+   * Corpus drift: which tokens shifted most between two corpus slices
+   * (yesterday's crawl vs today's, source A vs its mirror, pre- vs
+   * post-filter)? `sideCol` (0/1) marks the slice. Per token the
+   * CROSS-MULTIPLIED frequency gap |n_a·T_b − n_b·T_a| compares the two
+   * relative frequencies without ever dividing — BIGINT-exact, no
+   * float, no epsilon for unseen tokens (a token absent from one side
+   * gets the full n·T weight, as it should: appearing-from-nowhere IS
+   * drift). Σ drift_scaled over all tokens = 2·T_a·T_b · total-variation
+   * distance between the two unigram distributions.
+   *
+   * Returns the top-`k` drifting tokens (ties → token asc) with both
+   * counts and the scaled gap — the actionable "what changed" table.
+   *
+   * Scale shape: ONE vocab-bounded aggregation (side counts ride as
+   * conditional sums, map-side partials), the two totals broadcast from a
+   * 1-row aggregate, TakeOrderedAndProject for the top-k — no shuffle
+   * carries more than the vocabulary. BIGINT-exact while n·T < 2^63
+   * (n ≤ vocab-max count, T = slice token total): fine through ~3e9-token
+   * slices per drift unit; shard first beyond that.
+   */
+  def tokenDrift(
+      df: DataFrame, textCol: String, sideCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(sideCol).cast("long").as("_side"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(lit(1L) - col("_side")).as("n_a"), sum(col("_side")).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("drift_scaled",
+        abs(col("n_a") * col("_tb") - col("n_b") * col("_ta")))
+      .select(col("token"), col("n_a"), col("n_b"), col("drift_scaled"))
+      .orderBy(col("drift_scaled").desc, col("token").asc)
+      .limit(k)
+  }
 }

@@ -153,6 +153,22 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed == viaMap.filter(r => Set(1L, 2L, 3L).contains(r._1)))
   }
 
+  test("token drift surfaces appearing/disappearing tokens first, stable ones last") {
+    import graft.operators.CorpusStats
+    import spark.implicits._
+    // side 0 and side 1 share 'stable' at equal rates; 'gone' exists only
+    // on side 0, 'novel' only on side 1 — the movers must outrank 'stable'
+    val df = Seq(
+      (0L, "stable stable gone gone gone"),
+      (1L, "stable stable novel novel novel")).toDF("side", "text")
+    val out = CorpusStats.tokenDrift(df, "text", "side", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // T_a = T_b = 5: stable is perfectly balanced -> drift 0;
+    // gone/novel: |3*5 - 0*5| = 15
+    assert(out("stable") == 0L)
+    assert(out("gone") == 15L && out("novel") == 15L)
+  }
+
   test("classifier scoring plans broadcast the model, never shuffle it") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 5}", i % 2)).toDF("id", "text", "y")

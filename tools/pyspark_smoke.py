@@ -257,4 +257,10 @@ assert {r["source"]: r["count"] for r in ups5.groupBy("source").count().collect(
 il5 = interleave(ups5, "doc_id", "source")
 assert il5.count() == 8 and set(il5.columns) == {"pos_key", "source", "doc_id", "copy", "rank_in_group"}
 print("PASS upsample_to_allocation/interleave")
+
+from graft import token_drift
+dr = spark.createDataFrame([(0, "same gone gone"), (1, "same new new")], "side long, text string")
+td = {r["token"]: r["drift_scaled"] for r in token_drift(dr, "text", "side", 5).collect()}
+assert td["same"] == 0 and td["gone"] == td["new"] > 0, td
+print("PASS token_drift")
 spark.stop()
