@@ -212,10 +212,15 @@ object CorpusStats {
       df: DataFrame, textCol: String, sideCol: String, k: Int): DataFrame = {
     val toks = df.select(col(sideCol).cast("long").as("_side"),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
+    // persisted so the totals aggregate reads the vocab table instead of
+    // re-scanning the corpus (vocab-sized — the same footprint class as a
+    // dedup signature projection; released with the next cache eviction,
+    // or unpersist the returned frame's source explicitly)
     val counts = toks.groupBy(col("token"))
       .agg(sum(lit(1L) - col("_side")).as("n_a"), sum(col("_side")).as("n_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
-    counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals)) // 1-row build side
       .withColumn("drift_scaled",
         abs(col("n_a") * col("_tb") - col("n_b") * col("_ta")))
       .select(col("token"), col("n_a"), col("n_b"), col("drift_scaled"))

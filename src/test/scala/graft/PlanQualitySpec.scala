@@ -201,4 +201,43 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains("HashAggregate"), p.take(3000))
   }
+
+  test("nb classifier: model and prior ride broadcasts, token stream never re-shuffles for them") {
+    val p = plan("q_nb_classifier")
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("dsir: the 1024-bucket model broadcasts; gram stream keeps partial aggregation") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("shuffle shards: shard key is a map-side projection before the single window exchange") {
+    val p = plan("q_shuffle_shards")
+    // one exchange for the (epoch, shard) window, one for the final agg —
+    // placement itself (md5 -> shard) must appear as Project, not a join
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Window") && p.contains("Exchange"), p.take(3000))
+  }
+
+  test("mix interleave: allocation and size tables broadcast; no nested-loop anywhere") {
+    val p = plan("q_mix_interleave")
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("corpus drift: ONE corpus scan (totals read the cached vocab table), top-k take-ordered") {
+    val p = plan("q_corpus_drift")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // the 1-row totals build side broadcasts (BNLJ over one row is the
+    // right cross-join plan); what must NOT happen is a second corpus
+    // scan — BOTH join inputs read the cached vocab table (the FileScan
+    // text appearing inside each InMemoryRelation description is the one
+    // shared cached subtree, not a live scan)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
