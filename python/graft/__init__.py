@@ -407,3 +407,10 @@ def token_drift(df, text_col, side_col, k):
     cross-multiplied frequency gap |n_a*T_b - n_b*T_a| (BIGINT-exact)."""
     m = _module(df.sparkSession, "graft.operators.CorpusStats$")
     return _wrap(df, m.tokenDrift(df._jdf, text_col, side_col, k))
+
+
+def bottom_k_sample(df, group_col, id_col, k):
+    """Deterministic per-group k-sample: keep each group's k lowest-md5(id)
+    rows (mergeable, reproducible reservoir replacement)."""
+    m = _module(df.sparkSession, "graft.operators.DatasetSplit$")
+    return _wrap(df, m.bottomKSample(df._jdf, group_col, id_col, k))

@@ -85,6 +85,18 @@ object TrainingQueries {
         .orderBy(col("source"))
     }),
 
+    "q_reservoir_sample" -> ((s, dir) => {
+      // reproducible per-source k-sample (the reservoir-sampling job,
+      // determinized): keep each source's 5 lowest-md5 docs. Mergeable —
+      // bottom-k of shard-level bottom-k's is the global bottom-k — and
+      // the streaming twin carries it as bounded per-group state.
+      graft.operators.DatasetSplit.bottomKSample(
+          t(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars")),
+          "source", "doc_id", 5)
+        .select(col("source"), col("sample_rank"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
     "q_corpus_drift" -> ((s, dir) => {
       // distribution-shift monitor: which tokens moved most between two
       // corpus slices (parity split stands in for yesterday/today)? One
@@ -261,6 +273,16 @@ object TrainingQueries {
         |  CAST(max(pos_key) AS BIGINT) AS last_pos,
         |  CAST(sum(pos_key * r) AS BIGINT) AS pos_sig
         |FROM pos GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_reservoir_sample" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(concat_ws('_', doc_id)), doc_id) AS BIGINT) AS sample_rank
+        |  FROM documents
+        |)
+        |SELECT source, sample_rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin,
 
     "q_corpus_drift" ->
       s"""WITH toks AS (

@@ -156,6 +156,65 @@ object DatasetSplit {
     * by flatMapGroupsWithState. Works identically on a batch Dataset (the
     * per-group iterator then sees the whole group at once). Append-mode
     * safe: admitted rows are emitted exactly once and never retracted. */
+  /**
+   * Deterministic per-group k-sample — the reproducible replacement for
+   * reservoir sampling: keep each group's k rows with the SMALLEST
+   * md5(id). The bottom-k-of-a-hash set is a uniform sample in
+   * distribution, yet (a) identical run-to-run and cluster-size-
+   * independent, (b) MERGEABLE — bottom-k of a union is the bottom-k of
+   * each side's bottom-k, so partial samples from shards/days combine
+   * without resampling, and (c) replayable for audits.
+   *
+   * One window per group (rank by hash), same shape as the per-source
+   * cap. Output: input columns + `sample_rank` (1..k by hash order).
+   */
+  def bottomKSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws("_", col(idCol))), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
+  /**
+   * Streaming twin of `bottomKSample`: the reservoir rides as bounded
+   * per-group state (a k-element vector of (hash, id)), merged with each
+   * micro-batch's rows; every batch emits the group's CURRENT bottom-k
+   * snapshot (Update mode — a later row can evict an earlier sample
+   * member, so append semantics are impossible by construction). After
+   * the last batch the snapshot equals the batch operator on the union of
+   * all batches, row for row (StreamingTrainingOpsSpec). State is k
+   * entries per group — bounded by #groups · k, never by row volume.
+   */
+  def bottomKSampleStreaming(
+      df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    // state = the reservoir itself: parallel hash/id arrays (product-
+    // encodable without kryo), always sorted, never longer than k
+    implicit val stateEnc = Encoders.product[(Seq[String], Seq[Long])]
+    implicit val outEnc = Encoders.product[(String, Long, String, Long)]
+    implicit val strEnc = Encoders.STRING
+    df.select(col(groupCol).cast("string").as("g"), col(idCol).cast("long").as("id"))
+      .groupByKey((r: Row) => r.getString(0))
+      .flatMapGroupsWithState[(Seq[String], Seq[Long]), (String, Long, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[Row], state: GroupState[(Seq[String], Seq[Long])]) =>
+          def hash(id: Long): String = {
+            val d = java.security.MessageDigest.getInstance("MD5")
+            d.digest(s"$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          }
+          val (hs, ids) = state.getOption.getOrElse((Seq.empty[String], Seq.empty[Long]))
+          val merged = (hs.zip(ids) ++
+            rows.map(r => { val id = r.getLong(1); (hash(id), id) }))
+            .distinct.sorted.take(k)
+          state.update((merged.map(_._1), merged.map(_._2)))
+          merged.zipWithIndex.iterator.map { case ((h, id), i) =>
+            (g, id, h, (i + 1).toLong)
+          }
+      }.toDF(groupCol, idCol, "skey", "sample_rank")
+  }
+
   def capPerGroupStreaming(df: DataFrame, groupCol: String, k: Int): DataFrame = {
     require(k > 0)
     implicit val rowEnc = Encoders.row(df.schema)

@@ -153,6 +153,51 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed == viaMap.filter(r => Set(1L, 2L, 3L).contains(r._1)))
   }
 
+  test("bottom-k sample: mergeable, deterministic, and the streaming reservoir converges to it") {
+    import graft.operators.DatasetSplit
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 60L).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("source", "doc_id")
+    val batch = DatasetSplit.bottomKSample(docs, "source", "doc_id", 4)
+      .select("source", "doc_id", "sample_rank")
+      .as[(String, Long, Long)].collect().toSet
+    assert(batch.size == 8 && batch.count(_._1 == "a") == 4)
+    // mergeability: bottom-k of the two halves' bottom-k's == global bottom-k
+    val h1 = DatasetSplit.bottomKSample(docs.where($"doc_id" < 30), "source", "doc_id", 4)
+    val h2 = DatasetSplit.bottomKSample(docs.where($"doc_id" >= 30), "source", "doc_id", 4)
+    val remerged = DatasetSplit.bottomKSample(
+      h1.drop("sample_rank").unionAll(h2.drop("sample_rank")), "source", "doc_id", 4)
+      .select("source", "doc_id", "sample_rank").as[(String, Long, Long)].collect().toSet
+    assert(remerged == batch, s"merge broke: $remerged vs $batch")
+
+    // streaming: reservoir state across micro-batches; the LAST snapshot
+    // per group equals the batch sample over the union
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(String, Long)]
+    val sq = DatasetSplit.bottomKSampleStreaming(
+      stream.toDS().toDF("source", "doc_id"), "source", "doc_id", 4)
+      .writeStream.format("memory").queryName("res_parity").outputMode("update").start()
+    stream.addData((0L until 30L).map(i => (if (i % 2 == 0) "a" else "b", i)))
+    sq.processAllAvailable()
+    stream.addData((30L until 60L).map(i => (if (i % 2 == 0) "a" else "b", i)))
+    sq.processAllAvailable()
+    // memory sink in update mode appends updated rows; the final reservoir
+    // is the last 8 emitted rows (4 per group from the second batch)
+    val snap = spark.table("res_parity")
+      .groupBy("source", "doc_id").agg(max("sample_rank").as("r")).collect()
+    sq.stop()
+    val streamedFinal = DatasetSplit.bottomKSampleStreaming(
+      docs, "source", "doc_id", 4) // batch Dataset through the same code
+      .select("source", "doc_id", "sample_rank")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamedFinal == batch,
+      s"stateful kernel on batch != window form: $streamedFinal vs $batch")
+    // and the streamed run admitted every final member at some point
+    val streamedIds = snap.map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batch.map(t => (t._1, t._2)).subsetOf(streamedIds))
+  }
+
   test("token drift surfaces appearing/disappearing tokens first, stable ones last") {
     import graft.operators.CorpusStats
     import spark.implicits._

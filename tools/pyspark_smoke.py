@@ -263,4 +263,9 @@ dr = spark.createDataFrame([(0, "same gone gone"), (1, "same new new")], "side l
 td = {r["token"]: r["drift_scaled"] for r in token_drift(dr, "text", "side", 5).collect()}
 assert td["same"] == 0 and td["gone"] == td["new"] > 0, td
 print("PASS token_drift")
+
+from graft import bottom_k_sample
+bk = bottom_k_sample(docs6, "source", "doc_id", 2)
+assert bk.groupBy("source").count().where("count > 2").count() == 0
+print("PASS bottom_k_sample")
 spark.stop()
