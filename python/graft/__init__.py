@@ -414,3 +414,10 @@ def bottom_k_sample(df, group_col, id_col, k):
     rows (mergeable, reproducible reservoir replacement)."""
     m = _module(df.sparkSession, "graft.operators.DatasetSplit$")
     return _wrap(df, m.bottomKSample(df._jdf, group_col, id_col, k))
+
+
+def perceptual_hash(df, id_col, payload_col):
+    """64-bit dHash of a decoded image payload column: (id, phash) —
+    invariant to byte edits that don't change the rendered raster."""
+    m = _module(df.sparkSession, "graft.multimodal.Multimodal$")
+    return _wrap(df, m.perceptualHash(df._jdf, id_col, payload_col))

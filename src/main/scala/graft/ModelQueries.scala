@@ -388,6 +388,27 @@ object ModelQueries {
           col("n_samples"),
           col("feature")(0).as("feat0"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q_image_dedup" -> ((s, dir) => {
+      // perceptual image dedup: every doc gets a byte-level variant (last
+      // source char replaced) whose payload md5 differs but whose DECODED
+      // raster is pixel-identical (n > w*h, so no pixel samples the
+      // changed byte) — byte-hash dedup misses the pair, the dHash over
+      // the decoded raster catches it. Map-side decode + one hash agg.
+      val docs = t(s, dir, "documents").where(col("n_chars") > 130)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.select(
+        (col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text")))
+      val withBin = Multimodal.withImagePayload(corpus, "text")
+      Multimodal.perceptualHash(withBin, "doc_id", "payload")
+        .join(corpus.select(col("doc_id"), md5(col("text")).as("ch")), Seq("doc_id"))
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("ch")).as("n_contents"),
+          min(col("doc_id")).as("canonical_id"))
+        .orderBy(col("phash"))
     })
   )
 
@@ -746,6 +767,41 @@ object ModelQueries {
 
   /** Replays the WAV payload-builder contract (Multimodal.buildWav); feat0 is
     * the exact PCM sample sum / 256 = sum of (byte - 128). */
+  /** Contract replay of Multimodal.perceptualHash on the BMP builder:
+    * pixel(x,y) = ord(text[(y·w+x) mod n]) with w = 4 + b0%8, h = 4 + b1%8;
+    * dHash bit i (x = i mod (w−1), y = i div (w−1)) set when
+    * pixel(x+1,y) > pixel(x,y); first 63 bits packed little-endian. */
+  private def imageDedupOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE n_chars > 130
+      |  UNION ALL
+      |  SELECT doc_id + 500000,
+      |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
+      |  FROM documents WHERE n_chars > 130
+      |),
+      |geom AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    4 + ord(substring(text, 1, 1)) % 8 AS w,
+      |    4 + ord(substring(text, 2, 1)) % 8 AS h
+      |  FROM corpus
+      |),
+      |ph AS (
+      |  SELECT doc_id, md5(text) AS ch,
+      |    CAST(coalesce(list_sum(list_transform(range(least((w - 1) * h, 63)), i ->
+      |      CASE WHEN ord(substring(text,
+      |                     CAST(((i // (w-1)) * w + (i % (w-1)) + 1) % n + 1 AS INT), 1)) >
+      |                ord(substring(text,
+      |                     CAST(((i // (w-1)) * w + (i % (w-1))) % n + 1 AS INT), 1))
+      |           THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)),
+      |      0) AS BIGINT) AS phash
+      |  FROM geom
+      |)
+      |SELECT phash,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(count(DISTINCT ch) AS BIGINT) AS n_contents,
+      |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+      |FROM ph GROUP BY phash ORDER BY phash""".stripMargin
+
   private def multimodalAudioOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
@@ -1038,6 +1094,7 @@ object ModelQueries {
     "q_vector_fns" -> vectorFnsOracle,
     "q_multimodal" -> multimodalOracle,
     "q_multimodal_audio" -> multimodalAudioOracle,
+    "q_image_dedup" -> imageDedupOracle,
     "q_multimodal_video" -> multimodalVideoOracle,
     "q_mmae" -> mmaeOracle,
     "q_gmm" -> gmmOracle,

@@ -161,6 +161,47 @@ object Multimodal {
       Array(sumR.toFloat, sumR / nPix / 255f, sumG / nPix / 255f, sumB / nPix / 255f) ++ thumb)
   }
 
+  /**
+   * Perceptual dHash of a decoded image: bit i (row-major over (x, y),
+   * x < w−1) is set when pixel(x+1, y) > pixel(x, y) on the decoded
+   * raster's blue channel — the classic gradient hash, invariant to any
+   * byte-level change that doesn't alter the rendered raster (metadata
+   * edits, container re-encodes, palette reorderings). First 63 bits
+   * packed into a non-negative BIGINT.
+   *
+   * The scale recipe: phash is a narrow map-side decode (this method),
+   * exact-duplicate groups are a hash aggregation on the BIGINT, and
+   * near-duplicates (small hamming distance) reuse the SimHash chunk-LSH
+   * machinery — 4×16-bit chunk match guarantees recall for distance ≤ 3.
+   */
+  def perceptualHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload for doc $id")
+          val w = img.getWidth; val h = img.getHeight
+          var hash = 0L; var bit = 0
+          var y = 0
+          while (y < h && bit < 63) {
+            var x = 0
+            while (x < w - 1 && bit < 63) {
+              val a = img.getRGB(x, y) & 0xff
+              val b = img.getRGB(x + 1, y) & 0xff
+              if (b > a) hash |= (1L << bit)
+              bit += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, hash)
+        }
+      }.toDF(idCol, "phash")
+  }
+
   // ------------------------------------------------------------ video side
 
   /** Typed record for a frame sampled out of a video container. */

@@ -89,4 +89,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode stage must not shuffle:\n$plan")
   }
+
+  test("perceptual hash sees through byte edits no pixel samples; real raster changes move it") {
+    import spark.implicits._
+    // 140-char doc: w = 4 + ('a'%8) = 5, h = 4 + ('b'%8) = 6 -> 30 pixels,
+    // indices 0..29. Changing byte 139 (no pixel reads it) must keep the
+    // phash; changing byte 7 (read by pixel 7) must change it.
+    val base = "ab" + "cdefghij" * 17 + "kk" // length 140
+    assert(base.length == 140)
+    val silent = base.substring(0, 139) + "#"
+    val visible = base.substring(0, 7) + "Z" + base.substring(8)
+    val d = Seq((1L, base), (2L, silent), (3L, visible)).toDF("doc_id", "text")
+    val h = Multimodal.perceptualHash(
+      Multimodal.withImagePayload(d, "text"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), s"byte-silent edit changed phash: $h")
+    assert(h(1L) != h(3L), s"raster change must move phash: $h")
+    // and the md5s differ, so byte-level dedup would NOT have caught 1~2
+    val md5s = d.select(md5($"text")).as[String].collect().toSet
+    assert(md5s.size == 3)
+  }
 }
