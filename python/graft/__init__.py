@@ -421,3 +421,10 @@ def perceptual_hash(df, id_col, payload_col):
     invariant to byte edits that don't change the rendered raster."""
     m = _module(df.sparkSession, "graft.multimodal.Multimodal$")
     return _wrap(df, m.perceptualHash(df._jdf, id_col, payload_col))
+
+
+def audio_fingerprint(df, id_col, payload_col):
+    """Delta-sign fingerprint of a decoded PCM payload column: (id, afp) —
+    the audio twin of perceptual_hash."""
+    m = _module(df.sparkSession, "graft.multimodal.Multimodal$")
+    return _wrap(df, m.audioFingerprint(df._jdf, id_col, payload_col))

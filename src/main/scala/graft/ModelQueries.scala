@@ -390,6 +390,25 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_audio_dedup" -> ((s, dir) => {
+      // the audio twin of q_image_dedup: byte-variant payloads decode to
+      // the identical waveform (no sample reads the changed byte), so the
+      // delta-sign fingerprint groups what byte-hash dedup splits
+      val docs = t(s, dir, "documents").where(col("n_chars") > 130)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.select(
+        (col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text")))
+      val withWav = Multimodal.withAudioPayload(corpus, "text")
+      Multimodal.audioFingerprint(withWav, "doc_id", "payload")
+        .join(corpus.select(col("doc_id"), md5(col("text")).as("ch")), Seq("doc_id"))
+        .groupBy(col("afp"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("ch")).as("n_contents"),
+          min(col("doc_id")).as("canonical_id"))
+        .orderBy(col("afp"))
+    }),
+
     "q_image_dedup" -> ((s, dir) => {
       // perceptual image dedup: every doc gets a byte-level variant (last
       // source char replaced) whose payload md5 differs but whose DECODED
@@ -802,6 +821,38 @@ object ModelQueries {
       |  CAST(min(doc_id) AS BIGINT) AS canonical_id
       |FROM ph GROUP BY phash ORDER BY phash""".stripMargin
 
+  /** Contract replay of Multimodal.audioFingerprint on the WAV builder:
+    * sample(k) = (ord(text[k mod n]) − 128)·256 for k < 64 + b0%64; the
+    * linear transform preserves order, so the delta-sign bit is just
+    * ord(text[k+1 mod n]) > ord(text[k mod n]); first 63 bits packed. */
+  private def audioDedupOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE n_chars > 130
+      |  UNION ALL
+      |  SELECT doc_id + 500000,
+      |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
+      |  FROM documents WHERE n_chars > 130
+      |),
+      |geom AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    64 + ord(substring(text, 1, 1)) % 64 AS ns
+      |  FROM corpus
+      |),
+      |fp AS (
+      |  SELECT doc_id, md5(text) AS ch,
+      |    CAST(coalesce(list_sum(list_transform(range(least(ns - 1, 63)), k ->
+      |      CASE WHEN ord(substring(text, CAST((k + 1) % n + 1 AS INT), 1)) >
+      |                ord(substring(text, CAST(k % n + 1 AS INT), 1))
+      |           THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE CAST(0 AS BIGINT) END)),
+      |      0) AS BIGINT) AS afp
+      |  FROM geom
+      |)
+      |SELECT afp,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(count(DISTINCT ch) AS BIGINT) AS n_contents,
+      |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+      |FROM fp GROUP BY afp ORDER BY afp""".stripMargin
+
   private def multimodalAudioOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
@@ -1095,6 +1146,7 @@ object ModelQueries {
     "q_multimodal" -> multimodalOracle,
     "q_multimodal_audio" -> multimodalAudioOracle,
     "q_image_dedup" -> imageDedupOracle,
+    "q_audio_dedup" -> audioDedupOracle,
     "q_multimodal_video" -> multimodalVideoOracle,
     "q_mmae" -> mmaeOracle,
     "q_gmm" -> gmmOracle,

@@ -316,6 +316,36 @@ object Multimodal {
     out
   }
 
+  /**
+   * Acoustic fingerprint of decoded PCM: bit k set when sample(k+1) >
+   * sample(k) — the sign-of-delta (zero-crossing-family) fingerprint,
+   * computed on the DECODED waveform, so any container-level byte change
+   * that doesn't alter the rendered samples leaves it fixed (the audio
+   * twin of `perceptualHash`; near-matches via the same 16-bit chunk
+   * LSH). First 63 delta bits packed into a non-negative BIGINT.
+   */
+  def audioFingerprint(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          val data = in.readAllBytes()
+          in.close()
+          def sample(k: Int): Long =
+            ((data(2 * k) & 0xff) | (data(2 * k + 1) << 8)).toShort.toLong
+          val nSamples = data.length / 2
+          var hash = 0L; var k = 0
+          while (k < nSamples - 1 && k < 63) {
+            if (sample(k + 1) > sample(k)) hash |= (1L << k)
+            k += 1
+          }
+          (id, hash)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(idCol, "afp")
+  }
+
   private val wavUdf = udf { src: Array[Byte] =>
     Option(src).map(buildWav).getOrElse(buildWav(Array.emptyByteArray))
   }

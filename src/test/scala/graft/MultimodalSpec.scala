@@ -109,4 +109,21 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val md5s = d.select(md5($"text")).as[String].collect().toSet
     assert(md5s.size == 3)
   }
+
+  test("audio fingerprint is waveform-keyed: silent byte edits keep it, sample changes move it") {
+    import spark.implicits._
+    // 'a' => nSamples = 64 + 97%64 = 97; samples read bytes 0..96 only.
+    val base = "ab" + "cdefghij" * 17 + "kk" // length 140
+    val silent = base.substring(0, 139) + "#"  // byte 139: never sampled
+    // byte 51 is 'd' (sample 51): delta bit 50 is s(51)>s(50) = 'd'>'c' = 1;
+    // with 'Z' (90 < 'c'=99) it flips to 0 — a recorded delta changes
+    val visible = base.substring(0, 51) + "Z" + base.substring(52)
+    val d = Seq((1L, base), (2L, silent), (3L, visible)).toDF("doc_id", "text")
+    val h = Multimodal.audioFingerprint(
+      Multimodal.withAudioPayload(d, "text"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), s"silent edit changed fingerprint: $h")
+    // byte 50 < 63 delta bits -> the changed sample flips a recorded delta
+    assert(h(1L) != h(3L), s"waveform change must move fingerprint: $h")
+  }
 }

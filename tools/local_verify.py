@@ -7,7 +7,10 @@ row counts, sorted columns, and values. Usage:
 import json, subprocess, sys, glob, os
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.001"
-outdir = "/tmp/graft_verify"
+# sf-suffixed so concurrent runs at different scales never clobber each
+# other's outputs mid-compare (bit round 6: an sf0.001 run overwrote a
+# running sf0.1 sweep's parquet dumps)
+outdir = "/tmp/graft_verify_" + os.path.basename(sfdir.rstrip("/"))
 
 if "--skip-spark" not in sys.argv:
     r = subprocess.run(

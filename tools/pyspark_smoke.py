@@ -268,4 +268,20 @@ from graft import bottom_k_sample
 bk = bottom_k_sample(docs6, "source", "doc_id", 2)
 assert bk.groupBy("source").count().where("count > 2").count() == 0
 print("PASS bottom_k_sample")
+
+from graft import audio_fingerprint, perceptual_hash
+from graft import *  # Multimodal builders are Scala-side; use the jvm path via wrappers only
+docs7 = spark.createDataFrame([(1, "ab" + "cdefghij" * 17 + "kk")], "doc_id long, text string")
+# payload builders aren't wrapped; drive them via the query surface instead:
+import py4j
+jvm_mm = spark._jvm.graft.multimodal.__getattr__("Multimodal$").__getattr__("MODULE$")
+wimg = jvm_mm.withImagePayload(docs7._jdf, "text")
+from pyspark.sql import DataFrame as _DF
+wimg_df = _DF(wimg, spark)
+ph = perceptual_hash(wimg_df, "doc_id", "payload")
+assert ph.count() == 1 and set(ph.columns) == {"doc_id", "phash"}
+waud = _DF(jvm_mm.withAudioPayload(docs7._jdf, "text"), spark)
+af = audio_fingerprint(waud, "doc_id", "payload")
+assert af.count() == 1 and set(af.columns) == {"doc_id", "afp"}
+print("PASS perceptual_hash/audio_fingerprint")
 spark.stop()
