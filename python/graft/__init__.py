@@ -428,3 +428,9 @@ def audio_fingerprint(df, id_col, payload_col):
     the audio twin of perceptual_hash."""
     m = _module(df.sparkSession, "graft.multimodal.Multimodal$")
     return _wrap(df, m.audioFingerprint(df._jdf, id_col, payload_col))
+
+
+def video_fingerprint(df, id_col, payload_col):
+    """Middle-frame dHash of a video payload column: (id, vfp)."""
+    m = _module(df.sparkSession, "graft.multimodal.Multimodal$")
+    return _wrap(df, m.videoFingerprint(df._jdf, id_col, payload_col))

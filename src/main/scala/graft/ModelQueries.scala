@@ -390,6 +390,24 @@ object ModelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_video_dedup" -> ((s, dir) => {
+      // the video leg: middle-frame dHash groups containers whose sampled
+      // frame renders identically despite byte-different sources
+      val docs = t(s, dir, "documents").where(col("n_chars") > 130)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.select(
+        (col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text")))
+      val withVid = Multimodal.withVideoPayload(corpus, "text")
+      Multimodal.videoFingerprint(withVid, "doc_id", "payload")
+        .join(corpus.select(col("doc_id"), md5(col("text")).as("ch")), Seq("doc_id"))
+        .groupBy(col("vfp"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("ch")).as("n_contents"),
+          min(col("doc_id")).as("canonical_id"))
+        .orderBy(col("vfp"))
+    }),
+
     "q_audio_dedup" -> ((s, dir) => {
       // the audio twin of q_image_dedup: byte-variant payloads decode to
       // the identical waveform (no sample reads the changed byte), so the
@@ -821,6 +839,46 @@ object ModelQueries {
       |  CAST(min(doc_id) AS BIGINT) AS canonical_id
       |FROM ph GROUP BY phash ORDER BY phash""".stripMargin
 
+  /** Contract replay of Multimodal.videoFingerprint: middle frame t =
+    * (2 + b0%3) div 2 is the BMP of the text ROTATED by t, so pixel i =
+    * ord(text[(i + t) mod n]) and the frame's w/h come from the rotated
+    * first two bytes; dHash bits as in the image replay. */
+  private def videoDedupOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE n_chars > 130
+      |  UNION ALL
+      |  SELECT doc_id + 500000,
+      |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
+      |  FROM documents WHERE n_chars > 130
+      |),
+      |geom AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    (2 + ord(substring(text, 1, 1)) % 3) // 2 AS t
+      |  FROM corpus
+      |),
+      |geom2 AS (
+      |  SELECT doc_id, text, n, t,
+      |    4 + ord(substring(text, CAST(t % n + 1 AS INT), 1)) % 8 AS w,
+      |    4 + ord(substring(text, CAST((1 + t) % n + 1 AS INT), 1)) % 8 AS h
+      |  FROM geom
+      |),
+      |ph AS (
+      |  SELECT doc_id, md5(text) AS ch,
+      |    CAST(coalesce(list_sum(list_transform(range(least((w - 1) * h, 63)), i ->
+      |      CASE WHEN ord(substring(text,
+      |                     CAST(((i // (w-1)) * w + (i % (w-1)) + 1 + t) % n + 1 AS INT), 1)) >
+      |                ord(substring(text,
+      |                     CAST(((i // (w-1)) * w + (i % (w-1)) + t) % n + 1 AS INT), 1))
+      |           THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)),
+      |      0) AS BIGINT) AS vfp
+      |  FROM geom2
+      |)
+      |SELECT vfp,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(count(DISTINCT ch) AS BIGINT) AS n_contents,
+      |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+      |FROM ph GROUP BY vfp ORDER BY vfp""".stripMargin
+
   /** Contract replay of Multimodal.audioFingerprint on the WAV builder:
     * sample(k) = (ord(text[k mod n]) − 128)·256 for k < 64 + b0%64; the
     * linear transform preserves order, so the delta-sign bit is just
@@ -1147,6 +1205,7 @@ object ModelQueries {
     "q_multimodal_audio" -> multimodalAudioOracle,
     "q_image_dedup" -> imageDedupOracle,
     "q_audio_dedup" -> audioDedupOracle,
+    "q_video_dedup" -> videoDedupOracle,
     "q_multimodal_video" -> multimodalVideoOracle,
     "q_mmae" -> mmaeOracle,
     "q_gmm" -> gmmOracle,

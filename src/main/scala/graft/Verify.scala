@@ -38,7 +38,7 @@ object Verify {
     "q_ngram_jaccard", "q_pmm", "q_ann_topk", "q_ukf", "q_raukf", "q_ckf", "q_rts",
     "q_gmm", "q_bmm", "q_asof_join", "q_range_join", "q_ann_lsh", "q_embed_neardup", "q_rls",
     "q_multistep", "q_multimodal", "q_image_dedup", "q_audio_dedup",
-    "q_multimodal_audio", "q_multimodal_video",
+    "q_video_dedup", "q_multimodal_audio", "q_multimodal_video",
     "q_lkf_blr", "q_ekf", "q_lkf_llt", "q_outlier", "q_lms",
     "q_dedup_simhash", "q_mmae", "q_ann_ivf", "q_ann_ivf_kmeans",
     "q_dedup_minhash", "q_dedup_minhash_groups", "q_dedup_incremental",

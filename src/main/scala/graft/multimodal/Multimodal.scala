@@ -281,6 +281,46 @@ object Multimodal {
       }
   }
 
+  /**
+   * Perceptual hash of a video payload's MIDDLE frame: walk the container
+   * to frame n/2 (no other frame is materialized), decode it, dHash the
+   * raster — the standard frame-sampled video fingerprint (full-clip
+   * variants hash several sampled frames and vote). Same invariance as
+   * `perceptualHash`: container byte edits that don't change the sampled
+   * frame's pixels leave it fixed.
+   */
+  def videoFingerprint(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          require(bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'V',
+            s"not a GVID container for doc $id")
+          val nFrames = readIntLE(bytes, 4)
+          val target = nFrames / 2
+          var pos = 8; var f = 0
+          while (f < target) { pos += 4 + readIntLE(bytes, pos); f += 1 }
+          val len = readIntLE(bytes, pos)
+          val frame = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len)
+          val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(frame))
+          require(img != null, s"undecodable middle frame for doc $id")
+          val w = img.getWidth; val h = img.getHeight
+          var hash = 0L; var bit = 0; var y = 0
+          while (y < h && bit < 63) {
+            var x = 0
+            while (x < w - 1 && bit < 63) {
+              if ((img.getRGB(x + 1, y) & 0xff) > (img.getRGB(x, y) & 0xff))
+                hash |= (1L << bit)
+              bit += 1; x += 1
+            }
+            y += 1
+          }
+          (id, hash)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(idCol, "vfp")
+  }
+
   // ------------------------------------------------------------ audio side
 
   private val SampleRate = 8000

@@ -126,4 +126,21 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     // byte 50 < 63 delta bits -> the changed sample flips a recorded delta
     assert(h(1L) != h(3L), s"waveform change must move fingerprint: $h")
   }
+
+  test("video fingerprint keys on the sampled middle frame only") {
+    import spark.implicits._
+    val base = "ab" + "cdefghij" * 17 + "kk" // len 140; nFrames = 2+97%3 = 3, t = 1
+    val silent = base.substring(0, 139) + "#" // byte 139: middle frame never samples it
+    val d = Seq((1L, base), (2L, silent)).toDF("doc_id", "text")
+    val h = Multimodal.videoFingerprint(
+      Multimodal.withVideoPayload(d, "text"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), s"silent edit changed video fingerprint: $h")
+    // and it differs from the un-rotated image phash of the same text —
+    // the walk really sampled frame 1, not frame 0
+    val ph = Multimodal.perceptualHash(
+      Multimodal.withImagePayload(d, "text"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) != ph(1L), s"middle frame (rotated) must differ from frame 0: $h vs $ph")
+  }
 }
