@@ -434,3 +434,10 @@ def video_fingerprint(df, id_col, payload_col):
     """Middle-frame dHash of a video payload column: (id, vfp)."""
     m = _module(df.sparkSession, "graft.multimodal.Multimodal$")
     return _wrap(df, m.videoFingerprint(df._jdf, id_col, payload_col))
+
+
+def chunk_documents(df, id_col, text_col, size, stride):
+    """Sliding-window doc chunking: one row per (doc, chunk) with token
+    count and chunk md5. Map-side; overlap = size - stride."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.chunkDocuments(df._jdf, id_col, text_col, size, stride))

@@ -85,6 +85,15 @@ object TrainingQueries {
         .orderBy(col("source"))
     }),
 
+    "q_chunk" -> ((s, dir) => {
+      // long-doc chunking: 40-token windows every 30 tokens (10-token
+      // overlap). Chunk md5s pin every token of every window — and feed
+      // chunk-level exact dedup directly.
+      graft.operators.CorpusStats.chunkDocuments(
+          t(s, dir, "documents"), "doc_id", "text", size = 40, stride = 30)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "q_reservoir_sample" -> ((s, dir) => {
       // reproducible per-source k-sample (the reservoir-sampling job,
       // determinized): keep each source's 5 lowest-md5 docs. Mergeable —
@@ -273,6 +282,21 @@ object TrainingQueries {
         |  CAST(max(pos_key) AS BIGINT) AS last_pos,
         |  CAST(sum(pos_key * r) AS BIGINT) AS pos_sig
         |FROM pos GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_chunk" ->
+      s"""WITH toks AS (SELECT doc_id, ${duckToks()} AS tk FROM documents),
+         |c AS (
+         |  SELECT doc_id, tk,
+         |    unnest(CASE WHEN len(tk) >= 1
+         |      THEN range(((len(tk) - 1) // 30) + 1) ELSE [] END) AS chunk_idx
+         |  FROM toks
+         |)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(len(list_slice(tk, chunk_idx * 30 + 1, chunk_idx * 30 + 40)) AS BIGINT)
+         |    AS n_chunk_toks,
+         |  md5(array_to_string(list_slice(tk, chunk_idx * 30 + 1, chunk_idx * 30 + 40), ' '))
+         |    AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_reservoir_sample" ->
       """WITH r AS (

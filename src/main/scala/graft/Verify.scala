@@ -23,7 +23,7 @@ object Verify {
     "q_text_normalize", "q_length_hist", "q_domain_profile", "q_canon_dedup",
     "q_gopher_rules", "q_lang_id", "q_hll", "q_mix_weights",
     "q_knn_graph", "q_knn_graph_auto", "q_bigram_surprisal", "q_minhash_audit",
-    "q_shuffle_shards", "q_reservoir_sample", "q_mix_interleave",
+    "q_shuffle_shards", "q_reservoir_sample", "q_chunk", "q_mix_interleave",
     "q_corpus_drift", "q_doc_topics",
     "q_nb_classifier", "q_dsir_weights",
     "q_ann_pq", "q_ann_ivfpq",

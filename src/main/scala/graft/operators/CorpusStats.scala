@@ -188,6 +188,40 @@ object CorpusStats {
   }
 
   /**
+   * Sliding-window document chunking — the long-document preprocessing
+   * step of every pretraining/embedding pipeline: split each doc's token
+   * stream into windows of `size` tokens starting every `stride` tokens
+   * (overlap = size − stride preserves context across boundaries). One
+   * row per (doc, chunk) with the chunk's token count and md5 (the md5
+   * both pins the gate and feeds chunk-level exact dedup directly).
+   *
+   * Pure map-side: tokenize → sequence over start positions → explode →
+   * slice. No shuffle, no state; chunk counts are ⌈n/stride⌉ so output
+   * volume tracks input token volume / stride. Docs with zero tokens
+   * (including null text) emit no rows.
+   */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size (stride > size would drop tokens)")
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol), toks.as("_tk"))
+      .withColumn("_n", size_(col("_tk")))
+      .where(col("_n") >= 1)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"CAST((_n - 1) div $stride AS BIGINT)"))))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("_tk"), (col("chunk_idx") * stride + 1).cast("int"), lit(size)).as("_chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size_(col("_chunk")).cast("long").as("n_chunk_toks"),
+        md5(array_join(col("_chunk"), " ")).as("chunk_hash"))
+  }
+
+  /** Alias avoiding the clash between functions.size and the param name. */
+  private def size_(c: Column) = org.apache.spark.sql.functions.size(c)
+
+  /**
    * Corpus drift: which tokens shifted most between two corpus slices
    * (yesterday's crawl vs today's, source A vs its mirror, pre- vs
    * post-filter)? `sideCol` (0/1) marks the slice. Per token the

@@ -198,6 +198,23 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.map(t => (t._1, t._2)).subsetOf(streamedIds))
   }
 
+  test("chunking: overlapping windows cover every token; degenerate docs emit nothing") {
+    import graft.operators.CorpusStats
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: chunks at 0,4,8
+      (2L, "only two"),
+      (3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = CorpusStats.chunkDocuments(df, "doc_id", "text", size = 6, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1: starts 0/4/8 -> sizes 6, 6, 2
+    assert(out((1L, 0L)) == 6L && out((1L, 1L)) == 6L && out((1L, 2L)) == 2L)
+    assert(out((2L, 0L)) == 2L)
+    assert(!out.keySet.exists(k => k._1 == 3L || k._1 == 4L))
+    // stride coverage: the union of [i*stride, i*stride+size) covers 0..n-1
+    assert(out.keySet.count(_._1 == 1L) == 3)
+  }
+
   test("token drift surfaces appearing/disappearing tokens first, stable ones last") {
     import graft.operators.CorpusStats
     import spark.implicits._

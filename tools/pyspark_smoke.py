@@ -284,4 +284,9 @@ waud = _DF(jvm_mm.withAudioPayload(docs7._jdf, "text"), spark)
 af = audio_fingerprint(waud, "doc_id", "payload")
 assert af.count() == 1 and set(af.columns) == {"doc_id", "afp"}
 print("PASS perceptual_hash/audio_fingerprint")
+
+from graft import chunk_documents
+ck = chunk_documents(docs, "doc_id", "text", 20, 15)
+assert ck.count() > 0 and set(ck.columns) == {"doc_id", "chunk_idx", "n_chunk_toks", "chunk_hash"}
+print("PASS chunk_documents")
 spark.stop()
