@@ -50,7 +50,8 @@ object Soak {
       "q_nb_classifier", "q_dsir_weights", "q_shuffle_shards", "q_doc_topics",
       // waves 3-4: decode-bound perceptual hashing, the interleave's
       // group windows, the reservoir window, and the cached-vocab drift
-      "q_image_dedup", "q_mix_interleave", "q_reservoir_sample", "q_corpus_drift")
+      "q_image_dedup", "q_mix_interleave", "q_reservoir_sample", "q_corpus_drift",
+      "q_chunk")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
