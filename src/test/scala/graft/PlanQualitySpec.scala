@@ -229,6 +229,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("chunking is pure map-side: no exchange between scan and the chunk projection") {
+    val df = SparkEntry.queries("q_chunk")(spark, dir)
+    // strip the final orderBy (presentation) — the operator itself must
+    // be scan → generate → project with no shuffle
+    val core = graft.operators.CorpusStats.chunkDocuments(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 40, 30)
+    val p = core.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(df.columns.toSet == Set("doc_id", "chunk_idx", "n_chunk_toks", "chunk_hash"))
+  }
+
   test("corpus drift: ONE corpus scan (totals read the cached vocab table), top-k take-ordered") {
     val p = plan("q_corpus_drift")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
