@@ -102,8 +102,10 @@ object CurationQueries {
 
     "q_knn_graph_auto" -> ((s, dir) => {
       // production variant: planes sized from the corpus so bucket
-      // occupancy stays constant as data grows (no static-SQL oracle —
-      // the plane count is data-dependent; rows-only check + soak)
+      // occupancy stays constant as data grows. The plane count is exact
+      // integer arithmetic (Similarity.autoPlanes), so the oracle replays
+      // it in SQL — GREATEST(3, length(bin(N-1)) - 4) — and the variant is
+      // value-exact-checkable despite being data-dependent.
       Similarity.knnGraphAuto(t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 3, dim = 64)
         .orderBy(col("src"), col("rank"))
@@ -172,7 +174,7 @@ object CurationQueries {
   // =================================================================== oracles
 
   import PipelineQueries.{cosineSql, duckShingleSet, duckToks, lshBucketSql,
-    minhashBandSelects, minhashSigSql, nearDupCorpusSql}
+    lshBucketDynSql, minhashBandSelects, minhashSigSql, nearDupCorpusSql}
 
   /** DuckDB replay of TextFunctions.normalize — same fixed op order, all
     * patterns in the Java-regex ∩ RE2 common subset, 'g' flags throughout. */
@@ -397,6 +399,31 @@ object CurationQueries {
 
     "q_knn_graph" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 5, 64)} AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT l.vec_id AS src, r.vec_id AS nbr,
+         |         ROUND(${cosineSql("l.embedding", "r.embedding")}, 6) AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id
+         |),
+         |ranked AS (
+         |  SELECT src, nbr, sim,
+         |         CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr ASC) AS BIGINT) AS rank
+         |  FROM pairs
+         |)
+         |SELECT src, rank, nbr, sim FROM ranked WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
+
+    // Auto-sized replay: the plane count is derived from the corpus size by
+    // the SAME exact-integer rule as Similarity.autoPlanes (smallest p with
+    // 16·2^p ≥ N  ⟺  GREATEST(3, length(bin(N-1)) - 4) for N ≥ 2), so the
+    // oracle is static SQL that adapts to the data. Buckets are built from
+    // 16 pre-generated planes with bit j gated on j < planes (16 planes
+    // covers N up to 16·2^16 ≈ 1M vectors — far beyond any gate corpus).
+    "q_knn_graph_auto" ->
+      s"""WITH np AS (
+         |  SELECT GREATEST(3, CASE WHEN count(*) < 2 THEN 0
+         |                          ELSE length(bin(count(*) - 1)) - 4 END) AS planes
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, embedding, ${lshBucketDynSql("embedding", 16, 64, "np.planes")} AS bucket
+         |      FROM embeddings, np),
          |pairs AS (
          |  SELECT l.vec_id AS src, r.vec_id AS nbr,
          |         ROUND(${cosineSql("l.embedding", "r.embedding")}, 6) AS sim

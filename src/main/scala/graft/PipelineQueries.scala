@@ -928,6 +928,24 @@ object PipelineQueries {
     bits.mkString("(", "\n + ", ")")
   }
 
+  /** LSH bucket replay with a RUN-TIME plane count (`planesExpr` ≤
+    * `maxPlanes`): bit j contributes only when j < planesExpr. Replays
+    * `Similarity.knnGraphAuto`'s data-dependent sizing — the plane count is
+    * computed by the SQL engine from the same corpus, so the oracle stays
+    * static SQL even though the bucketing adapts to N. */
+  private[graft] def lshBucketDynSql(
+      vec: String, maxPlanes: Int, dim: Int, planesExpr: String): String = {
+    val bits = (0 until maxPlanes).map { j =>
+      val comps = (0 until dim).map { d =>
+        s"CAST(${Similarity.lcg(j * dim + d) % 2001L} - 1000 AS DOUBLE)/1000.0"
+      }
+      val planeArr = s"[${comps.mkString(", ")}]"
+      s"""CASE WHEN $j < $planesExpr AND list_reduce(list_transform(range($dim), i -> CAST($vec[i+1] AS DOUBLE) * list_extract($planeArr, i+1)), (x,y) -> x + y) >= 0.0
+         | THEN ${1L << j} ELSE 0 END""".stripMargin
+    }
+    bits.mkString("(", "\n + ", ")")
+  }
+
   private def annTopkOracle: String =
     s"""WITH c AS (SELECT vec_id, embedding FROM embeddings),
        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -111,6 +111,30 @@ private[filter] case class Sigma(points: Array[Array[Double]], wm: Array[Double]
 private[filter] trait SigmaAlgo extends Serializable {
   def apply(mean: Array[Double], cov: Array[Double], n: Int): Sigma
 
+  /** Optional element-wise sigma-point clipping bounds (reference
+    * UnscentedKalmanFilter.scala:146,705 `setSigmaPointLowerBound`/
+    * `UpperBound`): the ± spread points are clipped into [lb, ub]; the
+    * CENTER point (the mean itself) is NOT clipped, matching the reference
+    * (its `sigmaPoints` folds `applyBounds` over the spread points only,
+    * UnscentedKalmanFilter.scala:417-424). If the state-transition and
+    * measurement functions also respect the bounds, the estimated state
+    * stays bounded for all measurements. */
+  @volatile var lbound: Option[Array[Double]] = None
+  @volatile var ubound: Option[Array[Double]] = None
+
+  /** Clip a spread point in place into [lbound, ubound]. */
+  protected def clip(p: Array[Double]): Array[Double] = {
+    lbound.foreach { lb =>
+      var i = 0
+      while (i < p.length && i < lb.length) { if (p(i) < lb(i)) p(i) = lb(i); i += 1 }
+    }
+    ubound.foreach { ub =>
+      var i = 0
+      while (i < p.length && i < ub.length) { if (p(i) > ub(i)) p(i) = ub(i); i += 1 }
+    }
+    p
+  }
+
   /** chol of scale*P (columns of the lower factor scaled). */
   protected def scaledCholCols(cov: Array[Double], n: Int, scale: Double): Array[Array[Double]] = {
     val scaled = Dense.scale(scale, cov)
@@ -135,8 +159,8 @@ private[filter] trait SigmaAlgo extends Serializable {
     pts(0) = mean.clone()
     var i = 0
     while (i < n) {
-      pts(i + 1) = Dense.add(mean, cols(i))
-      pts(i + 1 + n) = Dense.sub(mean, cols(i))
+      pts(i + 1) = clip(Dense.add(mean, cols(i)))
+      pts(i + 1 + n) = clip(Dense.sub(mean, cols(i)))
       i += 1
     }
     pts
@@ -177,8 +201,8 @@ private[filter] class CubatureSigma extends SigmaAlgo {
     val pts = new Array[Array[Double]](2 * n)
     var i = 0
     while (i < n) {
-      pts(i) = Dense.add(mean, cols(i))
-      pts(i + n) = Dense.sub(mean, cols(i))
+      pts(i) = clip(Dense.add(mean, cols(i)))
+      pts(i + n) = clip(Dense.sub(mean, cols(i)))
       i += 1
     }
     val w = Array.fill(2 * n)(1.0 / (2.0 * n))
@@ -322,6 +346,8 @@ class UnscentedKalmanFilter(stateSize: Int, measurementSize: Int)
   private var processFunc: Option[(Array[Double], DMat) => Array[Double]] = None
   private var measurementFunc: Option[(Array[Double], DMat) => Array[Double]] = None
   private var adaptiveNoise: Option[AdaptiveNoiseConf] = None
+  private var sigmaLb: Option[Array[Double]] = None
+  private var sigmaUb: Option[Array[Double]] = None
 
   def setSigmaPoints(v: String): this.type = {
     require(v == "merwe" || v == "julier", s"unsupported sigma point algorithm $v")
@@ -333,6 +359,22 @@ class UnscentedKalmanFilter(stateSize: Int, measurementSize: Int)
   def setJulierKappa(v: Double): this.type = { julierKappa = v; this }
   def setProcessFunction(f: (Array[Double], DMat) => Array[Double]): this.type = { processFunc = Some(f); this }
   def setMeasurementFunction(f: (Array[Double], DMat) => Array[Double]): this.type = { measurementFunc = Some(f); this }
+
+  /** Lower bound for sigma-point sampling, enforced by element-wise clipping
+    * of the spread points (reference UnscentedKalmanFilter.scala:146). If the
+    * process/measurement functions also respect the bound, the estimated
+    * state is bounded for all measurements. No lower bound by default. */
+  def setSigmaPointLowerBound(v: Array[Double]): this.type = {
+    require(v.length == stateSize, s"bound length ${v.length} != stateSize $stateSize")
+    sigmaLb = Some(v.clone()); this
+  }
+
+  /** Upper bound for sigma-point sampling, enforced by clipping (reference
+    * UnscentedKalmanFilter.scala:154). No upper bound by default. */
+  def setSigmaPointUpperBound(v: Array[Double]): this.type = {
+    require(v.length == stateSize, s"bound length ${v.length} != stateSize $stateSize")
+    sigmaUb = Some(v.clone()); this
+  }
 
   /** Enable RAUKF adaptive process noise (B. Zheng 2018; reference
     * UnscentedKalmanFilter.scala:135). */
@@ -354,6 +396,8 @@ class UnscentedKalmanFilter(stateSize: Int, measurementSize: Int)
       case "merwe" => new MerweSigma(merweAlpha, merweBeta, merweKappa)
       case "julier" => new JulierSigma(julierKappa)
     }
+    algo.lbound = sigmaLb
+    algo.ubound = sigmaUb
     new SigmaPointCompute(stateSize, measurementSize, fadingFactor, algo,
       processFunc, measurementFunc, adaptiveNoise)
   }
@@ -365,10 +409,29 @@ class CubatureKalmanFilter(stateSize: Int, measurementSize: Int)
 
   private var processFunc: Option[(Array[Double], DMat) => Array[Double]] = None
   private var measurementFunc: Option[(Array[Double], DMat) => Array[Double]] = None
+  private var sigmaLb: Option[Array[Double]] = None
+  private var sigmaUb: Option[Array[Double]] = None
 
   def setProcessFunction(f: (Array[Double], DMat) => Array[Double]): this.type = { processFunc = Some(f); this }
   def setMeasurementFunction(f: (Array[Double], DMat) => Array[Double]): this.type = { measurementFunc = Some(f); this }
 
-  protected def compute: KalmanCompute = new SigmaPointCompute(
-    stateSize, measurementSize, fadingFactor, new CubatureSigma, processFunc, measurementFunc)
+  /** Sigma-point clipping bounds — same contract as the UKF setters (the
+    * reference exposes these on UKF only; all cubature points are spread
+    * points, so clipping applies to every point here). */
+  def setSigmaPointLowerBound(v: Array[Double]): this.type = {
+    require(v.length == stateSize, s"bound length ${v.length} != stateSize $stateSize")
+    sigmaLb = Some(v.clone()); this
+  }
+  def setSigmaPointUpperBound(v: Array[Double]): this.type = {
+    require(v.length == stateSize, s"bound length ${v.length} != stateSize $stateSize")
+    sigmaUb = Some(v.clone()); this
+  }
+
+  protected def compute: KalmanCompute = {
+    val algo = new CubatureSigma
+    algo.lbound = sigmaLb
+    algo.ubound = sigmaUb
+    new SigmaPointCompute(
+      stateSize, measurementSize, fadingFactor, algo, processFunc, measurementFunc)
+  }
 }

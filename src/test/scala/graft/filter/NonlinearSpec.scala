@@ -239,4 +239,80 @@ class NonlinearSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(m._2 - 40.0) < 0.5, m.toString)
     assert(math.abs(m._3 - 0.5) < 0.05, m.toString)
   }
+
+  test("sigma-point bounds clip spread points but never the center (reference semantics)") {
+    // Reference UnscentedKalmanFilter.scala:417-424 folds applyBounds over
+    // the ± points only; the head of the list (the mean) is unclipped.
+    val algo = new MerweSigma(0.3, 2.0, 0.1)
+    algo.lbound = Some(Array(0.0))
+    algo.ubound = Some(Array(0.5))
+    val sg = algo(Array(0.6), Array(4.0), 1) // spread ±sqrt(0.099·4) ≈ ±0.63
+    assert(sg.points(0)(0) == 0.6)           // center above ub, left alone
+    assert(sg.points(1)(0) == 0.5)           // 1.23 clipped to ub
+    assert(sg.points(2)(0) == 0.0)           // -0.03 clipped to lb
+    val cub = new CubatureSigma
+    cub.lbound = Some(Array(0.0))
+    val cs = cub(Array(0.1), Array(4.0), 1)  // spread ±2 → -1.9 clipped
+    assert(cs.points.forall(_(0) >= 0.0))
+  }
+
+  private def sqrtMeasData = {
+    import spark.implicits._
+    // z = sqrt(x*) + deterministic pseudo-noise, x* = 0.04 — a state that
+    // only makes sense non-negative (sqrt of a negative sigma point → NaN).
+    (1 to 60).map { i =>
+      val noise = 0.01 * math.sin(i * 2.39996)
+      ("k", ts(i), Array(0.2 + noise))
+    }.toDF("key", "t", "meas")
+  }
+
+  private def sqrtUkf(stateCov: Double) = new UnscentedKalmanFilter(1, 1)
+    .setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+    .setMeasurementFunction((st, _) => Array(math.sqrt(st(0))))
+    .setInitialStateMean(Array(0.1))
+    .setInitialStateCovariance(DMat.of(1, 1, stateCov))
+    .setProcessNoise(DMat.of(1, 1, 1e-6))
+    .setMeasurementNoise(DMat.of(1, 1, 1e-3))
+
+  test("positivity-constrained UKF recovers a sqrt-measured state where unconstrained NaNs") {
+    import spark.implicits._
+    // Unconstrained: initial sigma points reach 0.1 - sqrt(0.099·4) < 0 →
+    // sqrt → NaN, which poisons the filter (NaN estimates or a failed
+    // Cholesky on the NaN covariance).
+    val unconstrained = scala.util.Try {
+      sqrtUkf(4.0).transform(sqrtMeasData)
+        .orderBy(desc("stateIndex")).select(col("stateMean")(0)).as[Double].head()
+    }
+    assert(unconstrained.isFailure || unconstrained.get.isNaN, unconstrained.toString)
+
+    val bounded = sqrtUkf(4.0)
+      .setSigmaPointLowerBound(Array(0.0))
+      .transform(sqrtMeasData)
+      .orderBy(desc("stateIndex")).select(col("stateMean")(0)).as[Double].head()
+    assert(!bounded.isNaN && math.abs(bounded - 0.04) < 0.02, bounded.toString)
+  }
+
+  test("constrained CKF also recovers the sqrt-measured state") {
+    import spark.implicits._
+    val est = new CubatureKalmanFilter(1, 1)
+      .setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+      .setMeasurementFunction((st, _) => Array(math.sqrt(st(0))))
+      .setInitialStateMean(Array(0.1))
+      .setInitialStateCovariance(DMat.of(1, 1, 4.0))
+      .setProcessNoise(DMat.of(1, 1, 1e-6))
+      .setMeasurementNoise(DMat.of(1, 1, 1e-3))
+      .setSigmaPointLowerBound(Array(0.0))
+      .transform(sqrtMeasData)
+      .orderBy(desc("stateIndex")).select(col("stateMean")(0)).as[Double].head()
+    assert(!est.isNaN && math.abs(est - 0.04) < 0.02, est.toString)
+  }
+
+  test("sigma-point bound setters validate the bound length") {
+    intercept[IllegalArgumentException] {
+      new UnscentedKalmanFilter(2, 1).setSigmaPointLowerBound(Array(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      new CubatureKalmanFilter(3, 1).setSigmaPointUpperBound(Array(0.0, 1.0))
+    }
+  }
 }

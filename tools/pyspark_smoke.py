@@ -14,7 +14,20 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 CLASSES = os.path.join(HERE, "..", "target", "scala-2.13", "classes")
 if not glob.glob(os.path.join(CLASSES, "graft", "filter", "LinearKalmanFilter*.class")):
     sys.exit("compile first: sbt compile")
-sys.path.insert(0, os.path.join(HERE, "..", "python"))
+
+# Prefer the INSTALLED package (python/setup.py: `python3 setup.py develop
+# --user`, or `pip install -e python/ --no-build-isolation` where the wheel
+# package is available) — the smoke test then exercises exactly what a user
+# gets from pip. Falls back to the in-repo path with a loud warning so the
+# script still works on a fresh checkout.
+try:
+    import graft  # noqa: F401 — probe for an installed package
+except ImportError:
+    sys.stderr.write(
+        "[smoke] WARNING: graft python package not installed; falling back "
+        "to in-repo python/ path. Install it: cd python && "
+        "python3 setup.py develop --user\n")
+    sys.path.insert(0, os.path.join(HERE, "..", "python"))
 
 from pyspark.sql import SparkSession, functions as F
 
