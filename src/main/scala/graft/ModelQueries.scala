@@ -401,6 +401,7 @@ object ModelQueries {
       val withVid = Multimodal.withVideoPayload(corpus, "text")
       Multimodal.videoFingerprint(withVid, "doc_id", "payload")
         .join(corpus.select(col("doc_id"), md5(col("text")).as("ch")), Seq("doc_id"))
+        .where(col("vfp").isNotNull) // poison rows = quarantine, not a dup cluster
         .groupBy(col("vfp"))
         .agg(count(lit(1)).as("n_members"),
           countDistinct(col("ch")).as("n_contents"),
@@ -420,6 +421,7 @@ object ModelQueries {
       val withWav = Multimodal.withAudioPayload(corpus, "text")
       Multimodal.audioFingerprint(withWav, "doc_id", "payload")
         .join(corpus.select(col("doc_id"), md5(col("text")).as("ch")), Seq("doc_id"))
+        .where(col("afp").isNotNull) // poison rows = quarantine, not a dup cluster
         .groupBy(col("afp"))
         .agg(count(lit(1)).as("n_members"),
           countDistinct(col("ch")).as("n_contents"),
@@ -441,6 +443,7 @@ object ModelQueries {
       val withBin = Multimodal.withImagePayload(corpus, "text")
       Multimodal.perceptualHash(withBin, "doc_id", "payload")
         .join(corpus.select(col("doc_id"), md5(col("text")).as("ch")), Seq("doc_id"))
+        .where(col("phash").isNotNull) // poison rows = quarantine, not a dup cluster
         .groupBy(col("phash"))
         .agg(count(lit(1)).as("n_members"),
           countDistinct(col("ch")).as("n_contents"),

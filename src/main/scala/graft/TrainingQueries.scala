@@ -288,7 +288,7 @@ object TrainingQueries {
          |c AS (
          |  SELECT doc_id, tk,
          |    unnest(CASE WHEN len(tk) >= 1
-         |      THEN range(((len(tk) - 1) // 30) + 1) ELSE [] END) AS chunk_idx
+         |      THEN range(((GREATEST(0, len(tk) - 40) + 29) // 30) + 1) ELSE [] END) AS chunk_idx
          |  FROM toks
          |)
          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,

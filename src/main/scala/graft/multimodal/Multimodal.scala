@@ -173,31 +173,42 @@ object Multimodal {
    * exact-duplicate groups are a hash aggregation on the BIGINT, and
    * near-duplicates (small hamming distance) reuse the SimHash chunk-LSH
    * machinery — 4×16-bit chunk match guarantees recall for distance ≤ 3.
+   *
+   * POISON-ROW PATH: an undecodable payload (null bytes, ImageIO can't
+   * parse it) emits a NULL phash instead of failing the job — at corpus
+   * scale one corrupt blob must not kill a 10⁹-row pass. Downstream
+   * dedup must filter `phash IS NOT NULL` (nulls would otherwise hash-
+   * group together as a fake duplicate cluster); the null rows ARE the
+   * quarantine list. Same contract on the audio/video twins.
    */
   def perceptualHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    implicit val enc: Encoder[(Long, Long)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val enc: Encoder[(Long, java.lang.Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.LONG)
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(bytes))
-          require(img != null, s"undecodable image payload for doc $id")
-          val w = img.getWidth; val h = img.getHeight
-          var hash = 0L; var bit = 0
-          var y = 0
-          while (y < h && bit < 63) {
-            var x = 0
-            while (x < w - 1 && bit < 63) {
-              val a = img.getRGB(x, y) & 0xff
-              val b = img.getRGB(x + 1, y) & 0xff
-              if (b > a) hash |= (1L << bit)
-              bit += 1
-              x += 1
+          try {
+            val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(bytes))
+            require(img != null, s"undecodable image payload for doc $id")
+            val w = img.getWidth; val h = img.getHeight
+            var hash = 0L; var bit = 0
+            var y = 0
+            while (y < h && bit < 63) {
+              var x = 0
+              while (x < w - 1 && bit < 63) {
+                val a = img.getRGB(x, y) & 0xff
+                val b = img.getRGB(x + 1, y) & 0xff
+                if (b > a) hash |= (1L << bit)
+                bit += 1
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            (id, java.lang.Long.valueOf(hash))
+          } catch {
+            case scala.util.control.NonFatal(_) => (id, null: java.lang.Long)
           }
-          (id, hash)
         }
       }.toDF(idCol, "phash")
   }
@@ -288,36 +299,54 @@ object Multimodal {
    * variants hash several sampled frames and vote). Same invariance as
    * `perceptualHash`: container byte edits that don't change the sampled
    * frame's pixels leave it fixed.
+   *
+   * POISON-ROW PATH (see `perceptualHash`): a truncated container, a frame
+   * walk that runs past the payload (every offset is bounds-checked before
+   * the slice — `copyOfRange` would otherwise zero-pad silently), or an
+   * undecodable sampled frame emits a NULL vfp instead of failing the job.
    */
   def videoFingerprint(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          require(bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'V',
-            s"not a GVID container for doc $id")
-          val nFrames = readIntLE(bytes, 4)
-          val target = nFrames / 2
-          var pos = 8; var f = 0
-          while (f < target) { pos += 4 + readIntLE(bytes, pos); f += 1 }
-          val len = readIntLE(bytes, pos)
-          val frame = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len)
-          val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(frame))
-          require(img != null, s"undecodable middle frame for doc $id")
-          val w = img.getWidth; val h = img.getHeight
-          var hash = 0L; var bit = 0; var y = 0
-          while (y < h && bit < 63) {
-            var x = 0
-            while (x < w - 1 && bit < 63) {
-              if ((img.getRGB(x + 1, y) & 0xff) > (img.getRGB(x, y) & 0xff))
-                hash |= (1L << bit)
-              bit += 1; x += 1
+          try {
+            require(bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'V',
+              s"not a GVID container for doc $id")
+            val nFrames = readIntLE(bytes, 4)
+            val target = nFrames / 2
+            var pos = 8; var f = 0
+            while (f < target) {
+              require(pos + 4 <= bytes.length, s"truncated GVID frame index for doc $id")
+              val flen = readIntLE(bytes, pos)
+              require(flen >= 0 && pos + 4 + flen <= bytes.length,
+                s"GVID frame $f overruns payload for doc $id")
+              pos += 4 + flen; f += 1
             }
-            y += 1
+            require(pos + 4 <= bytes.length, s"truncated GVID frame index for doc $id")
+            val len = readIntLE(bytes, pos)
+            require(len >= 0 && pos + 4 + len <= bytes.length,
+              s"GVID middle frame overruns payload for doc $id")
+            val frame = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len)
+            val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(frame))
+            require(img != null, s"undecodable middle frame for doc $id")
+            val w = img.getWidth; val h = img.getHeight
+            var hash = 0L; var bit = 0; var y = 0
+            while (y < h && bit < 63) {
+              var x = 0
+              while (x < w - 1 && bit < 63) {
+                if ((img.getRGB(x + 1, y) & 0xff) > (img.getRGB(x, y) & 0xff))
+                  hash |= (1L << bit)
+                bit += 1; x += 1
+              }
+              y += 1
+            }
+            (id, java.lang.Long.valueOf(hash))
+          } catch {
+            case scala.util.control.NonFatal(_) => (id, null: java.lang.Long)
           }
-          (id, hash)
         }
-      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.LONG))
       .toDF(idCol, "vfp")
   }
 
@@ -369,20 +398,26 @@ object Multimodal {
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-          val data = in.readAllBytes()
-          in.close()
-          def sample(k: Int): Long =
-            ((data(2 * k) & 0xff) | (data(2 * k + 1) << 8)).toShort.toLong
-          val nSamples = data.length / 2
-          var hash = 0L; var k = 0
-          while (k < nSamples - 1 && k < 63) {
-            if (sample(k + 1) > sample(k)) hash |= (1L << k)
-            k += 1
+          // POISON-ROW PATH (see perceptualHash): an unparseable or
+          // unsupported audio container emits a NULL afp, never a job kill
+          try {
+            val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+            val data = in.readAllBytes()
+            in.close()
+            def sample(k: Int): Long =
+              ((data(2 * k) & 0xff) | (data(2 * k + 1) << 8)).toShort.toLong
+            val nSamples = data.length / 2
+            var hash = 0L; var k = 0
+            while (k < nSamples - 1 && k < 63) {
+              if (sample(k + 1) > sample(k)) hash |= (1L << k)
+              k += 1
+            }
+            (id, java.lang.Long.valueOf(hash))
+          } catch {
+            case scala.util.control.NonFatal(_) => (id, null: java.lang.Long)
           }
-          (id, hash)
         }
-      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.LONG))
       .toDF(idCol, "afp")
   }
 

@@ -196,9 +196,12 @@ object CorpusStats {
    * both pins the gate and feeds chunk-level exact dedup directly).
    *
    * Pure map-side: tokenize → sequence over start positions → explode →
-   * slice. No shuffle, no state; chunk counts are ⌈n/stride⌉ so output
-   * volume tracks input token volume / stride. Docs with zero tokens
-   * (including null text) emit no rows.
+   * slice. No shuffle, no state; chunk count is ⌈max(0, n−size)/stride⌉+1
+   * — windows stop once start+size ≥ n, so the LAST window covers the doc
+   * tail and no trailing window fully contained in its predecessor is ever
+   * emitted (a subset chunk would re-enter chunk-level dedup as a spurious
+   * near-dup). Output volume tracks input token volume / stride. Docs with
+   * zero tokens (including null text) emit no rows.
    */
   def chunkDocuments(
       df: DataFrame, idCol: String, textCol: String,
@@ -210,7 +213,8 @@ object CorpusStats {
       .withColumn("_n", size_(col("_tk")))
       .where(col("_n") >= 1)
       .withColumn("chunk_idx",
-        explode(sequence(lit(0L), expr(s"CAST((_n - 1) div $stride AS BIGINT)"))))
+        explode(sequence(lit(0L),
+          expr(s"CAST((greatest(0, _n - $size) + ${stride - 1}) div $stride AS BIGINT)"))))
       .select(col(idCol), col("chunk_idx"),
         slice(col("_tk"), (col("chunk_idx") * stride + 1).cast("int"), lit(size)).as("_chunk"))
       .select(col(idCol), col("chunk_idx"),
@@ -236,11 +240,19 @@ object CorpusStats {
    * counts and the scaled gap — the actionable "what changed" table.
    *
    * Scale shape: ONE vocab-bounded aggregation (side counts ride as
-   * conditional sums, map-side partials), the two totals broadcast from a
-   * 1-row aggregate, TakeOrderedAndProject for the top-k — no shuffle
+   * conditional sums, map-side partials), the two totals fetched as a
+   * 1-row driver value, TakeOrderedAndProject for the top-k — no shuffle
    * carries more than the vocabulary. BIGINT-exact while n·T < 2^63
    * (n ≤ vocab-max count, T = slice token total): fine through ~3e9-token
    * slices per drift unit; shard first beyond that.
+   *
+   * EAGER: the operator runs its two actions (totals, then top-k) when
+   * called and returns the k-row result as a local relation, so the
+   * vocab-counts cache the two passes share is UNPERSISTED before return —
+   * repeated invocations (this query is enrolled in the bench and soak
+   * loops) never accumulate cached blocks waiting on GC-driven cleaner
+   * reclaim. Batch-only by construction (it collects); k rows on the
+   * driver is the same bounded-model class as a centroid fetch.
    */
   def tokenDrift(
       df: DataFrame, textCol: String, sideCol: String, k: Int): DataFrame = {
@@ -248,17 +260,23 @@ object CorpusStats {
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     // persisted so the totals aggregate reads the vocab table instead of
     // re-scanning the corpus (vocab-sized — the same footprint class as a
-    // dedup signature projection; released with the next cache eviction,
-    // or unpersist the returned frame's source explicitly)
+    // dedup signature projection)
     val counts = toks.groupBy(col("token"))
       .agg(sum(lit(1L) - col("_side")).as("n_a"), sum(col("_side")).as("n_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = counts.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
-    counts.crossJoin(broadcast(totals)) // 1-row build side
-      .withColumn("drift_scaled",
-        abs(col("n_a") * col("_tb") - col("n_b") * col("_ta")))
-      .select(col("token"), col("n_a"), col("n_b"), col("drift_scaled"))
-      .orderBy(col("drift_scaled").desc, col("token").asc)
-      .limit(k)
+    try {
+      val t = counts.agg(sum(col("n_a")), sum(col("n_b"))).collect()(0)
+      // null sums ⟺ empty vocab (no tokens on either side) → totals 0
+      val ta = if (t.isNullAt(0)) 0L else t.getLong(0)
+      val tb = if (t.isNullAt(1)) 0L else t.getLong(1)
+      val ranked = counts
+        .withColumn("drift_scaled", abs(col("n_a") * lit(tb) - col("n_b") * lit(ta)))
+        .select(col("token"), col("n_a"), col("n_b"), col("drift_scaled"))
+        .orderBy(col("drift_scaled").desc, col("token").asc)
+        .limit(k)
+      val rows = ranked.collect()
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), ranked.schema)
+    } finally counts.unpersist()
   }
 }

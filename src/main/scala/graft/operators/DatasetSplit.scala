@@ -184,29 +184,41 @@ object DatasetSplit {
    * snapshot (Update mode — a later row can evict an earlier sample
    * member, so append semantics are impossible by construction). After
    * the last batch the snapshot equals the batch operator on the union of
-   * all batches, row for row (StreamingTrainingOpsSpec). State is k
-   * entries per group — bounded by #groups · k, never by row volume.
+   * all batches, row for row (TrainingOpsSpec). State is k entries per
+   * group — bounded by #groups · k, never by row volume.
+   *
+   * Contract vs the batch twin:
+   *  - ids are keyed by their STRING form (`cast string`), the same bytes
+   *    the batch form feeds md5 via `concat_ws` — any id type the batch
+   *    operator accepts works here, and the hashes agree exactly. The
+   *    output id column is therefore StringType (state must be concretely
+   *    typed); cast it back if the original type matters downstream.
+   *  - duplicate (group, id) input rows collapse to ONE sample member (the
+   *    reservoir is id-keyed state), where the batch window form emits each
+   *    duplicate with its own rank. An id-keyed sample treats a (group, id)
+   *    pair as one population member; feed pre-deduplicated rows (or accept
+   *    rank-collapsed output) when duplicates are possible.
    */
   def bottomKSampleStreaming(
       df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
     require(k > 0)
     // state = the reservoir itself: parallel hash/id arrays (product-
     // encodable without kryo), always sorted, never longer than k
-    implicit val stateEnc = Encoders.product[(Seq[String], Seq[Long])]
-    implicit val outEnc = Encoders.product[(String, Long, String, Long)]
+    implicit val stateEnc = Encoders.product[(Seq[String], Seq[String])]
+    implicit val outEnc = Encoders.product[(String, String, String, Long)]
     implicit val strEnc = Encoders.STRING
-    df.select(col(groupCol).cast("string").as("g"), col(idCol).cast("long").as("id"))
+    df.select(col(groupCol).cast("string").as("g"), col(idCol).cast("string").as("id"))
       .groupByKey((r: Row) => r.getString(0))
-      .flatMapGroupsWithState[(Seq[String], Seq[Long]), (String, Long, String, Long)](
+      .flatMapGroupsWithState[(Seq[String], Seq[String]), (String, String, String, Long)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (g: String, rows: Iterator[Row], state: GroupState[(Seq[String], Seq[Long])]) =>
-          def hash(id: Long): String = {
+        (g: String, rows: Iterator[Row], state: GroupState[(Seq[String], Seq[String])]) =>
+          def hash(id: String): String = {
             val d = java.security.MessageDigest.getInstance("MD5")
-            d.digest(s"$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+            d.digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString
           }
-          val (hs, ids) = state.getOption.getOrElse((Seq.empty[String], Seq.empty[Long]))
+          val (hs, ids) = state.getOption.getOrElse((Seq.empty[String], Seq.empty[String]))
           val merged = (hs.zip(ids) ++
-            rows.map(r => { val id = r.getLong(1); (hash(id), id) }))
+            rows.map(r => { val id = r.getString(1); (hash(id), id) }))
             .distinct.sorted.take(k)
           state.update((merged.map(_._1), merged.map(_._2)))
           merged.zipWithIndex.iterator.map { case ((h, id), i) =>

@@ -35,7 +35,16 @@ case object EventTimeout extends TimeoutMode { def conf: GroupStateTimeout = Gro
 final case class StageConf(
     timeoutMode: TimeoutMode = NoTimeout,
     timeoutDuration: Option[String] = None,
-    watermarkDuration: Option[String] = None)
+    watermarkDuration: Option[String] = None,
+    /** Caller-declared invariant: (stateKey, eventTime) is unique in the
+      * input, so the batch path's deterministic-tiebreak column (a full-row
+      * xxhash64 appended to every sort key) is unnecessary and skipped —
+      * 8 bytes/row off the external sort key on every stateful query that
+      * pre-aggregates to unique (key, time), which is all the estimator
+      * queries. Leave false when duplicates on (key, time) are possible:
+      * with the flag set their relative order is whatever the sort merge
+      * yields that run. */
+    assumeUniqueKeyTime: Boolean = false)
 
 /**
  * One engine, two physical strategies:
@@ -60,10 +69,11 @@ object StatefulStage {
 
   def run[I <: KeyedIn, S, O](ds: Dataset[I], spec: StateSpec[I, S, O], conf: StageConf = StageConf())(
       implicit ie: Encoder[I], oe: Encoder[O]): Dataset[O] = {
-    if (ds.isStreaming) stream(ds, spec, conf) else batch(ds, spec)
+    if (ds.isStreaming) stream(ds, spec, conf) else batch(ds, spec, conf)
   }
 
-  def batch[I <: KeyedIn, S, O](ds: Dataset[I], spec: StateSpec[I, S, O])(
+  def batch[I <: KeyedIn, S, O](
+      ds: Dataset[I], spec: StateSpec[I, S, O], conf: StageConf = StageConf())(
       implicit ie: Encoder[I], oe: Encoder[O]): Dataset[O] = {
     // __rowSeq: deterministic tiebreaker for equal/null event times. A full-row
     // hash (not monotonically_increasing_id: Spark rejects that expression
@@ -71,13 +81,20 @@ object StatefulStage {
     // compositions like stream-batch init) — stable across runs AND across
     // input repartitionings; rows colliding on (key, time, hash) are either
     // identical (order irrelevant) or a 2^-64 event. Without it the external
-    // sort's order on ties is whatever the merge yields that run.
-    ds.withColumn("__rowSeq",
-        org.apache.spark.sql.functions.xxhash64(ds.columns.map(col): _*))
-      .repartition(col("stateKey"))
-      .sortWithinPartitions(col("stateKey"), col("eventTime"), col("__rowSeq"))
-      .drop("__rowSeq")
-      .as[I](ie)
+    // sort's order on ties is whatever the merge yields that run. Skipped
+    // when the caller declares (key, time) unique (conf.assumeUniqueKeyTime):
+    // no ties exist, so the narrower sort key is equally deterministic.
+    val ordered =
+      if (conf.assumeUniqueKeyTime)
+        ds.repartition(col("stateKey"))
+          .sortWithinPartitions(col("stateKey"), col("eventTime"))
+      else
+        ds.withColumn("__rowSeq",
+            org.apache.spark.sql.functions.xxhash64(ds.columns.map(col): _*))
+          .repartition(col("stateKey"))
+          .sortWithinPartitions(col("stateKey"), col("eventTime"), col("__rowSeq"))
+          .drop("__rowSeq")
+    ordered.as[I](ie)
       .mapPartitions { rows =>
         var curKey: String = null
         var state: Option[S] = None

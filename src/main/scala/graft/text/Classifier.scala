@@ -98,22 +98,28 @@ object TextClassifiers {
 
   /**
    * STATELESS-MAP NB scoring against a driver-held model: per row, one
-   * higher-order fold over the token array against a literal map — no
-   * explode, no join, no aggregation, so the identical column expression
-   * runs unchanged on a Structured Streaming source (append mode, no
-   * watermark needed). Tokens outside the vocabulary contribute 0 bits.
-   * Agrees with `naiveBayesScore` row-for-row on any corpus whose tokens
-   * the model covers (StreamingTrainingOpsSpec proves batch ≡ stream).
+   * native kernel fold over the token array — no explode, no join, no
+   * aggregation, so the identical column expression runs unchanged on a
+   * Structured Streaming source (append mode, no watermark needed).
+   * Tokens outside the vocabulary contribute 0 bits. Agrees with
+   * `naiveBayesScore` row-for-row on any corpus whose tokens the model
+   * covers (StreamingTrainingOpsSpec proves batch ≡ stream).
+   *
+   * The vocab rides as ONE codegen reference object with O(log vocab)
+   * binary-search lookups (graft.functions.VocabKernel) — the earlier
+   * `element_at(<typedlit map>, t)` form was O(vocab) per token (literal
+   * maps have no index) and serialized the whole vocab into the
+   * expression tree of every task; at the documented 1e6–1e7-token NB
+   * vocabularies that form is unusable, this one is not.
    */
   def naiveBayesScoreMap(
       df: DataFrame, idCol: String, textCol: String,
       bits: Map[String, Long], prior: Long): DataFrame = {
-    val m = typedlit(bits)
+    val kernel = graft.functions.VocabExpressions.kernel(bits)
     val toks = TextFunctions.tokens(col(textCol))
     df.select(col(idCol),
       size(toks).cast("long").as("n_toks"),
-      (aggregate(transform(toks, t => coalesce(element_at(m, t), lit(0L))),
-        lit(0L), _ + _) + lit(prior)).as("score"))
+      (graft.functions.VocabExpressions.scoreSum(toks, kernel) + lit(prior)).as("score"))
       .withColumn("pred", (col("score") > 0L).cast("long"))
   }
 

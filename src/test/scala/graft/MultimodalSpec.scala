@@ -143,4 +143,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h(1L) != ph(1L), s"middle frame (rotated) must differ from frame 0: $h vs $ph")
   }
+
+  test("undecodable payloads poison their row (NULL fingerprint), never the job") {
+    import spark.implicits._
+    // one valid payload per modality + three corruption shapes: garbage
+    // bytes, a GVID header whose frame walk overruns the payload, and a
+    // truncated container — all must emit NULL, and valid rows still hash
+    val good = Seq((1L, "ab" + "cdefghij" * 17 + "kk")).toDF("doc_id", "text")
+    val goodImg = Multimodal.withImagePayload(good, "text").select($"doc_id", $"payload")
+    val garbage = Seq((2L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))).toDF("doc_id", "payload")
+    // GVID magic + frame count 1, then a frame length far past the payload end
+    val overrun = {
+      val b = new Array[Byte](16)
+      b(0) = 'G'; b(1) = 'V'; b(2) = 'I'; b(3) = 'D'; b(4) = 1; b(8) = 127
+      Seq((3L, b)).toDF("doc_id", "payload")
+    }
+
+    val ph = Multimodal.perceptualHash(goodImg.unionAll(garbage), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(ph(1L).isDefined && ph(2L).isEmpty, ph.toString)
+
+    val goodVid = Multimodal.withVideoPayload(good, "text").select($"doc_id", $"payload")
+    val vf = Multimodal.videoFingerprint(goodVid.unionAll(garbage).unionAll(overrun),
+        "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(vf(1L).isDefined && vf(2L).isEmpty && vf(3L).isEmpty, vf.toString)
+
+    val goodWav = Multimodal.withAudioPayload(good, "text").select($"doc_id", $"payload")
+    val af = Multimodal.audioFingerprint(goodWav.unionAll(garbage), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(af(1L).isDefined && af(2L).isEmpty, af.toString)
+  }
 }

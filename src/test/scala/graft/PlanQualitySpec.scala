@@ -240,15 +240,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(df.columns.toSet == Set("doc_id", "chunk_idx", "n_chunk_toks", "chunk_hash"))
   }
 
-  test("corpus drift: ONE corpus scan (totals read the cached vocab table), top-k take-ordered") {
-    val p = plan("q_corpus_drift")
-    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
-    // the 1-row totals build side broadcasts (BNLJ over one row is the
-    // right cross-join plan); what must NOT happen is a second corpus
-    // scan — BOTH join inputs read the cached vocab table (the FileScan
-    // text appearing inside each InMemoryRelation description is the one
-    // shared cached subtree, not a live scan)
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
-    assert(!p.contains("CartesianProduct"), p.take(3000))
+  test("corpus drift runs eagerly off one cached vocab table and RELEASES the cache") {
+    // tokenDrift materializes its bounded top-k internally (two actions
+    // sharing one persisted vocab-counts table) and unpersists before
+    // returning, so repeated invocations in the bench/soak loops never
+    // accumulate cached blocks. Assert the release directly: no persistent
+    // RDDs survive the call beyond what existed before it.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = SparkEntry.queries("q_corpus_drift")(spark, dir)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, s"leaked cached RDDs: ${after -- before}")
+    // and the returned frame is the bounded local result (k rows, no
+    // deferred corpus scan hiding in the plan)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"), p.take(1000))
+    assert(out.count() <= 20)
   }
 }

@@ -187,32 +187,65 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestSession {
     val snap = spark.table("res_parity")
       .groupBy("source", "doc_id").agg(max("sample_rank").as("r")).collect()
     sq.stop()
+    // streaming output ids are StringType (state keyed by the stringified
+    // id — the same bytes the batch md5 hashes); cast back for the compare
     val streamedFinal = DatasetSplit.bottomKSampleStreaming(
       docs, "source", "doc_id", 4) // batch Dataset through the same code
-      .select("source", "doc_id", "sample_rank")
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"), col("sample_rank"))
       .as[(String, Long, Long)].collect().toSet
     assert(streamedFinal == batch,
       s"stateful kernel on batch != window form: $streamedFinal vs $batch")
     // and the streamed run admitted every final member at some point
-    val streamedIds = snap.map(r => (r.getString(0), r.getLong(1))).toSet
+    val streamedIds = snap.map(r => (r.getString(0), r.getString(1).toLong)).toSet
     assert(batch.map(t => (t._1, t._2)).subsetOf(streamedIds))
+  }
+
+  test("streaming bottom-k accepts non-numeric ids and matches the batch sample") {
+    import graft.operators.DatasetSplit
+    import spark.implicits._
+    // string ids previously failed the streaming twin's long cast; the
+    // state is now keyed by the stringified id — the exact md5 input of
+    // the batch form — so any batch-accepted id type streams too
+    val df = Seq(("a", "doc-x"), ("a", "doc-y"), ("a", "doc-z"), ("b", "w1"))
+      .toDF("source", "doc_id")
+    val batch = DatasetSplit.bottomKSample(df, "source", "doc_id", 2)
+      .select("source", "doc_id", "sample_rank")
+      .as[(String, String, Long)].collect().toSet
+    val streamed = DatasetSplit.bottomKSampleStreaming(df, "source", "doc_id", 2)
+      .select("source", "doc_id", "sample_rank")
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch, s"$streamed vs $batch")
   }
 
   test("chunking: overlapping windows cover every token; degenerate docs emit nothing") {
     import graft.operators.CorpusStats
     import spark.implicits._
     val df = Seq(
-      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: chunks at 0,4,8
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks: chunks at 0,4
       (2L, "only two"),
       (3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val out = CorpusStats.chunkDocuments(df, "doc_id", "text", size = 6, stride = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    // doc 1: starts 0/4/8 -> sizes 6, 6, 2
-    assert(out((1L, 0L)) == 6L && out((1L, 1L)) == 6L && out((1L, 2L)) == 2L)
+    // doc 1: starts 0/4 — window at 4 reaches the end (4+6 ≥ 10), so no
+    // start-8 window is emitted (its 2 tokens are a strict subset of the
+    // start-4 window; a subset chunk would pollute chunk-level dedup)
+    assert(out((1L, 0L)) == 6L && out((1L, 1L)) == 6L)
     assert(out((2L, 0L)) == 2L)
     assert(!out.keySet.exists(k => k._1 == 3L || k._1 == 4L))
     // stride coverage: the union of [i*stride, i*stride+size) covers 0..n-1
-    assert(out.keySet.count(_._1 == 1L) == 3)
+    assert(out.keySet.count(_._1 == 1L) == 2)
+  }
+
+  test("chunking emits no window fully contained in its predecessor") {
+    import graft.operators.CorpusStats
+    import spark.implicits._
+    // 61 tokens, size 40 / stride 30: the old per-stride rule emitted a
+    // third 1-token window at start 60 ⊂ [30,70) — assert it is gone and
+    // the last window still covers the final token.
+    val df = Seq((1L, (1 to 61).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusStats.chunkDocuments(df, "doc_id", "text", size = 40, stride = 30)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((0L, 40L), (1L, 31L)), out.mkString(","))
   }
 
   test("token drift surfaces appearing/disappearing tokens first, stable ones last") {

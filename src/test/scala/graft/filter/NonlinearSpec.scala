@@ -307,6 +307,22 @@ class NonlinearSpec extends AnyFunSuite with SparkTestSession {
     assert(!est.isNaN && math.abs(est - 0.04) < 0.02, est.toString)
   }
 
+  test("setAssumeUniqueEventTimes drops the sort tiebreaker and preserves results") {
+    // default batch plan sorts (key, time, xxhash64(all cols)) for
+    // deterministic tie order; with the caller-declared unique-(key,time)
+    // invariant the hash column vanishes (8 bytes/row off the external
+    // sort key) and results are bit-identical on tie-free data
+    val base = configure(new LinearKalmanFilter(1, 1)).transform(lltData)
+    val slim = configure(new LinearKalmanFilter(1, 1))
+      .setAssumeUniqueEventTimes().transform(lltData)
+    // (on local relations the hash itself constant-folds into the scan, so
+    // assert on the sort key column, which always shows in the Sort node)
+    assert(base.queryExecution.executedPlan.toString.contains("__rowSeq"))
+    val p = slim.queryExecution.executedPlan.toString
+    assert(!p.contains("__rowSeq") && !p.contains("xxhash64"), p.take(2000))
+    assert(means(base) == means(slim))
+  }
+
   test("sigma-point bound setters validate the bound length") {
     intercept[IllegalArgumentException] {
       new UnscentedKalmanFilter(2, 1).setSigmaPointLowerBound(Array(0.0))
