@@ -51,7 +51,10 @@ object Soak {
       // waves 3-4: decode-bound perceptual hashing, the interleave's
       // group windows, the reservoir window, and the cached-vocab drift
       "q_image_dedup", "q_mix_interleave", "q_reservoir_sample", "q_corpus_drift",
-      "q_chunk")
+      "q_chunk",
+      // round 7: the remaining assembly operators — greedy shard packing
+      // (one window shuffle per group set) and the one-pass curation funnel
+      "q_pack_shards", "q_curation_funnel")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
