@@ -441,3 +441,27 @@ def chunk_documents(df, id_col, text_col, size, stride):
     count and chunk md5. Map-side; overlap = size - stride."""
     m = _module(df.sparkSession, "graft.operators.CorpusStats$")
     return _wrap(df, m.chunkDocuments(df._jdf, id_col, text_col, size, stride))
+
+
+def curriculum(df, id_col, level_col, n_shards):
+    """Curriculum staging: (level, shard, id, pos) — consume levels
+    ascending, shards in order, each shard sequentially. Level and shard are
+    map-side; the only shuffle is the per-(level, shard) window."""
+    m = _module(df.sparkSession, "graft.operators.TrainingOrder$")
+    return _wrap(df, m.curriculum(df._jdf, id_col, level_col, n_shards))
+
+
+def length_bucket_batches(df, id_col, weight_col, batch_size):
+    """Length-bucketed batch assembly: log2-weight buckets, md5-ordered
+    fixed-size batches — bounds pad-to-max waste under 50% worst case."""
+    m = _module(df.sparkSession, "graft.operators.TrainingOrder$")
+    return _wrap(df, m.lengthBucketBatches(df._jdf, id_col, weight_col, batch_size))
+
+
+def budget_allocation(sizes, group_col, size_col, total_target, max_epochs):
+    """Repetition-capped mixing budget: sqrt-tempered shares of
+    `total_target`, clamped at `max_epochs` x each group's own size, with
+    the clamped shortfall surfaced per group."""
+    m = _module(sizes.sparkSession, "graft.operators.DatasetSplit$")
+    return _wrap(sizes, m.budgetAllocation(sizes._jdf, group_col, size_col,
+                                           total_target, max_epochs))

@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DatasetSplit, TrainingOrder}
+import graft.sim.Similarity
+import graft.text.TextFunctions
+
+/**
+ * Round-7 wave: the remaining training-assembly decisions a corpus team
+ * makes between "curated" and "training stream" — curriculum staging,
+ * length-bucketed batch assembly (padding efficiency), the repetition-capped
+ * token budget, duplication-structure profiling, embedding-health
+ * diagnostics, and the kNN label-agreement probe that scores an embedding
+ * space before anyone trains on it.
+ *
+ * Same contract discipline as every earlier wave: integer-exact or
+ * replayable-FP arithmetic only, each oracle a full DuckDB replay, no UDFs,
+ * no unbounded collects.
+ */
+object AssemblyQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // =================================================================== queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_curriculum" -> ((s, dir) => {
+      // curriculum staging: difficulty = token-count tier (fixed corpus-
+      // calibrated thresholds — easy short docs first), 4 md5 shards per
+      // tier; manifest per (level, shard) with an order signature pinning
+      // every (doc, pos) assignment.
+      val docs = t(s, dir, "documents")
+      val n = size(TextFunctions.tokens(col("text"))).cast("long")
+      val level = when(n < 32, 0L).when(n < 56, 1L).when(n < 76, 2L).otherwise(3L)
+      TrainingOrder.curriculum(docs.withColumn("level", level), "doc_id", "level", 4)
+        .groupBy(col("level"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"),
+          sum(col("doc_id") * col("pos")).as("order_sig"))
+        .orderBy(col("level"), col("shard"))
+    }),
+
+    "q_pad_batches" -> ((s, dir) => {
+      // length-bucketed batch assembly: log2-length buckets, 16-doc batches
+      // in md5 order; per batch the max/sum lengths and the padding waste
+      // (pad-to-max cost) the bucketing exists to minimize.
+      val docs = t(s, dir, "documents")
+        .withColumn("n_toks", size(TextFunctions.tokens(col("text"))).cast("long"))
+      TrainingOrder.lengthBucketBatches(docs, "doc_id", "n_toks", batchSize = 16)
+        .groupBy(col("bucket"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("weight")).as("max_toks"),
+          sum(col("weight")).as("sum_toks"),
+          (count(lit(1)) * max(col("weight")) - sum(col("weight"))).as("pad_waste"),
+          sum(col("doc_id") * col("weight")).as("batch_sig"))
+        .orderBy(col("bucket"), col("batch"))
+    }),
+
+    "q_repetition_budget" -> ((s, dir) => {
+      // data-constrained token budget: per-language token masses, sqrt-
+      // tempered shares of a 100k-token budget, clamped at 4 epochs of any
+      // language's own mass; the shortfall column is the budget the cap
+      // refused (at small SF every language caps; at larger SF none do —
+      // both regimes exercised across the gate scales).
+      val docs = t(s, dir, "documents")
+      val sizes = docs
+        .select(col("lang"), size(TextFunctions.tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_docs"))
+      DatasetSplit.budgetAllocation(sizes, "lang", "n_tokens",
+          totalTarget = 100000L, maxEpochs = 4)
+        .select(col("lang"), col("n_tokens"), col("n_docs"), col("weight_micro"),
+          col("raw_alloc"), col("alloc"), col("epochs_micro"), col("shortfall"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_dup_cluster_hist" -> ((s, dir) => {
+      // duplication-structure profile: exact-content cluster sizes folded
+      // into log2 buckets — the "is our dup mass a few giant clusters or a
+      // long tail" dashboard that picks the dedup strategy. Mirror
+      // enrichment (every 5th doc cloned once, every 10th twice) populates
+      // multi-doc clusters deterministically.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d
+        .unionAll(d.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id") + 200000L, col("text")))
+        .unionAll(d.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id") + 400000L, col("text")))
+      val sizes = corpus.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("sz"))
+      sizes.groupBy(length(bin(col("sz"))).cast("long").as("size_log2"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"),
+          max(col("sz")).as("max_cluster"))
+        .orderBy(col("size_log2"))
+    }),
+
+    "q_embed_stats" -> ((s, dir) => {
+      // embedding-health diagnostics per label: quantized squared-norm
+      // spread and zero-vector count — the "did the encoder emit garbage"
+      // gate before any ANN/semantic stage trusts the space. Integer
+      // milli-quantization makes every aggregate order-independent.
+      val e = t(s, dir, "embeddings")
+      val q = transform(col("embedding").cast("array<double>"),
+        x => round(x * 1000).cast("long"))
+      val scored = e.select(
+        col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        aggregate(q, lit(0L), (acc, v) => acc + v * v).as("nsq"),
+        aggregate(q, lit(0L), (acc, v) => greatest(acc, abs(v))).as("amax"))
+      scored.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          max(col("dim")).as("dim"),
+          sum(when(col("amax") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min(col("nsq")).as("min_nsq"),
+          max(col("nsq")).as("max_nsq"),
+          sum(col("nsq")).as("sum_nsq"))
+        .orderBy(col("label"))
+    }),
+
+    "q_knn_label_vote" -> ((s, dir) => {
+      // kNN label agreement: 10-NN majority vote over the first 50 vectors,
+      // scored against their true labels — the standard embedding-quality
+      // probe (high agreement = the space clusters by label). Composes the
+      // broadcast brute-force top-k; the label join builds on the tiny
+      // candidate side.
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").cast("long").as("true_label"))
+      val nn = Similarity.bruteForceTopK(emb, q.select(col("qid"), col("qv")),
+        "vec_id", "embedding", "qid", "qv", k = 10)
+      val votes = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+        .join(broadcast(nn), Seq("vec_id"))
+        .groupBy(col("qid"), col("label"))
+        .agg(count(lit(1)).as("votes"), max(col("sim")).as("best_sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("votes").desc, col("best_sim").desc, col("label").asc)
+      votes.withColumn("_rk", row_number().over(w))
+        .where(col("_rk") === 1)
+        .join(broadcast(q.select(col("qid"), col("true_label"))), Seq("qid"))
+        .select(col("qid"), col("true_label"), col("label").as("pred_label"),
+          col("votes"),
+          when(col("label") === col("true_label"), 1L).otherwise(0L).as("correct"))
+        .orderBy(col("qid"))
+    })
+  )
+
+  // =================================================================== oracles
+
+  import PipelineQueries.{duckToks, cosineSql}
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_curriculum" ->
+      s"""WITH d AS (SELECT doc_id, len(${duckToks()}) AS n FROM documents),
+         |lv AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n < 32 THEN 0 WHEN n < 56 THEN 1 WHEN n < 76 THEN 2 ELSE 3 END AS level
+         |  FROM d
+         |),
+         |k AS (
+         |  SELECT doc_id, level, md5(concat_ws('_', doc_id, 'cur')) AS skey FROM lv
+         |),
+         |a AS (
+         |  SELECT CAST(level AS BIGINT) AS level,
+         |    CAST(('0x' || substring(skey, 1, 8)) AS BIGINT) % 4 AS shard,
+         |    doc_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY level, CAST(('0x' || substring(skey, 1, 8)) AS BIGINT) % 4
+         |      ORDER BY skey, doc_id) AS BIGINT) AS pos
+         |  FROM k
+         |)
+         |SELECT level, shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS first_id,
+         |  CAST(max(doc_id) AS BIGINT) AS last_id,
+         |  CAST(sum(doc_id * pos) AS BIGINT) AS order_sig
+         |FROM a GROUP BY level, shard
+         |ORDER BY level, shard""".stripMargin,
+
+    "q_pad_batches" ->
+      s"""WITH d AS (SELECT doc_id, len(${duckToks()}) AS n_toks FROM documents),
+         |b AS (
+         |  SELECT doc_id, n_toks,
+         |    CAST(length(bin(n_toks)) AS BIGINT) AS bucket,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY length(bin(n_toks))
+         |      ORDER BY md5(concat_ws('_', doc_id)), doc_id) AS BIGINT) AS r
+         |  FROM d
+         |)
+         |SELECT bucket, (r - 1) // 16 AS batch,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(max(n_toks) AS BIGINT) AS max_toks,
+         |  CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+         |  CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS pad_waste,
+         |  CAST(sum(doc_id * n_toks) AS BIGINT) AS batch_sig
+         |FROM b GROUP BY bucket, (r - 1) // 16
+         |ORDER BY bucket, batch""".stripMargin,
+
+    "q_repetition_budget" ->
+      s"""WITH s AS (
+         |  SELECT lang,
+         |    CAST(sum(len(${duckToks()})) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY lang
+         |),
+         |w AS (
+         |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |    AS weight_micro
+         |  FROM s
+         |),
+         |a AS (
+         |  SELECT *, CAST((100000 * weight_micro) // (SELECT sum(weight_micro) FROM w)
+         |    AS BIGINT) AS raw_alloc
+         |  FROM w
+         |)
+         |SELECT lang, n_tokens, n_docs, weight_micro, raw_alloc,
+         |  CAST(least(raw_alloc, n_tokens * 4) AS BIGINT) AS alloc,
+         |  CAST((least(raw_alloc, n_tokens * 4) * 1000000) // n_tokens AS BIGINT)
+         |    AS epochs_micro,
+         |  CAST(raw_alloc - least(raw_alloc, n_tokens * 4) AS BIGINT) AS shortfall
+         |FROM a ORDER BY lang""".stripMargin,
+
+    "q_dup_cluster_hist" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, text FROM documents WHERE doc_id % 10 = 0
+        |),
+        |sizes AS (SELECT md5(text) AS h, count(*) AS sz FROM corpus GROUP BY 1)
+        |SELECT CAST(length(bin(sz)) AS BIGINT) AS size_log2,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(max(sz) AS BIGINT) AS max_cluster
+        |FROM sizes GROUP BY 1 ORDER BY size_log2""".stripMargin,
+
+    "q_embed_stats" ->
+      """WITH v AS (
+        |  SELECT label, len(embedding) AS dim,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT label, dim,
+        |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nsq,
+        |    CAST(list_max(list_transform(q, v -> abs(v))) AS BIGINT) AS amax
+        |  FROM v
+        |)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(max(dim) AS BIGINT) AS dim,
+        |  CAST(sum(CASE WHEN amax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(min(nsq) AS BIGINT) AS min_nsq,
+        |  CAST(max(nsq) AS BIGINT) AS max_nsq,
+        |  CAST(sum(nsq) AS BIGINT) AS sum_nsq
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_knn_label_vote" ->
+      s"""WITH c AS (SELECT vec_id, embedding, label FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, label AS tl
+         |      FROM embeddings WHERE vec_id < 50),
+         |scored AS (
+         |  SELECT q.qid, c.vec_id, c.label,
+         |    ROUND(${cosineSql("c.embedding", "q.qv")}, 6) AS sim
+         |  FROM c CROSS JOIN q WHERE c.vec_id != q.qid
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM scored
+         |),
+         |votes AS (
+         |  SELECT qid, label, count(*) AS votes, max(sim) AS best_sim
+         |  FROM ranked WHERE rk <= 10 GROUP BY qid, label
+         |),
+         |pick AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY votes DESC, best_sim DESC, label ASC) AS pk
+         |  FROM votes
+         |)
+         |SELECT p.qid,
+         |  CAST(q.tl AS BIGINT) AS true_label,
+         |  CAST(p.label AS BIGINT) AS pred_label,
+         |  CAST(p.votes AS BIGINT) AS votes,
+         |  CAST(CASE WHEN p.label = q.tl THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM pick p JOIN q ON q.qid = p.qid WHERE p.pk = 1
+         |ORDER BY p.qid""".stripMargin
+  )
+}

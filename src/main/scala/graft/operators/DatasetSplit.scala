@@ -118,6 +118,40 @@ object DatasetSplit {
   }
 
   /**
+   * Data-constrained budget allocation — `mixAllocation` with a repetition
+   * cap (the data-constrained-scaling regime: repeating a source beyond ~4
+   * epochs stops helping, so its share is clamped and the shortfall made
+   * visible instead of silently over-repeated). Input is a pre-aggregated
+   * (group, size) table (sizes in any unit: tokens, docs, bytes); output one
+   * row per group:
+   *
+   *   raw_alloc    = totalTarget · floor(sqrt(size)·1e6) div Σweights
+   *   alloc        = min(raw_alloc, maxEpochs · size)
+   *   epochs_micro = alloc · 1e6 div size   (repetition factor, ppm)
+   *   shortfall    = raw_alloc − alloc      (budget the cap refused)
+   *
+   * All-BIGINT arithmetic (exact while totalTarget · maxWeight < 2^63 —
+   * petascale token budgets with µ-scaled sqrt weights stay well inside).
+   * Scale shape: the window runs on the |groups|-row frame only.
+   */
+  def budgetAllocation(
+      sizes: DataFrame, groupCol: String, sizeCol: String,
+      totalTarget: Long, maxEpochs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalTarget > 0 && maxEpochs > 0)
+    sizes
+      .withColumn("weight_micro",
+        floor(sqrt(col(sizeCol).cast("double")) * 1e6).cast("long"))
+      .withColumn("_wt", sum(col("weight_micro")).over(Window.partitionBy())) // tiny frame
+      .withColumn("raw_alloc", expr(s"CAST($totalTarget AS BIGINT) * weight_micro div _wt"))
+      .withColumn("alloc",
+        least(col("raw_alloc"), col(sizeCol).cast("long") * maxEpochs))
+      .withColumn("epochs_micro", expr(s"alloc * 1000000 div $sizeCol"))
+      .withColumn("shortfall", col("raw_alloc") - col("alloc"))
+      .drop("_wt")
+  }
+
+  /**
    * Leakage-proof split: like `withSplit`, but byte-identical documents
    * always land in the SAME split — the bucket hashes the content group's
    * canonical id, not the row's own id. A plain id-hash split leaks

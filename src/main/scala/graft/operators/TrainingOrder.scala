@@ -104,4 +104,57 @@ object TrainingOrder {
         expr("((2 * _r - 1) * _t) div (2 * _g)").as("pos_key"),
         col(groupCol), col(idCol), col("copy"), col("_r").as("rank_in_group"))
   }
+
+  /**
+   * Curriculum order: stage the corpus easy→hard by a caller-supplied
+   * integer difficulty `levelCol` (length, quality tier, perplexity bucket —
+   * any map-side score). Within a level docs are sharded by md5 for
+   * parallelism and pseudorandomly ordered; a consumer reads levels
+   * ascending, shards within a level in shard order, each shard
+   * sequentially — the concatenation is the curriculum (Bengio et al.
+   * 2009's staged regime, determinized).
+   *
+   * Scale shape: level and shard are both map-side projections (no shuffle
+   * to DECIDE placement); the only exchange is the level×shard window's
+   * hash partitioning, and every window sort is shard-local. Output:
+   * (level, shard, id, pos).
+   */
+  def curriculum(
+      df: DataFrame, idCol: String, levelCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val e = df.select(col(levelCol).cast("long").as("level"), col(idCol))
+      .withColumn("_skey", md5(concat_ws("_", col(idCol), lit("cur"))))
+      .withColumn("shard",
+        conv(substring(col("_skey"), 1, 8), 16, 10).cast("long") % nShards)
+    val w = Window.partitionBy(col("level"), col("shard"))
+      .orderBy(col("_skey"), col(idCol))
+    e.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("level"), col("shard"), col(idCol), col("pos"))
+  }
+
+  /**
+   * Length-bucketed batch assembly — the dynamic-batching step that keeps
+   * padding waste down: docs are bucketed by the BIT LENGTH of their weight
+   * (log2 token count: within a bucket no doc is more than 2× any other, so
+   * padding to the batch max wastes < 50% worst-case, ~15% typical), then
+   * grouped into fixed `batchSize` batches in md5 order (pseudorandom
+   * within bucket — no length-sorted curriculum leaking into batch order).
+   *
+   * Scale shape: bucket is a map-side projection; the per-bucket window is
+   * the only exchange; batch assignment is integer arithmetic on the rank.
+   * Parallelism is the bucket count — compose a (bucket, shard) key via
+   * `curriculum`-style md5 sharding when one bucket dominates the corpus.
+   * Output: (bucket, batch, id, weight).
+   */
+  def lengthBucketBatches(
+      df: DataFrame, idCol: String, weightCol: String, batchSize: Int): DataFrame = {
+    require(batchSize > 0)
+    val b = df.select(col(idCol), col(weightCol).cast("long").as("weight"))
+      .withColumn("bucket", length(bin(col("weight"))).cast("long"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(concat_ws("_", col(idCol))), col(idCol))
+    b.withColumn("_r", row_number().over(w).cast("long"))
+      .withColumn("batch", expr(s"(_r - 1) div $batchSize"))
+      .select(col("bucket"), col("batch"), col(idCol), col("weight"))
+  }
 }

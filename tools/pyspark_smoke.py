@@ -303,3 +303,26 @@ ck = chunk_documents(docs, "doc_id", "text", 20, 15)
 assert ck.count() > 0 and set(ck.columns) == {"doc_id", "chunk_idx", "n_chunk_toks", "chunk_hash"}
 print("PASS chunk_documents")
 spark.stop()
+
+# round 7: assembly wave wrappers — restart a minimal session for the tail
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+docs8 = spark.createDataFrame(
+    [(i, i % 3, (i % 7) + 1) for i in range(60)], "doc_id long, level long, n_toks long")
+
+from graft import curriculum
+cu = curriculum(docs8, "doc_id", "level", 4)
+assert cu.count() == 60 and set(cu.columns) == {"level", "shard", "doc_id", "pos"}
+print("PASS curriculum")
+
+from graft import length_bucket_batches
+lb = length_bucket_batches(docs8, "doc_id", "n_toks", 8)
+assert lb.count() == 60 and set(lb.columns) == {"bucket", "batch", "doc_id", "weight"}
+print("PASS length_bucket_batches")
+
+from graft import budget_allocation
+sizes = docs8.groupBy("level").sum("n_toks").withColumnRenamed("sum(n_toks)", "n")
+ba = budget_allocation(sizes, "level", "n", 1000, 4)
+assert ba.count() == 3 and "shortfall" in ba.columns and "epochs_micro" in ba.columns
+print("PASS budget_allocation")
+spark.stop()
