@@ -123,6 +123,21 @@ object AssemblyQueries {
         .orderBy(col("label"))
     }),
 
+    "q_containment" -> ((s, dir) => {
+      // excerpt/quote duplication: a 160-char excerpt of a long doc has
+      // Jaccard far below any LSH gate but containment ≈ 1 — caught by the
+      // rare-shingle inverted index + exact containment verify. Enrichment:
+      // every long doc gets a middle-window excerpt under id+300000.
+      val d = t(s, dir, "documents").where(col("n_chars") > 240)
+        .select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.select(
+        (col("doc_id") + 300000L).as("doc_id"),
+        col("text").substr(lit(41), lit(160)).as("text")))
+      graft.dedup.ContainmentIndex.excerptPairs(corpus, "doc_id", "text",
+          shingleSize = 3, maxDocFreq = 8, minShared = 8, threshold = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q_knn_label_vote" -> ((s, dir) => {
       // kNN label agreement: 10-NN majority vote over the first 50 vectors,
       // scored against their true labels — the standard embedding-quality
@@ -263,6 +278,35 @@ object AssemblyQueries {
         |  CAST(max(nsq) AS BIGINT) AS max_nsq,
         |  CAST(sum(nsq) AS BIGINT) AS sum_nsq
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE n_chars > 240
+         |  UNION ALL
+         |  SELECT doc_id + 300000, substring(text, 41, 160) FROM documents
+         |  WHERE n_chars > 240
+         |),
+         |sets AS (SELECT doc_id, ${PipelineQueries.duckShingleSet()} AS sset FROM corpus),
+         |ex AS (SELECT doc_id, unnest(sset) AS sh FROM sets),
+         |rare AS (
+         |  SELECT sh FROM (SELECT sh, count(*) AS df FROM ex GROUP BY sh)
+         |  WHERE df BETWEEN 2 AND 8
+         |),
+         |idx AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare USING (sh)),
+         |cands AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+         |  FROM idx l JOIN idx r ON l.sh = r.sh AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 8
+         |),
+         |ver AS (
+         |  SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared,
+         |    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+         |      CAST(least(len(sa.sset), len(sb.sset)) AS DOUBLE) AS c
+         |  FROM cands JOIN sets sa ON cands.a = sa.doc_id
+         |              JOIN sets sb ON cands.b = sb.doc_id
+         |)
+         |SELECT a, b, n_shared, ROUND(c, 6) AS containment
+         |FROM ver WHERE c >= 0.8 ORDER BY a, b""".stripMargin,
 
     "q_knn_label_vote" ->
       s"""WITH c AS (SELECT vec_id, embedding, label FROM embeddings),

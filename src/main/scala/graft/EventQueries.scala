@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-7 wave 2: the event-analytics pair every large-scale telemetry
+ * pipeline runs next to its windowed aggs — ordered funnel conversion and
+ * weekly cohort retention. Both are pure integer/date arithmetic over two
+ * aggregation shuffles, replayed value-exact by DuckDB.
+ */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ts has shipped as TIMESTAMP(NANOS) (long ns via the legacy flag) and as
+  // native TIMESTAMP(MICROS) across driver testdata generations — normalize
+  // both (same branch as SparkEntry/PipelineQueries.events).
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  // =================================================================== queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_funnel" -> ((s, dir) => {
+      // ordered funnel: signup → view → click → purchase by FIRST-occurrence
+      // times (the loose-funnel definition: stage k is reached when the
+      // user's first S_k is no earlier than their first S_{k-1}, and every
+      // earlier stage was reached). ONE aggregation shuffle on user_id with
+      // map-side partial min's; the stage fold is a projection; the final
+      // count is a 1-row global agg.
+      val ev = events(s, dir)
+      def firstOf(tp: String) = min(when(col("event_type") === tp, col("ts")))
+      val firsts = ev.groupBy(col("user_id")).agg(
+        firstOf("signup").as("t1"), firstOf("view").as("t2"),
+        firstOf("click").as("t3"), firstOf("purchase").as("t4"))
+      val full = firsts.select(
+        when(col("t1").isNotNull, 1L).otherwise(0L).as("s1"),
+        when(col("t1").isNotNull && col("t2").isNotNull && col("t2") >= col("t1"),
+          1L).otherwise(0L).as("s2"),
+        when(col("t1").isNotNull && col("t2").isNotNull && col("t2") >= col("t1") &&
+          col("t3").isNotNull && col("t3") >= col("t2"), 1L).otherwise(0L).as("s3"),
+        when(col("t1").isNotNull && col("t2").isNotNull && col("t2") >= col("t1") &&
+          col("t3").isNotNull && col("t3") >= col("t2") &&
+          col("t4").isNotNull && col("t4") >= col("t3"), 1L).otherwise(0L).as("s4"))
+      full.agg(
+          count(lit(1)).as("n_users"),
+          sum(col("s1")).as("n_signup"),
+          sum(col("s2")).as("n_viewed"),
+          sum(col("s3")).as("n_clicked"),
+          sum(col("s4")).as("n_purchased"))
+    }),
+
+    "q_retention" -> ((s, dir) => {
+      // weekly cohort retention triangle: cohort = ISO week of the user's
+      // first event; n_users = distinct users from that cohort active k
+      // weeks later. Two shuffles (first-event agg, cohort-cell distinct) —
+      // the standard co-partitioned shape; no window, no sort.
+      val ev = events(s, dir).select(col("user_id"), col("ts"))
+      val firsts = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      ev.join(firsts, Seq("user_id"))
+        .select(col("user_id"),
+          date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+          expr("CAST(datediff(CAST(ts AS DATE), CAST(first_ts AS DATE)) div 7 AS BIGINT)")
+            .as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    })
+  )
+
+  // =================================================================== oracles
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+        |  FROM events GROUP BY user_id
+        |),
+        |st AS (
+        |  SELECT
+        |    CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1
+        |         THEN 1 ELSE 0 END AS s2,
+        |    CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1
+        |          AND t3 IS NOT NULL AND t3 >= t2 THEN 1 ELSE 0 END AS s3,
+        |    CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1
+        |          AND t3 IS NOT NULL AND t3 >= t2
+        |          AND t4 IS NOT NULL AND t4 >= t3 THEN 1 ELSE 0 END AS s4
+        |  FROM f
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(s1) AS BIGINT) AS n_signup,
+        |  CAST(sum(s2) AS BIGINT) AS n_viewed,
+        |  CAST(sum(s3) AS BIGINT) AS n_clicked,
+        |  CAST(sum(s4) AS BIGINT) AS n_purchased
+        |FROM st""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+        |),
+        |cells AS (
+        |  SELECT e.user_id,
+        |    CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+        |    date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) // 7
+        |      AS week_offset
+        |  FROM events e JOIN f USING (user_id)
+        |)
+        |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM cells GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin
+  )
+}

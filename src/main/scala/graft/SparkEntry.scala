@@ -53,7 +53,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     filterQueries ++ PipelineQueries.queries ++ ModelQueries.queries ++
-      CurationQueries.queries ++ TrainingQueries.queries ++ AssemblyQueries.queries
+      CurationQueries.queries ++ TrainingQueries.queries ++ AssemblyQueries.queries ++
+      EventQueries.queries
 
   private def filterQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_outlier" -> ((s, dir) => {
@@ -363,5 +364,6 @@ object SparkEntry {
     "q_rls" -> rlsOracle,
     "q_lms" -> lmsOracle
   ) ++ PipelineQueries.oracleSql ++ ModelQueries.oracleSql ++
-    CurationQueries.oracleSql ++ TrainingQueries.oracleSql ++ AssemblyQueries.oracleSql
+    CurationQueries.oracleSql ++ TrainingQueries.oracleSql ++ AssemblyQueries.oracleSql ++
+    EventQueries.oracleSql
 }

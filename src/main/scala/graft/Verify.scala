@@ -25,6 +25,9 @@ object Verify {
     "q_knn_graph", "q_knn_graph_auto", "q_bigram_surprisal", "q_minhash_audit",
     "q_shuffle_shards", "q_reservoir_sample", "q_chunk", "q_mix_interleave",
     "q_corpus_drift", "q_doc_topics",
+    "q_curriculum", "q_pad_batches", "q_repetition_budget",
+    "q_dup_cluster_hist", "q_embed_stats", "q_knn_label_vote",
+    "q_funnel", "q_retention", "q_containment",
     "q_nb_classifier", "q_dsir_weights",
     "q_ann_pq", "q_ann_ivfpq",
     "q_dedup_exact", "q_source_overlap", "q_leakage_split", "q_stratified_sample",

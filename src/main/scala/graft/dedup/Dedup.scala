@@ -555,3 +555,57 @@ object SimHash {
       .where(col("hamming") <= maxHamming)
   }
 }
+
+/**
+ * Rare-shingle inverted-index containment detection — the excerpt/quote
+ * duplication pass that banded Jaccard LSH structurally misses: a 200-char
+ * excerpt of a 5000-char source has Jaccard ≈ 0.04 (no band ever collides at
+ * any useful threshold) but containment ≈ 1.0. Reference scope: artan has no
+ * dedup surface; this extends the LLM-pipeline family (SURVEY §2 rows 14-17).
+ *
+ * Candidates come from an inverted index over RARE shingles (doc frequency in
+ * [2, maxDocFreq]): two docs become a candidate pair when they share at least
+ * `minShared` rare shingles. The df cap bounds every per-shingle self-join at
+ * maxDocFreq² pairs — the classic stop-shingle guard that keeps the index
+ * join linear in the corpus — and boilerplate shingles (df > cap) never
+ * generate candidates at all. Verification is exact set containment
+ * |A∩B| / min(|A|,|B|) on the full shingle sets.
+ *
+ * Scale shape: one shingle-set projection (persisted, ~2 KB/doc), one
+ * explode + doc-frequency aggregation (the exact shape of TF-IDF's df pass),
+ * one co-partitioned self-join on the shingle key with bounded fanout, one
+ * pair-count aggregation, and a verify join that touches candidates only.
+ * No cross join, no global sort, no driver-side state.
+ */
+object ContainmentIndex {
+
+  def excerptPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, maxDocFreq: Int = 8, minShared: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(maxDocFreq >= 2 && minShared >= 1 && threshold > 0.0)
+    val base = CachedProjections.swap("containment",
+      df.select(col(idCol),
+        graft.functions.HashExpressions.shingleHashSet(col(textCol), shingleSize).as("sset")))
+    val ex = base.select(col(idCol), explode(col("sset")).as("sh"))
+    val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select(col("sh"))
+    val indexed = ex.join(rare, Seq("sh"))
+    val cands = indexed.select(col("sh"), col(idCol).as("a"))
+      .join(indexed.select(col("sh"), col(idCol).as("b")), Seq("sh"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val sets = base.select(col(idCol).as("sid"), col("sset"))
+    cands
+      .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
+      .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
+      .withColumn("containment",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          least(size(col("set_a")), size(col("set_b"))).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("n_shared"),
+        round(col("containment"), 6).as("containment"))
+  }
+}
