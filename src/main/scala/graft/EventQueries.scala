@@ -14,18 +14,9 @@ object EventQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  // ts has shipped as TIMESTAMP(NANOS) (long ns via the legacy flag) and as
-  // native TIMESTAMP(MICROS) across driver testdata generations — normalize
-  // both (same branch as SparkEntry/PipelineQueries.events).
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
-  }
+  // ts normalized to TIMESTAMP — one shared helper (Tables.events).
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
 
   // =================================================================== queries
 

@@ -23,17 +23,9 @@ object ModelQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  // ts has shipped as TIMESTAMP(NANOS) and as native TIMESTAMP(MICROS)
-  // across driver testdata generations — normalize both to a TIMESTAMP.
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
-  }
+  // ts normalized to TIMESTAMP — one shared helper (Tables.events).
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
 
   /** unique (user_id, ts) measurement stream, z = avg event value. */
   private def userStream(s: SparkSession, dir: String): DataFrame =

@@ -12,22 +12,9 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /**
-   * events.parquet has shipped with two physical `ts` encodings across
-   * driver testdata generations: TIMESTAMP(NANOS) (read as long via the
-   * legacy flag, µs-resolution so dividing to micros is lossless) and
-   * native TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize both to a
-   * session-TZ TIMESTAMP so downstream queries see one shape.
-   */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
-  }
+  /** events with ts normalized to TIMESTAMP (see [[Tables.events]]). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
 
   /**
    * Measurement stream with a unique (key, ts) so the sequential filters and

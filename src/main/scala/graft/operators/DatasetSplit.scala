@@ -113,7 +113,12 @@ object DatasetSplit {
       .withColumn("weight_micro",
         floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
       .withColumn("_wt", sum(col("weight_micro")).over(Window.partitionBy())) // tiny frame
-      .withColumn("alloc", expr(s"CAST($totalTarget AS BIGINT) * weight_micro div _wt"))
+      // DECIMAL(38,0) intermediate: target (≤19 digits) × weight (≤16
+      // digits) stays ≤35 digits, so the product never overflows even at
+      // petascale targets where a BIGINT multiply would throw under ANSI.
+      // The quotient is ≤ totalTarget, so the BIGINT result cast is safe.
+      .withColumn("alloc",
+        expr(s"CAST(CAST($totalTarget AS DECIMAL(38,0)) * weight_micro div _wt AS BIGINT)"))
       .drop("_wt")
   }
 
@@ -127,11 +132,18 @@ object DatasetSplit {
    *
    *   raw_alloc    = totalTarget · floor(sqrt(size)·1e6) div Σweights
    *   alloc        = min(raw_alloc, maxEpochs · size)
-   *   epochs_micro = alloc · 1e6 div size   (repetition factor, ppm)
+   *   epochs_micro = alloc · 1e6 div size   (repetition factor, ppm; 0 for
+   *                  an empty group)
    *   shortfall    = raw_alloc − alloc      (budget the cap refused)
    *
-   * All-BIGINT arithmetic (exact while totalTarget · maxWeight < 2^63 —
-   * petascale token budgets with µ-scaled sqrt weights stay well inside).
+   * Integer-exact at scale: the target×weight and alloc×1e6 products run in
+   * DECIMAL(38,0) (19-digit target × 16-digit µ-weight ≤ 35 digits), so a
+   * multi-trillion-token totalTarget over multi-trillion-token groups never
+   * overflows — the quotients are ≤ totalTarget and cast back to BIGINT
+   * safely. Remaining bound: maxEpochs·size must fit int64 (size <
+   * 2^63/maxEpochs, ~2.3e18 tokens at the default 4 epochs). A zero-size
+   * group gets weight 0 / alloc 0 / epochs 0 (no division); a NEGATIVE size
+   * is corrupt input and fails the job with a named group in the error.
    * Scale shape: the window runs on the |groups|-row frame only.
    */
   def budgetAllocation(
@@ -140,15 +152,25 @@ object DatasetSplit {
     import org.apache.spark.sql.expressions.Window
     require(totalTarget > 0 && maxEpochs > 0)
     sizes
+      .withColumn("_size",
+        when(col(sizeCol).cast("long") >= 0, col(sizeCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"budgetAllocation: negative $sizeCol for group "),
+            col(groupCol).cast("string")))))
       .withColumn("weight_micro",
-        floor(sqrt(col(sizeCol).cast("double")) * 1e6).cast("long"))
+        floor(sqrt(col("_size").cast("double")) * 1e6).cast("long"))
       .withColumn("_wt", sum(col("weight_micro")).over(Window.partitionBy())) // tiny frame
-      .withColumn("raw_alloc", expr(s"CAST($totalTarget AS BIGINT) * weight_micro div _wt"))
-      .withColumn("alloc",
-        least(col("raw_alloc"), col(sizeCol).cast("long") * maxEpochs))
-      .withColumn("epochs_micro", expr(s"alloc * 1000000 div $sizeCol"))
+      .withColumn("raw_alloc",
+        when(col("_wt") > 0,
+          expr(s"CAST(CAST($totalTarget AS DECIMAL(38,0)) * weight_micro div _wt AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("alloc", least(col("raw_alloc"), col("_size") * maxEpochs))
+      .withColumn("epochs_micro",
+        when(col("_size") > 0,
+          expr("CAST(CAST(alloc AS DECIMAL(38,0)) * 1000000 div _size AS BIGINT)"))
+          .otherwise(lit(0L)))
       .withColumn("shortfall", col("raw_alloc") - col("alloc"))
-      .drop("_wt")
+      .drop("_wt", "_size")
   }
 
   /**

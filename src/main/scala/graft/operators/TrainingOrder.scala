@@ -149,8 +149,16 @@ object TrainingOrder {
   def lengthBucketBatches(
       df: DataFrame, idCol: String, weightCol: String, batchSize: Int): DataFrame = {
     require(batchSize > 0)
+    // bit-length bucketing is only meaningful for positive weights: 0 would
+    // share bucket 1 with weight 1 and a negative weight would land in
+    // bucket 64 (two's-complement bin), both silently violating the
+    // "<2× spread per bucket" padding bound — fail loudly instead.
     val b = df.select(col(idCol), col(weightCol).cast("long").as("weight"))
-      .withColumn("bucket", length(bin(col("weight"))).cast("long"))
+      .withColumn("bucket",
+        when(col("weight") > 0, length(bin(col("weight"))).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("lengthBucketBatches: non-positive weight for id "),
+            col(idCol).cast("string")))))
     val w = Window.partitionBy(col("bucket"))
       .orderBy(md5(concat_ws("_", col(idCol))), col(idCol))
     b.withColumn("_r", row_number().over(w).cast("long"))
