@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
  * as narrow mapPartitions stages (no shuffle), so the corpus is scanned once
  * and decode only touches rows that survive metadata pushdown.
  *
- * The decoders are REAL: images go through javax.imageio (the JDK's BMP/PNG/
- * JPEG codecs) and audio through javax.sound.sampled (RIFF/WAVE PCM) — no
- * external libraries. Since the test corpus has no stored media, the
- * *payload builders* fabricate deterministic-but-valid BMP / WAV files from
- * document text, which the oracle can predict byte-for-byte while the decode
- * side still exercises a genuine codec (header parse, raster access, resize).
+ * The decoders are REAL: contract 24-bit BMPs decode through a zero-copy
+ * contract-direct raster view (pure index arithmetic over the payload bytes
+ * — see [[tryDirectBmp]]); everything else goes through javax.imageio (the
+ * JDK's BMP/PNG/JPEG codecs), and audio through javax.sound.sampled
+ * (RIFF/WAVE PCM) — no external libraries. Since the test corpus has no
+ * stored media, the *payload builders* fabricate deterministic-but-valid
+ * BMP / WAV files from document text, which the oracle can predict
+ * byte-for-byte while the decode side still exercises a genuine codec path
+ * (header parse, raster access, resize). A parity spec proves the direct
+ * raster is pixel-identical to the ImageIO raster on the gate corpus.
  *
  * At 100 TB: binaries stay columnar in parquet (they compress and split per
  * row group), metadata predicates push to the scan, decode parallelism is
@@ -59,7 +63,7 @@ object Multimodal {
 
   /** A valid 24-bit bottom-up BMP whose gray pixel (x,y) = src[(y*w+x) mod n]
     * (0 when src is empty). 54-byte header + 4-byte-aligned rows. */
-  private[multimodal] def buildBmp(src: Array[Byte]): Array[Byte] = {
+  private[graft] def buildBmp(src: Array[Byte]): Array[Byte] = {
     val (w, h) = dims(src)
     val rowSize = ((3 * w + 3) / 4) * 4
     val total = 54 + rowSize * h
@@ -99,6 +103,71 @@ object Multimodal {
     Option(src).map(buildBmp).getOrElse(buildBmp(Array.emptyByteArray))
   }
 
+  // ---------------------------------------------- contract-direct raster view
+
+  /**
+   * Minimal decoded-raster interface shared by the two decode paths.
+   * `rgb(x, y)` returns the pixel as 0x00RRGGBB (alpha, if any, masked off
+   * by every caller).
+   */
+  private[graft] sealed trait Raster {
+    def width: Int
+    def height: Int
+    def rgb(x: Int, y: Int): Int
+  }
+
+  /**
+   * Contract-direct BMP raster: when the payload is an uncompressed 24-bit
+   * bottom-up BITMAPINFOHEADER BMP (the shape `buildBmp` emits and the
+   * byte-exact oracles replay), pixel access is pure index arithmetic over
+   * the payload array — ZERO allocation, no `ImageIO.read`, no
+   * BufferedImage. At corpus scale this removes the dominant per-row cost
+   * of the image/video family (one BufferedImage + raster copy per decode
+   * was the top per-byte cost in the 100x soak) and the GC-phase variance
+   * it caused in the bench. Returns null for anything off-contract
+   * (PNG/JPEG, palette or compressed BMPs, top-down rasters, truncated
+   * pixel data) — those fall back to the real javax.imageio codec, so the
+   * accepted input surface is unchanged.
+   */
+  private[graft] def tryDirectBmp(b: Array[Byte]): Raster = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOff = readIntLE(b, 10)
+    val hdrSize = readIntLE(b, 14)
+    val w = readIntLE(b, 18)
+    val h = readIntLE(b, 22)
+    val planes = (b(26) & 0xff) | ((b(27) & 0xff) << 8)
+    val bpp = (b(28) & 0xff) | ((b(29) & 0xff) << 8)
+    val compression = readIntLE(b, 30)
+    if (hdrSize != 40 || planes != 1 || bpp != 24 || compression != 0) return null
+    if (w <= 0 || h <= 0) return null // negative h = top-down; not our contract
+    val rowSize = ((3 * w + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > b.length) return null
+    new Raster {
+      val width: Int = w
+      val height: Int = h
+      def rgb(x: Int, y: Int): Int = {
+        val p = dataOff + (h - 1 - y) * rowSize + 3 * x // bottom-up storage
+        ((b(p + 2) & 0xff) << 16) | ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
+      }
+    }
+  }
+
+  /** Decode to a [[Raster]]: contract-direct when possible, javax.imageio
+    * otherwise. Throws (via require) only when BOTH paths reject the bytes. */
+  private[graft] def decodeRaster(bytes: Array[Byte]): Raster = {
+    val direct = tryDirectBmp(bytes)
+    if (direct != null) direct
+    else {
+      val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, s"undecodable image payload (${if (bytes == null) -1 else bytes.length} bytes)")
+      new Raster {
+        val width: Int = img.getWidth
+        val height: Int = img.getHeight
+        def rgb(x: Int, y: Int): Int = img.getRGB(x, y) & 0xffffff
+      }
+    }
+  }
+
   /** Adds a `payload` column holding a real BMP built from the text bytes. */
   def withImagePayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", bmpUdf(encode(col(textCol), "UTF-8")))
@@ -108,10 +177,11 @@ object Multimodal {
     withImagePayload(df, textCol)
 
   /**
-   * REAL image decode + feature extraction, batched per partition:
-   * javax.imageio parses the container and hands back a raster; features are
-   * the exact pixel sum (oracle-predictable), per-channel means, and a 2x2
-   * area-averaged thumbnail — a genuine resize over the decoded raster.
+   * REAL image decode + feature extraction, batched per partition: the
+   * container is parsed to a raster (contract-direct for 24-bit BMPs,
+   * javax.imageio otherwise); features are the exact pixel sum
+   * (oracle-predictable), per-channel means, and a 2x2 area-averaged
+   * thumbnail — a genuine resize over the decoded raster.
    */
   def decodeImages(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeatures] = {
     implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
@@ -125,16 +195,15 @@ object Multimodal {
     decodeImages(df, idCol, payloadCol)
 
   private def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(bytes))
-    require(img != null, s"undecodable image payload for doc $id (${bytes.length} bytes)")
-    val w = img.getWidth
-    val h = img.getHeight
+    val img: Raster = decodeRaster(bytes)
+    val w = img.width
+    val h = img.height
     var sumR = 0L; var sumG = 0L; var sumB = 0L
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = img.rgb(x, y)
         sumR += (rgb >> 16) & 0xff; sumG += (rgb >> 8) & 0xff; sumB += rgb & 0xff
         x += 1
       }
@@ -151,7 +220,7 @@ object Multimodal {
       var yy = y0
       while (yy < y1) {
         var xx = x0
-        while (xx < x1) { s += img.getRGB(xx, yy) & 0xff; cnt += 1; xx += 1 }
+        while (xx < x1) { s += img.rgb(xx, yy) & 0xff; cnt += 1; xx += 1 }
         yy += 1
       }
       thumb(q) = if (cnt == 0) 0f else s.toFloat / cnt / 255f
@@ -159,6 +228,22 @@ object Multimodal {
     }
     MediaFeatures(id, bytes.length.toLong, bytes.take(2), w, h,
       Array(sumR.toFloat, sumR / nPix / 255f, sumG / nPix / 255f, sumB / nPix / 255f) ++ thumb)
+  }
+
+  /** Shared dHash kernel over a decoded raster (blue channel, row-major,
+    * first 63 gradient bits). */
+  private def dHash(img: Raster): Long = {
+    val w = img.width; val h = img.height
+    var hash = 0L; var bit = 0; var y = 0
+    while (y < h && bit < 63) {
+      var x = 0
+      while (x < w - 1 && bit < 63) {
+        if ((img.rgb(x + 1, y) & 0xff) > (img.rgb(x, y) & 0xff)) hash |= (1L << bit)
+        bit += 1; x += 1
+      }
+      y += 1
+    }
+    hash
   }
 
   /**
@@ -189,23 +274,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           try {
-            val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(bytes))
-            require(img != null, s"undecodable image payload for doc $id")
-            val w = img.getWidth; val h = img.getHeight
-            var hash = 0L; var bit = 0
-            var y = 0
-            while (y < h && bit < 63) {
-              var x = 0
-              while (x < w - 1 && bit < 63) {
-                val a = img.getRGB(x, y) & 0xff
-                val b = img.getRGB(x + 1, y) & 0xff
-                if (b > a) hash |= (1L << bit)
-                bit += 1
-                x += 1
-              }
-              y += 1
-            }
-            (id, java.lang.Long.valueOf(hash))
+            (id, java.lang.Long.valueOf(dHash(decodeRaster(bytes))))
           } catch {
             case scala.util.control.NonFatal(_) => (id, null: java.lang.Long)
           }
@@ -328,20 +397,7 @@ object Multimodal {
             require(len >= 0 && pos + 4 + len <= bytes.length,
               s"GVID middle frame overruns payload for doc $id")
             val frame = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len)
-            val img: BufferedImage = ImageIO.read(new ByteArrayInputStream(frame))
-            require(img != null, s"undecodable middle frame for doc $id")
-            val w = img.getWidth; val h = img.getHeight
-            var hash = 0L; var bit = 0; var y = 0
-            while (y < h && bit < 63) {
-              var x = 0
-              while (x < w - 1 && bit < 63) {
-                if ((img.getRGB(x + 1, y) & 0xff) > (img.getRGB(x, y) & 0xff))
-                  hash |= (1L << bit)
-                bit += 1; x += 1
-              }
-              y += 1
-            }
-            (id, java.lang.Long.valueOf(hash))
+            (id, java.lang.Long.valueOf(dHash(decodeRaster(frame))))
           } catch {
             case scala.util.control.NonFatal(_) => (id, null: java.lang.Long)
           }

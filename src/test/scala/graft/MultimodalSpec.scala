@@ -174,4 +174,49 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(af(1L).isDefined && af(2L).isEmpty, af.toString)
   }
+
+  test("contract-direct BMP raster is pixel-identical to the ImageIO raster") {
+    // the gate-corpus payload shapes: short, empty, multibyte-UTF-8-leading,
+    // single-char, and long-enough-to-wrap sources
+    val srcs = Seq(
+      "hello world", "", "中文 multibyte first char", "x",
+      "a longer document with enough bytes to fill an 11x11 raster and wrap around its source several times over"
+    ).map(_.getBytes("UTF-8"))
+    srcs.foreach { src =>
+      val bmp = Multimodal.buildBmp(src)
+      val direct = Multimodal.tryDirectBmp(bmp)
+      assert(direct != null, "gate-corpus BMP must take the contract-direct path")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      assert(direct.width == img.getWidth && direct.height == img.getHeight)
+      for (y <- 0 until direct.height; x <- 0 until direct.width)
+        assert(direct.rgb(x, y) == (img.getRGB(x, y) & 0xffffff),
+          s"pixel ($x,$y) differs for src of ${src.length} bytes")
+    }
+  }
+
+  test("off-contract containers fall back to ImageIO and hash identically") {
+    import spark.implicits._
+    // re-encode a contract BMP as PNG: same raster, different container —
+    // must reject the direct path, decode via ImageIO, and produce the SAME
+    // perceptual hash (raster-keyed, container-invariant)
+    val src = "fallback please".getBytes("UTF-8")
+    val bmp = Multimodal.buildBmp(src)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    assert(Multimodal.tryDirectBmp(png) == null, "PNG must not take the direct path")
+    // header mutations that break the contract must also fall back, not misread:
+    // top-down height, 32-bpp claim, compressed claim, truncated pixel data
+    def mut(f: Array[Byte] => Unit): Array[Byte] = { val c = bmp.clone(); f(c); c }
+    assert(Multimodal.tryDirectBmp(mut(b => { b(22) = (-b(22)).toByte; b(23) = -1; b(24) = -1; b(25) = -1 })) == null)
+    assert(Multimodal.tryDirectBmp(mut(b => b(28) = 32)) == null)
+    assert(Multimodal.tryDirectBmp(mut(b => b(30) = 1)) == null)
+    assert(Multimodal.tryDirectBmp(java.util.Arrays.copyOf(bmp, bmp.length - 1)) == null)
+
+    val df = Seq((1L, bmp), (2L, png)).toDF("doc_id", "payload")
+    val hashes = Multimodal.perceptualHash(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L), "dHash must be container-invariant across the two decode paths")
+  }
 }
