@@ -465,3 +465,44 @@ def budget_allocation(sizes, group_col, size_col, total_target, max_epochs):
     m = _module(sizes.sparkSession, "graft.operators.DatasetSplit$")
     return _wrap(sizes, m.budgetAllocation(sizes._jdf, group_col, size_col,
                                            total_target, max_epochs))
+
+
+def funnel(events, user_col, type_col, ts_col, stages):
+    """Ordered funnel conversion by first-occurrence times: one row with
+    n_users and reached_1..reached_n counts (stage k reached when every
+    earlier stage's first occurrence is no later)."""
+    m = _module(events.sparkSession, "graft.operators.EventAnalytics$")
+    return _wrap(events, m.funnel(events._jdf, user_col, type_col, ts_col,
+                                  _str_seq(events, list(stages))))
+
+
+def retention(events, user_col, ts_col):
+    """Weekly cohort retention triangle: (cohort_week, week_offset, n_users)
+    with cohort = week of the user's first event."""
+    m = _module(events.sparkSession, "graft.operators.EventAnalytics$")
+    return _wrap(events, m.retention(events._jdf, user_col, ts_col))
+
+
+def containment_pairs(df, id_col, text_col, shingle_size, max_doc_freq,
+                      min_shared, threshold):
+    """Excerpt/quote containment dedup: rare-shingle inverted index
+    candidates (doc-freq capped), exact containment ratio >= threshold."""
+    m = _module(df.sparkSession, "graft.dedup.ContainmentIndex$")
+    return _wrap(df, m.excerptPairs(df._jdf, id_col, text_col, shingle_size,
+                                    max_doc_freq, min_shared, float(threshold)))
+
+
+def train_subword_vocab(df, text_col, max_len, vocab_size, min_count):
+    """Corpus-trained subword vocabulary: top char grams (len 2..max_len) by
+    (count desc, gram asc) above min_count — the tokenizer model."""
+    m = _module(df.sparkSession, "graft.text.SubwordTokenizer$")
+    return _wrap(df, m.trainVocab(df._jdf, text_col, max_len, vocab_size,
+                                  min_count))
+
+
+def subword_token_counts(df, text_col, vocab, max_len, out_col):
+    """Tokenizer-faithful token counting: greedy longest-prefix segmentation
+    against a trained vocab; appends the per-row subword count as out_col."""
+    m = _module(df.sparkSession, "graft.text.SubwordTokenizer$")
+    k = m.kernel(vocab._jdf, max_len)
+    return _wrap(df, m.withSubwordCount(df._jdf, text_col, k, out_col))

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.EventAnalytics
+
 /**
  * Round-7 wave 2: the event-analytics pair every large-scale telemetry
  * pipeline runs next to its windowed aggs — ordered funnel conversion and
@@ -28,44 +30,22 @@ object EventQueries {
       // user's first S_k is no earlier than their first S_{k-1}, and every
       // earlier stage was reached). ONE aggregation shuffle on user_id with
       // map-side partial min's; the stage fold is a projection; the final
-      // count is a 1-row global agg.
-      val ev = events(s, dir)
-      def firstOf(tp: String) = min(when(col("event_type") === tp, col("ts")))
-      val firsts = ev.groupBy(col("user_id")).agg(
-        firstOf("signup").as("t1"), firstOf("view").as("t2"),
-        firstOf("click").as("t3"), firstOf("purchase").as("t4"))
-      val full = firsts.select(
-        when(col("t1").isNotNull, 1L).otherwise(0L).as("s1"),
-        when(col("t1").isNotNull && col("t2").isNotNull && col("t2") >= col("t1"),
-          1L).otherwise(0L).as("s2"),
-        when(col("t1").isNotNull && col("t2").isNotNull && col("t2") >= col("t1") &&
-          col("t3").isNotNull && col("t3") >= col("t2"), 1L).otherwise(0L).as("s3"),
-        when(col("t1").isNotNull && col("t2").isNotNull && col("t2") >= col("t1") &&
-          col("t3").isNotNull && col("t3") >= col("t2") &&
-          col("t4").isNotNull && col("t4") >= col("t3"), 1L).otherwise(0L).as("s4"))
-      full.agg(
-          count(lit(1)).as("n_users"),
-          sum(col("s1")).as("n_signup"),
-          sum(col("s2")).as("n_viewed"),
-          sum(col("s3")).as("n_clicked"),
-          sum(col("s4")).as("n_purchased"))
+      // count is a 1-row global agg. Streaming twin: EventStreams
+      // .funnelStages (bounded per-user state, StreamingEventParitySpec).
+      EventAnalytics.funnel(events(s, dir), "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase"))
+        .select(col("n_users"),
+          col("reached_1").as("n_signup"), col("reached_2").as("n_viewed"),
+          col("reached_3").as("n_clicked"), col("reached_4").as("n_purchased"))
     }),
 
     "q_retention" -> ((s, dir) => {
       // weekly cohort retention triangle: cohort = ISO week of the user's
       // first event; n_users = distinct users from that cohort active k
       // weeks later. Two shuffles (first-event agg, cohort-cell distinct) —
-      // the standard co-partitioned shape; no window, no sort.
-      val ev = events(s, dir).select(col("user_id"), col("ts"))
-      val firsts = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
-      ev.join(firsts, Seq("user_id"))
-        .select(col("user_id"),
-          date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
-          expr("CAST(datediff(CAST(ts AS DATE), CAST(first_ts AS DATE)) div 7 AS BIGINT)")
-            .as("week_offset"))
-        .groupBy(col("cohort_week"), col("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("cohort_week"), col("week_offset"))
+      // the standard co-partitioned shape; no window, no sort. Streaming
+      // twin: EventStreams.retentionCells (one long of state per user).
+      EventAnalytics.retention(events(s, dir), "user_id", "ts")
     })
   )
 

@@ -54,7 +54,12 @@ object Soak {
       "q_chunk",
       // round 7: the remaining assembly operators — greedy shard packing
       // (one window shuffle per group set) and the one-pass curation funnel
-      "q_pack_shards", "q_curation_funnel")
+      "q_pack_shards", "q_curation_funnel",
+      // round 8: the event pair (one and two co-partitioned agg shuffles),
+      // the rare-shingle containment index (maxDocFreq must bound the
+      // candidate join's fan-out as the corpus grows), and the subword
+      // tokenizer (train = count + top-k; apply = broadcast-kernel scan)
+      "q_funnel", "q_retention", "q_containment", "q_bpe_tokens")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,97 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming twins of the event-analytics pair (q_funnel / q_retention).
+ * Both carry BOUNDED per-user state across micro-batches — a fixed handful
+ * of longs per user, never event history — so state size scales with the
+ * user population, not the event volume.
+ *
+ *  - Funnel: state = first-occurrence millis per stage (one long per
+ *    stage). Each micro-batch folds its events into the mins and emits the
+ *    user's current consecutive-stage reach; in update mode the LATEST row
+ *    per user is the live funnel position, and the batch fold over a single
+ *    micro-batch reproduces q_funnel exactly (min is commutative, so
+ *    in-batch arrival order never matters).
+ *
+ *  - Retention: state = first-event millis. Each event is emitted tagged
+ *    with the user's running first_ts; the cohort/offset date arithmetic
+ *    stays in DataFrame-land (the exact q_retention column expressions), so
+ *    batch and stream share one formulation. Event-time-ordered delivery
+ *    per user (the watermarked shape) makes the running min the true min —
+ *    the same assumption every first-touch streaming attribution makes.
+ */
+object EventStreams {
+
+  private val None_ = Long.MaxValue
+
+  /**
+   * Per-user consecutive-stage funnel reach as a stream: emits
+   * (user_id, reached) per user per micro-batch, where reached = largest k
+   * such that every stage 1..k has occurred and each first occurrence is no
+   * earlier than the previous stage's (q_funnel's loose-ordered
+   * definition). State: stages.length longs per user.
+   */
+  def funnelStages(
+      df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val stageIdx = stages.zipWithIndex.toMap
+    val n = stages.length
+    implicit val rowEnc = Encoders.row(df.schema)
+    implicit val strEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    implicit val outEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    df.groupByKey((r: Row) => String.valueOf(r.getAs[Any](userCol)))
+      .flatMapGroupsWithState[Array[Long], (String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          val firsts = state.getOption.getOrElse(Array.fill(n)(None_))
+          rows.foreach { r =>
+            stageIdx.get(String.valueOf(r.getAs[Any](typeCol))).foreach { i =>
+              val t = r.getAs[Timestamp](tsCol).getTime
+              if (t < firsts(i)) firsts(i) = t
+            }
+          }
+          state.update(firsts)
+          var reached = 0L
+          var prev = Long.MinValue
+          var k = 0
+          while (k < n && firsts(k) != None_ && firsts(k) >= prev) {
+            reached += 1; prev = firsts(k); k += 1
+          }
+          Iterator((user, reached))
+      }
+      .toDF(userCol, "reached")
+  }
+
+  /**
+   * Retention cells as a stream: each event rides out tagged with the
+   * user's running first-event timestamp — (user_id, ts, first_ts) — ready
+   * for the exact q_retention cohort/offset expressions. State: one long
+   * per user.
+   */
+  def retentionCells(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    implicit val rowEnc = Encoders.row(df.schema)
+    implicit val strEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.scalaLong
+    implicit val outEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, Encoders.TIMESTAMP)
+    df.groupByKey((r: Row) => String.valueOf(r.getAs[Any](userCol)))
+      .flatMapGroupsWithState[Long, (String, Timestamp, Timestamp)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          val batch = rows.map(_.getAs[Timestamp](tsCol)).toVector
+          val batchMin = batch.map(_.getTime).min
+          val first = math.min(state.getOption.getOrElse(None_), batchMin)
+          state.update(first)
+          val firstTs = new Timestamp(first)
+          batch.iterator.map(t => (user, t, firstTs))
+      }
+      .toDF(userCol, tsCol, "first_ts")
+  }
+}

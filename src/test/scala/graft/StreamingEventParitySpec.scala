@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.operators.EventStreams
+
+/**
+ * Batch ≡ streaming for the event-analytics pair: the funnel's
+ * first-occurrence mins and the retention cohort's first-event min are both
+ * commutative folds, so the stateful streaming twins must land on exactly
+ * the batch answer once all events have been fed — across micro-batch
+ * boundaries, with bounded per-user state (a handful of longs).
+ */
+class StreamingEventParitySpec extends AnyFunSuite with SparkTestSession {
+
+  private val base = 1700000000000L
+  private def ts(min: Long): Timestamp = new Timestamp(base + min * 60000L)
+
+  private val stages = Seq("signup", "view", "click", "purchase")
+
+  // u1 converts fully in order; u2 viewed before signup (stops at stage 1);
+  // u3 signs up then clicks without a view (stops at 2); u4 never signs up
+  private val rows = Seq(
+    ("u1", 0L, "signup"), ("u1", 10L, "view"), ("u1", 20L, "click"),
+    ("u1", 30L, "purchase"),
+    ("u2", 5L, "view"), ("u2", 8L, "signup"), ("u2", 50L, "click"),
+    ("u3", 2L, "signup"), ("u3", 7L, "view"), ("u3", 6L, "click"),
+    ("u3", 4L, "purchase"),
+    ("u4", 9L, "view"), ("u4", 11L, "purchase")
+  ).map { case (u, m, et) => (u, ts(m), et) }
+
+  test("funnel: streaming stage reach equals the batch first-occurrence fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // batch expectation via the q_funnel fold
+    def firstOf(tp: String) = min(when(col("event_type") === tp, col("ts")))
+    val batch = rows.toDF("user_id", "ts", "event_type")
+      .groupBy(col("user_id"))
+      .agg(firstOf("signup").as("t1"), firstOf("view").as("t2"),
+        firstOf("click").as("t3"), firstOf("purchase").as("t4"))
+      .select(col("user_id"),
+        (when(col("t1").isNotNull, 1L).otherwise(0L) +
+         when(col("t1").isNotNull && col("t2").isNotNull && col("t2") >= col("t1"), 1L).otherwise(0L) +
+         when(col("t1").isNotNull && col("t2").isNotNull && col("t2") >= col("t1") &&
+           col("t3").isNotNull && col("t3") >= col("t2"), 1L).otherwise(0L) +
+         when(col("t1").isNotNull && col("t2").isNotNull && col("t2") >= col("t1") &&
+           col("t3").isNotNull && col("t3") >= col("t2") &&
+           col("t4").isNotNull && col("t4") >= col("t3"), 1L).otherwise(0L)).as("reached"))
+      .as[(String, Long)].collect().toMap
+
+    // streaming: split mid-user, mid-stage — u1's purchase and u2's click
+    // arrive in the second micro-batch
+    val (b1, b2) = rows.partition(_._2.getTime <= ts(20).getTime)
+    val stream = MemoryStream[(String, Timestamp, String)]
+    val sq = EventStreams.funnelStages(
+        stream.toDS().toDF("user_id", "ts", "event_type"),
+        "user_id", "event_type", "ts", stages)
+      .writeStream.format("memory").queryName("funnel_parity")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1); sq.processAllAvailable()
+      stream.addData(b2); sq.processAllAvailable()
+      // last emitted row per user is the live funnel position
+      val got = spark.table("funnel_parity")
+        .withColumn("_n", monotonically_increasing_id())
+        .orderBy(col("_n").desc).select("user_id", "reached")
+        .as[(String, Long)].collect()
+        .groupBy(_._1).map { case (u, v) => u -> v.head._2 }
+      assert(got == batch, s"stream $got vs batch $batch")
+      // and the spot meanings hold
+      assert(batch("u1") == 4L && batch("u2") == 1L && batch("u3") == 2L && batch("u4") == 0L)
+    } finally sq.stop()
+  }
+
+  test("retention: streaming first-ts tagging reproduces the batch cohort cells") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // spread events across weeks so multiple cohort cells appear
+    val rrows = Seq(
+      ("a", 0L), ("a", 7L * 1440 + 5L), ("a", 15L * 1440),
+      ("b", 3L * 1440), ("b", 10L * 1440), ("b", 3L * 1440 + 30L),
+      ("c", 20L * 1440)
+    ).map { case (u, m) => (u, ts(m)) }
+
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        expr("CAST(datediff(CAST(ts AS DATE), CAST(first_ts AS DATE)) div 7 AS BIGINT)")
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .as[(java.sql.Date, Long, Long)].collect().sortBy(r => (r._1.getTime, r._2))
+
+    val batchDf = rrows.toDF("user_id", "ts")
+    val firsts = batchDf.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    val batch = cells(batchDf.join(firsts, Seq("user_id")))
+
+    // streaming: feed in event-time order (the watermarked shape), split so
+    // users a and b both span the micro-batch boundary
+    val ordered = rrows.sortBy(_._2.getTime)
+    val (b1, b2) = ordered.partition(_._2.getTime <= ts(7L * 1440).getTime)
+    val stream = MemoryStream[(String, Timestamp)]
+    val sq = EventStreams.retentionCells(
+        stream.toDS().toDF("user_id", "ts"), "user_id", "ts")
+      .writeStream.format("memory").queryName("retention_parity")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1); sq.processAllAvailable()
+      stream.addData(b2); sq.processAllAvailable()
+      val got = cells(spark.table("retention_parity"))
+      assert(got.toSeq == batch.toSeq, s"stream ${got.toSeq} vs batch ${batch.toSeq}")
+    } finally sq.stop()
+  }
+}

@@ -326,3 +326,49 @@ ba = budget_allocation(sizes, "level", "n", 1000, 4)
 assert ba.count() == 3 and "shortfall" in ba.columns and "epochs_micro" in ba.columns
 print("PASS budget_allocation")
 spark.stop()
+
+# round 8: event analytics, containment, subword tokenizer wrappers
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+
+ev = spark.createDataFrame(
+    [("u1", "signup", 1000), ("u1", "view", 2000), ("u1", "click", 3000),
+     ("u2", "view", 1500), ("u2", "signup", 2500),
+     ("u3", "signup", 100)],
+    "user_id string, event_type string, ms long") \
+    .selectExpr("user_id", "event_type", "timestamp_millis(ms) AS ts")
+
+from graft import funnel, retention
+fu = funnel(ev, "user_id", "event_type", "ts", ["signup", "view", "click"])
+row = fu.collect()[0]
+assert row["n_users"] == 3 and row["reached_1"] == 3 and row["reached_2"] == 1 \
+    and row["reached_3"] == 1, row
+print("PASS funnel")
+
+re_ = retention(ev, "user_id", "ts")
+assert re_.count() >= 1 and set(re_.columns) == {"cohort_week", "week_offset", "n_users"}
+print("PASS retention")
+
+docs9 = spark.createDataFrame(
+    [(1, "the quick brown fox jumps over the lazy dog"),
+     (2, "the quick brown fox jumps over the lazy dog again and again"),
+     (3, "pack my box with five dozen liquor jugs"),
+     (4, "completely unrelated content that shares nothing with before")],
+    "doc_id long, text string")
+
+from graft import containment_pairs
+cp = containment_pairs(
+    docs9.unionAll(docs9.selectExpr("doc_id + 100 AS doc_id", "substring(text, 1, 28) AS text")),
+    "doc_id", "text", 2, 8, 2, 0.8)
+assert set(cp.columns) == {"a", "b", "n_shared", "containment"}
+print("PASS containment_pairs:", cp.count(), "pairs")
+
+from graft import train_subword_vocab, subword_token_counts
+vocab = train_subword_vocab(docs9, "text", 4, 64, 2)
+assert set(vocab.columns) == {"gram", "cnt"} and vocab.count() > 0
+sc = subword_token_counts(docs9, "text", vocab, 4, "n_subwords")
+rows = {r["doc_id"]: r["n_subwords"] for r in sc.collect()}
+assert all(v > 0 for v in rows.values()), rows
+print("PASS subword tokenizer:", vocab.count(), "grams")
+spark.stop()
+print("PASS: round-8 wrappers (funnel/retention/containment/subword)")
