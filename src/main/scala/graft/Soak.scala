@@ -59,7 +59,10 @@ object Soak {
       // the rare-shingle containment index (maxDocFreq must bound the
       // candidate join's fan-out as the corpus grows), and the subword
       // tokenizer (train = count + top-k; apply = broadcast-kernel scan)
-      "q_funnel", "q_retention", "q_containment", "q_bpe_tokens")
+      "q_funnel", "q_retention", "q_containment", "q_bpe_tokens",
+      // real BPE: k pair-count shuffles over the DISTINCT-WORD table (must
+      // scale with vocabulary growth, sublinear in corpus) + the join-back
+      "q_bpe_segment")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.DatasetSplit
-import graft.text.{SubwordTokenizer, TextFunctions}
+import graft.text.{BpeTrainer, SubwordTokenizer, TextFunctions}
 
 /**
  * Round-8 wave: tokenizer-faithful token counting. Every budget / packing /
@@ -28,6 +28,8 @@ object TokenizerQueries {
   private val MaxLen = 4
   private val VocabSize = 256
   private val MinCount = 5L
+  private val BpeMerges = 8
+  private val BpeMinPair = 2L
 
   // =================================================================== queries
 
@@ -80,6 +82,34 @@ object TokenizerQueries {
         .select(col("lang"), col("n_tokens"), col("n_docs"), col("weight_micro"),
           col("raw_alloc"), col("alloc"), col("epochs_micro"), col("shortfall"))
         .orderBy(col("lang"))
+    }),
+
+    "q_bpe_train" -> ((s, dir) => {
+      // REAL distributed BPE training (Sennrich et al. 2016): 8 merges
+      // learned at the word-frequency table — per merge one pair-count
+      // shuffle + a 1-row argmax fetch + a map-side fold apply. The
+      // learned merge table IS the output (the auditable tokenizer
+      // artifact); the oracle replays all 8 stages including the
+      // tie-broken argmax and the positional merge walk.
+      val (merges, words) = BpeTrainer.train(
+        t(s, dir, "documents"), "text", BpeMerges, BpeMinPair)
+      words.unpersist()
+      import s.implicits._
+      merges.map(m => (m.step.toLong, m.left, m.right, m.merged, m.pairCount))
+        .toDF("step", "lft", "rgt", "merged", "pair_count")
+        .orderBy(col("step"))
+    }),
+
+    "q_bpe_segment" -> ((s, dir) => {
+      // per-doc token counts under the TRAINED BPE (8 merges applied):
+      // the word table carries the final tokenization, docs' words join it
+      // co-partitioned (the word table is data-sized — never broadcast by
+      // assumption) and per-doc sums ride one agg shuffle.
+      val docs = t(s, dir, "documents")
+      val (_, words) = BpeTrainer.train(docs, "text", BpeMerges, BpeMinPair)
+      val out = BpeTrainer.segmentCounts(docs, "doc_id", "text", words)
+        .orderBy(col("doc_id"))
+      out
     })
   )
 
@@ -125,6 +155,55 @@ object TokenizerQueries {
        |dw AS (SELECT doc_id, unnest(toks) AS w FROM d),
        |agg AS (SELECT doc_id, CAST(sum(c.cnt) AS BIGINT) AS n_subwords
        |        FROM dw JOIN wcnt c USING (w) GROUP BY doc_id)""".stripMargin
+
+  /**
+   * BPE-training replay: `BpeMerges` unrolled stages, each = weighted
+   * adjacent-pair count → tie-broken argmax → per-word recursive positional
+   * merge walk (provably equal to the Scala fold: a freshly merged token
+   * never equals `lft` again, so greedy left-to-right non-overlap is the
+   * same walk). Non-recursive CTEs are MATERIALIZED — DuckDB inlines CTEs
+   * by default and the stage chain would otherwise re-expand exponentially.
+   */
+  private def bpeReplay: String = {
+    val stages = (0 until BpeMerges).map { s =>
+      s"""p$s AS MATERIALIZED (
+         |  SELECT toks[CAST(i AS INTEGER)] AS lft, toks[CAST(i AS INTEGER)+1] AS rgt,
+         |    CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM words$s, unnest(range(1, len(toks))) AS t(i)
+         |  GROUP BY 1, 2 HAVING sum(cnt) >= $BpeMinPair
+         |),
+         |best$s AS MATERIALIZED (
+         |  SELECT lft, rgt, lft || rgt AS merged, c FROM p$s
+         |  ORDER BY c DESC, lft ASC, rgt ASC LIMIT 1
+         |),
+         |walk$s AS (
+         |  SELECT w, cnt, toks, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS out
+         |  FROM words$s
+         |  UNION ALL
+         |  SELECT w, cnt, toks,
+         |    CASE WHEN pos < len(toks)
+         |          AND toks[CAST(pos AS INTEGER)] = (SELECT lft FROM best$s)
+         |          AND toks[CAST(pos AS INTEGER)+1] = (SELECT rgt FROM best$s)
+         |         THEN pos + 2 ELSE pos + 1 END,
+         |    CASE WHEN pos < len(toks)
+         |          AND toks[CAST(pos AS INTEGER)] = (SELECT lft FROM best$s)
+         |          AND toks[CAST(pos AS INTEGER)+1] = (SELECT rgt FROM best$s)
+         |         THEN list_append(out, (SELECT merged FROM best$s))
+         |         ELSE list_append(out, toks[CAST(pos AS INTEGER)]) END
+         |  FROM walk$s WHERE pos <= len(toks)
+         |),
+         |words${s + 1} AS MATERIALIZED (
+         |  SELECT w, cnt, out AS toks FROM walk$s WHERE pos > len(toks))""".stripMargin
+    }
+    s"""w0_raw AS MATERIALIZED (SELECT unnest(${duckToks()}) AS w FROM documents),
+       |words0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+       |    list_transform(range(1, len(w) + 1),
+       |      i -> substring(w, CAST(i AS INTEGER), 1)) AS toks
+       |  FROM w0_raw GROUP BY w
+       |),
+       |${stages.mkString(",\n")}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -179,6 +258,28 @@ object TokenizerQueries {
          |    THEN (least(raw_alloc, n_tokens * 4) * 1000000) // n_tokens
          |    ELSE 0 END AS BIGINT) AS epochs_micro,
          |  CAST(raw_alloc - least(raw_alloc, n_tokens * 4) AS BIGINT) AS shortfall
-         |FROM al ORDER BY lang""".stripMargin
+         |FROM al ORDER BY lang""".stripMargin,
+
+    "q_bpe_train" -> {
+      val union = (0 until BpeMerges).map(s =>
+        s"SELECT CAST(${s + 1} AS BIGINT) AS step, lft, rgt, merged, c AS pair_count FROM best$s")
+        .mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE
+         |$bpeReplay
+         |SELECT * FROM (
+         |$union
+         |) ORDER BY step""".stripMargin
+    },
+
+    "q_bpe_segment" ->
+      s"""WITH RECURSIVE
+         |$bpeReplay,
+         |d AS (SELECT doc_id, ${duckToks()} AS toks FROM documents),
+         |dw AS (SELECT doc_id, unnest(toks) AS w FROM d),
+         |lens AS (SELECT w, CAST(len(toks) AS BIGINT) AS n FROM words$BpeMerges)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN lens USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

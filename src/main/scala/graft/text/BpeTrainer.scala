@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed BPE training — the real iterative merge-learning algorithm
+ * (Sennrich et al. 2016), run at the word-frequency table like every
+ * production BPE trainer: tokenization state lives on the DISTINCT words
+ * (weighted by corpus frequency), so per-merge cost scales with the word
+ * vocabulary, never the corpus. Each merge step is
+ *
+ *   1. one aggregation shuffle: adjacent-pair counts weighted by word
+ *      frequency (map-side partial agg),
+ *   2. a 1-ROW driver fetch: the argmax pair, ties broken (count desc,
+ *      left asc, right asc) so the learned merge table is deterministic,
+ *   3. a map-side merge apply: greedy left-to-right non-overlapping
+ *      replacement as a left fold (`aggregate`) over each word's token
+ *      array — "merge with the accumulator's last token when it equals
+ *      `left` and the current equals `right`" is exactly the positional
+ *      walk (a freshly merged token can never equal `left` again because
+ *      merged = left||right and right is nonempty).
+ *
+ * At 100 TB: the corpus is scanned ONCE (word counting); the k merge
+ * iterations touch only the word table (~1e7-1e8 rows at web scale) with
+ * one shuffle each, and the driver holds k merge rows — never a count
+ * table. The DuckDB oracle replays every stage exactly: weighted pair
+ * counts, the tie-broken argmax, and a per-word recursive positional walk
+ * for the apply.
+ */
+object BpeTrainer {
+
+  /** One learned merge. */
+  final case class Merge(step: Int, left: String, right: String, merged: String, pairCount: Long)
+
+  /** Greedy left-to-right non-overlapping application of one merge to a
+    * token-array column (the BPE apply step as a pure fold — no UDF). */
+  def applyMerge(toks: Column, left: String, right: String): Column = {
+    val merged = left + right
+    aggregate(toks, array().cast("array<string>"), (acc, t) =>
+      when(size(acc) > 0 && element_at(acc, -1) === left && t === right,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(t))))
+  }
+
+  /** Characters of a word as an array<string> (the BPE start state). */
+  def chars(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /**
+   * The weighted word-frequency table with initial (character)
+   * tokenization: (w, cnt, toks). One corpus scan + one shuffle.
+   */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("toks", chars(col("w")))
+
+  /**
+   * Learn `nMerges` merges. Returns the merge table and the final word
+   * tokenization (w, cnt, toks) — ready for `segmentCounts`. Stops early
+   * when no adjacent pair occurs at least `minPairCount` times.
+   */
+  def train(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      minPairCount: Long = 2L): (Seq[Merge], DataFrame) = {
+    require(nMerges >= 1 && minPairCount >= 1)
+    var cur = wordTable(docs, textCol).cache()
+    cur.count() // materialize once; each iteration rebuilds on top
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      // adjacent pairs weighted by word frequency; argmax fetched as 1 row
+      val best = cur
+        .where(size(col("toks")) > 1) // slice needs a non-negative length
+        .select(col("cnt"), explode(
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .where(col("c") >= minPairCount)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += Merge(step, l, r, l + r, c)
+        val next = cur.withColumn("toks", applyMerge(col("toks"), l, r)).cache()
+        next.count()
+        cur.unpersist()
+        cur = next
+        step += 1
+      }
+    }
+    // keep exactly one trained word table cached per thread across calls
+    // (the swap discipline from dedup.CachedProjections)
+    val key = "bpe@" + Thread.currentThread().getId
+    Option(live.put(key, cur)).filter(_ ne cur).foreach(_.unpersist(blocking = false))
+    (merges.result(), cur)
+  }
+
+  private val live = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /**
+   * Per-doc BPE token counts under a trained word tokenization: join each
+   * doc's words (with multiplicity) to the word table, sum token counts.
+   * Co-partitioned shuffle join on the word key — the word table is data-
+   * sized, so it is never broadcast.
+   */
+  def segmentCounts(
+      docs: DataFrame, idCol: String, textCol: String,
+      words: DataFrame): DataFrame = {
+    val lens = words.select(col("w"), size(col("toks")).cast("long").as("n"))
+    docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .join(lens, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe_tokens"))
+  }
+}
