@@ -168,6 +168,26 @@ object CurationQueries {
       ProductQuantizer.adcTopK(cbs, emb, q, "vec_id", "embedding", "qid", "qv",
           dim = 64, k = 10, shortlist = 100)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q_semantic_decontaminate" -> ((s, dir) => {
+      // embedding-space decontamination: corpus vectors within cosine 0.99
+      // of ANY eval vector are flagged with their best eval match — catches
+      // the paraphrase/re-tokenization leaks that 5-gram overlap misses.
+      // Enrichment plants copies of every 3rd eval vector in the corpus
+      // (ids +500000), so the flag set is non-empty and deterministic.
+      // Eval broadcasts; the threshold filter is map-side on the one
+      // corpus scan — only the contaminated sliver shuffles.
+      val e = t(s, dir, "embeddings")
+      val ev = e.where(col("vec_id") < 30)
+        .select(col("vec_id").as("eval_id"), col("embedding"))
+      val corpus = e.where(col("vec_id") >= 30)
+        .select(col("vec_id"), col("embedding"))
+        .unionAll(e.where(col("vec_id") < 30 && pmod(col("vec_id"), lit(3)) === 0)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+      Similarity.semanticContamination(corpus, ev,
+          "vec_id", "embedding", "eval_id", "embedding", threshold = 0.99)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -460,6 +480,30 @@ object CurationQueries {
          |FROM cands c JOIN sigs sa ON c.a = sa.doc_id JOIN sigs sb ON c.b = sb.doc_id
          |ORDER BY a, b""".stripMargin,
 
-    "q_ann_pq" -> annPqOracle
+    "q_ann_pq" -> annPqOracle,
+
+    "q_semantic_decontaminate" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id AS eval_id, embedding AS qv FROM embeddings WHERE vec_id < 30
+         |),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 30
+         |  UNION ALL
+         |  SELECT vec_id + 500000, embedding FROM embeddings
+         |  WHERE vec_id < 30 AND vec_id % 3 = 0
+         |),
+         |scored AS (
+         |  SELECT c.vec_id, e.eval_id,
+         |    ROUND(${cosineSql("c.embedding", "e.qv")}, 6) AS sim
+         |  FROM corpus c CROSS JOIN ev e
+         |),
+         |hits AS (SELECT * FROM scored WHERE sim >= 0.99),
+         |pick AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, eval_id ASC) AS rk
+         |  FROM hits
+         |)
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(eval_id AS BIGINT) AS eval_id, sim
+         |FROM pick WHERE rk = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -46,6 +46,25 @@ object EventQueries {
       // the standard co-partitioned shape; no window, no sort. Streaming
       // twin: EventStreams.retentionCells (one long of state per user).
       EventAnalytics.retention(events(s, dir), "user_id", "ts")
+    }),
+
+    "q_funnel_windowed" -> ((s, dir) => {
+      // the "converted within 7 days" funnel: stage k must follow stage
+      // k-1 AND land within 604800s of it — the gap constraint rides the
+      // same single-shuffle first-occurrence fold.
+      EventAnalytics.funnel(events(s, dir), "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase"), maxGapSeconds = 604800L)
+        .select(col("n_users"),
+          col("reached_1").as("n_signup"), col("reached_2").as("n_viewed"),
+          col("reached_3").as("n_clicked"), col("reached_4").as("n_purchased"))
+    }),
+
+    "q_time_to_convert" -> ((s, dir) => {
+      // signup → purchase latency distribution in log2-hour buckets: the
+      // conversion-velocity dashboard next to the funnel. Integer-exact
+      // (whole-hour floor via micros div).
+      EventAnalytics.timeToConvert(events(s, dir), "user_id", "event_type",
+        "ts", "signup", "purchase")
     })
   )
 
@@ -95,6 +114,57 @@ object EventQueries {
         |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM cells GROUP BY cohort_week, week_offset
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_funnel_windowed" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+        |  FROM events GROUP BY user_id
+        |),
+        |st AS (
+        |  SELECT
+        |    CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1
+        |          AND t2 <= t1 + INTERVAL 604800 SECOND THEN 1 ELSE 0 END AS s2,
+        |    CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1
+        |          AND t2 <= t1 + INTERVAL 604800 SECOND
+        |          AND t3 IS NOT NULL AND t3 >= t2
+        |          AND t3 <= t2 + INTERVAL 604800 SECOND THEN 1 ELSE 0 END AS s3,
+        |    CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1
+        |          AND t2 <= t1 + INTERVAL 604800 SECOND
+        |          AND t3 IS NOT NULL AND t3 >= t2
+        |          AND t3 <= t2 + INTERVAL 604800 SECOND
+        |          AND t4 IS NOT NULL AND t4 >= t3
+        |          AND t4 <= t3 + INTERVAL 604800 SECOND THEN 1 ELSE 0 END AS s4
+        |  FROM f
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(s1) AS BIGINT) AS n_signup,
+        |  CAST(sum(s2) AS BIGINT) AS n_viewed,
+        |  CAST(sum(s3) AS BIGINT) AS n_clicked,
+        |  CAST(sum(s4) AS BIGINT) AS n_purchased
+        |FROM st""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_from,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_to
+        |  FROM events GROUP BY user_id
+        |),
+        |h AS (
+        |  SELECT (epoch_us(t_to) - epoch_us(t_from)) // 3600000000 AS hours
+        |  FROM f
+        |  WHERE t_from IS NOT NULL AND t_to IS NOT NULL AND t_to >= t_from
+        |)
+        |SELECT CAST(length(bin(hours + 1)) AS BIGINT) AS hours_log2,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(hours) AS BIGINT) AS min_hours,
+        |  CAST(max(hours) AS BIGINT) AS max_hours
+        |FROM h GROUP BY 1 ORDER BY hours_log2""".stripMargin
   )
 }

@@ -117,6 +117,18 @@ object PipelineQueries {
         .orderBy(col("canonical_id"))
     }),
 
+    "q_cluster_split" -> ((s, dir) => {
+      // NEAR-dup-aware leakage-proof split: the bucket hashes the near-dup
+      // COMPONENT root (LSH pairs -> verified links -> CC), so a truncated
+      // or paraphrased copy can never land across the train/test boundary
+      // from its original — the gap q_leakage_split (byte-exact content
+      // hash) still leaves open.
+      val corpus = nearDupCorpus(s, dir)
+      DatasetSplit.nearDupSafeSplit(corpus, "doc_id", "text", 0.4)
+        .select(col("doc_id"), col("canonical_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_term_rarity" -> ((s, dir) => {
       // corpus-frequency rarity scoring (CCNet-style quality signal, exact
       // integer arithmetic): pass 1 aggregates the corpus term-frequency
@@ -831,6 +843,48 @@ object PipelineQueries {
        |SELECT doc_id AS kept_id, canonical_id, n_members
        |FROM ranked WHERE rk = 1 ORDER BY canonical_id""".stripMargin
 
+  /** Replays q_cluster_split: ALL verified near-dup pairs (the
+    * minhashOracle candidate shape, not the star bmin), symmetrized into a
+    * min-reachability CC (component label = min id, exactly what min-label
+    * propagation converges to), then the md5 split bucket ON THE COMPONENT
+    * ROOT. */
+  private def clusterSplitOracle: String =
+    s"""WITH RECURSIVE corpus AS (
+       |$nearDupCorpusSql
+       |),
+       |sets AS (SELECT doc_id, ${duckShingleSet()} AS sset FROM corpus),
+       |sigs AS (SELECT doc_id, sset, $minhashSigSql AS sig FROM sets),
+       |bands AS (
+       |  $minhashBandSelects
+       |),
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |),
+       |ver AS (
+       |  SELECT a, b FROM cands
+       |  JOIN sets sa ON cands.a = sa.doc_id JOIN sets sb ON cands.b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+       |        CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) >= 0.4
+       |),
+       |sym AS (
+       |  SELECT a AS x, b AS y FROM ver UNION ALL SELECT b AS x, a AS y FROM ver
+       |),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS r FROM corpus
+       |  UNION
+       |  SELECT reach.id, s.y AS r FROM reach JOIN sym s ON s.x = reach.r
+       |),
+       |comp AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id),
+       |o AS (
+       |  SELECT doc_id, canonical_id,
+       |    ${duckHash("CAST(canonical_id AS VARCHAR)")} % 100 AS bkt
+       |  FROM comp
+       |)
+       |SELECT doc_id, canonical_id,
+       |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM o ORDER BY doc_id""".stripMargin
+
   /** Replays q_repetition: same tokenization, n-gram construction and
     * duplicate-fraction arithmetic. */
   private def repetitionOracle: String =
@@ -1116,6 +1170,7 @@ object PipelineQueries {
     "q_dedup_incremental" -> incrementalDedupOracle,
     "q_dedup_keep_longest" -> keepLongestOracle,
     "q_dedup_pipeline" -> dedupPipelineOracle,
+    "q_cluster_split" -> clusterSplitOracle,
 
     // term rarity: identical tokenization; integer freq sums, ONE double
     // division at the end (exact in both engines)

@@ -62,7 +62,10 @@ object Soak {
       "q_funnel", "q_retention", "q_containment", "q_bpe_tokens",
       // real BPE: k pair-count shuffles over the DISTINCT-WORD table (must
       // scale with vocabulary growth, sublinear in corpus) + the join-back
-      "q_bpe_segment")
+      "q_bpe_segment",
+      // map-side broadcast scoring (O(E) per row, E fixed) and the
+      // near-dup CC split (pair join + O(diameter) label rounds)
+      "q_semantic_decontaminate", "q_cluster_split")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

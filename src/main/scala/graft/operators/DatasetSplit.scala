@@ -204,6 +204,33 @@ object DatasetSplit {
       .drop(ch, cn)
   }
 
+  /**
+   * NEAR-dup-aware leakage-proof split: `leakageSafeSplit` catches
+   * byte-identical duplicates, but a truncated or lightly-edited copy still
+   * crosses the train/test boundary carrying the answer. Here the bucket
+   * hashes the NEAR-duplicate component root (banded MinHash LSH →
+   * exact-Jaccard verified links → connected components), so a whole
+   * paraphrase cluster moves between splits as one unit. Cost: the dedup
+   * pipeline's candidate join + O(diameter) small CC joins over the linked
+   * ids only; the split decision itself stays a projection.
+   */
+  def nearDupSafeSplit(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      trainPct: Int = 80, valPct: Int = 10,
+      lsh: graft.dedup.MinHashLSH = new graft.dedup.MinHashLSH(32, 8, 3)): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column; rename it before calling nearDupSafeSplit")
+    val groups = lsh.nearDuplicateComponents(df, idCol, textCol, threshold)
+    val b = bucket(col("canonical_id"))
+    df.join(groups, Seq(idCol))
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** STREAMING twin of `capPerGroup`: admission-control cap. The batch cap's
     * deterministic lowest-hash selection needs the whole group in hand, so
     * it cannot stream; the streaming-natural semantics is "admit the first k

@@ -23,8 +23,20 @@ object EventAnalytics {
    */
   def funnel(
       events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String]): DataFrame =
+    funnel(events, userCol, typeCol, tsCol, stages, maxGapSeconds = 0L)
+
+  /**
+   * Windowed variant: stage k additionally requires its first occurrence
+   * within `maxGapSeconds` of the previous stage's (the "converted within
+   * 7 days" funnel every growth dashboard runs). `maxGapSeconds = 0` means
+   * unbounded. Same single-shuffle shape.
+   */
+  def funnel(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String], maxGapSeconds: Long): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapSeconds >= 0L, "maxGapSeconds must be >= 0 (0 = unbounded)")
     val n = stages.length
     val firstAggs = stages.zipWithIndex.map { case (st, i) =>
       min(when(col(typeCol) === st, col(tsCol))).as(s"t${i + 1}")
@@ -33,12 +45,43 @@ object EventAnalytics {
       .agg(firstAggs.head, firstAggs.tail: _*)
     def reached(k: Int): Column = (1 to k).map { i =>
       val present = col(s"t$i").isNotNull
-      if (i == 1) present else present && col(s"t$i") >= col(s"t${i - 1}")
+      if (i == 1) present
+      else {
+        val ordered = present && col(s"t$i") >= col(s"t${i - 1}")
+        if (maxGapSeconds == 0L) ordered
+        else ordered &&
+          col(s"t$i") <= col(s"t${i - 1}") + expr(s"INTERVAL $maxGapSeconds SECONDS")
+      }
     }.reduce(_ && _)
     val flags = (1 to n).map(k => when(reached(k), 1L).otherwise(0L).as(s"s$k"))
     firsts.select(flags: _*)
       .agg(count(lit(1)).as("n_users"),
         (1 to n).map(k => sum(col(s"s$k")).as(s"reached_$k")): _*)
+  }
+
+  /**
+   * Time-to-convert distribution: for every user whose first `toStage`
+   * follows their first `fromStage`, the whole-hour latency folded into
+   * log2 buckets — (hours_log2, n_users, min_hours, max_hours). One
+   * aggregation shuffle + a tiny bucket agg, all integer arithmetic.
+   */
+  def timeToConvert(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      fromStage: String, toStage: String): DataFrame = {
+    val firsts = events.groupBy(col(userCol)).agg(
+      min(when(col(typeCol) === fromStage, col(tsCol))).as("t_from"),
+      min(when(col(typeCol) === toStage, col(tsCol))).as("t_to"))
+    firsts
+      .where(col("t_from").isNotNull && col("t_to").isNotNull &&
+        col("t_to") >= col("t_from"))
+      .withColumn("hours",
+        ((unix_micros(col("t_to")) - unix_micros(col("t_from"))) / 3600000000L)
+          .cast("long"))
+      .groupBy(length(bin(col("hours") + 1)).cast("long").as("hours_log2"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("hours")).as("min_hours"),
+        max(col("hours")).as("max_hours"))
+      .orderBy(col("hours_log2"))
   }
 
   /**
