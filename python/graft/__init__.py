@@ -506,3 +506,61 @@ def subword_token_counts(df, text_col, vocab, max_len, out_col):
     m = _module(df.sparkSession, "graft.text.SubwordTokenizer$")
     k = m.kernel(vocab._jdf, max_len)
     return _wrap(df, m.withSubwordCount(df._jdf, text_col, k, out_col))
+
+
+def semantic_decontaminate(corpus, eval_df, id_col, vec_col, eval_id_col,
+                           eval_vec_col, threshold):
+    """Embedding-space decontamination: corpus vectors within cosine
+    `threshold` of any eval vector, best eval match kept for attribution.
+    Eval broadcasts; the threshold filter runs map-side."""
+    m = _module(corpus.sparkSession, "graft.sim.Similarity$")
+    return _wrap(corpus, m.semanticContamination(
+        corpus._jdf, eval_df._jdf, id_col, vec_col, eval_id_col, eval_vec_col,
+        float(threshold), 6))
+
+
+def funnel_windowed(events, user_col, type_col, ts_col, stages, max_gap_seconds):
+    """Gap-windowed funnel: stage k must land within max_gap_seconds of
+    stage k-1 (0 = unbounded)."""
+    m = _module(events.sparkSession, "graft.operators.EventAnalytics$")
+    return _wrap(events, m.funnel(events._jdf, user_col, type_col, ts_col,
+                                  _str_seq(events, list(stages)),
+                                  max_gap_seconds))
+
+
+def time_to_convert(events, user_col, type_col, ts_col, from_stage, to_stage):
+    """Whole-hour conversion-latency distribution in log2 buckets."""
+    m = _module(events.sparkSession, "graft.operators.EventAnalytics$")
+    return _wrap(events, m.timeToConvert(events._jdf, user_col, type_col,
+                                         ts_col, from_stage, to_stage))
+
+
+def bpe_train(docs, text_col, n_merges, min_pair_count):
+    """Real distributed BPE training (Sennrich): returns (merges, words) —
+    merges as a list of (step, left, right, merged, pair_count) tuples and
+    the final word tokenization DataFrame."""
+    m = _module(docs.sparkSession, "graft.text.BpeTrainer$")
+    res = m.train(docs._jdf, text_col, n_merges, min_pair_count)
+    jmerges, jwords = res._1(), res._2()
+    it = jmerges.iterator()
+    merges = []
+    while it.hasNext():
+        mg = it.next()
+        merges.append((mg.step(), mg.left(), mg.right(), mg.merged(), mg.pairCount()))
+    return merges, _wrap(docs, jwords)
+
+
+def bpe_segment_counts(docs, id_col, text_col, words):
+    """Per-doc token counts under a trained BPE word tokenization."""
+    m = _module(docs.sparkSession, "graft.text.BpeTrainer$")
+    return _wrap(docs, m.segmentCounts(docs._jdf, id_col, text_col, words._jdf))
+
+
+def near_dup_safe_split(df, id_col, text_col, threshold, train_pct=80, val_pct=10):
+    """Leakage-proof split on the NEAR-dup component root: paraphrased or
+    truncated copies never cross the train/test boundary."""
+    jvm = df.sparkSession._jvm
+    m = _module(df.sparkSession, "graft.operators.DatasetSplit$")
+    lsh = jvm.graft.dedup.MinHashLSH(32, 8, 3)
+    return _wrap(df, m.nearDupSafeSplit(df._jdf, id_col, text_col,
+                                        float(threshold), train_pct, val_pct, lsh))

@@ -372,3 +372,63 @@ assert all(v > 0 for v in rows.values()), rows
 print("PASS subword tokenizer:", vocab.count(), "grams")
 spark.stop()
 print("PASS: round-8 wrappers (funnel/retention/containment/subword)")
+
+# round 8 wave 2: semantic decontamination, windowed funnel, BPE, near-dup split
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+
+emb = spark.createDataFrame(
+    [(i, [float(i), 1.0, 0.0], i % 2) for i in range(20)] +
+    [(100, [5.0, 1.0, 0.0], 0)],  # exact direction of vec 5 -> cosine 1.0
+    "vec_id long, embedding array<float>, label long")
+
+from graft import semantic_decontaminate
+sd = semantic_decontaminate(emb.where("vec_id >= 20"), emb.where("vec_id < 20"),
+                            "vec_id", "embedding", "vec_id", "embedding", 0.999)
+hits = {r["vec_id"]: r["eval_id"] for r in sd.collect()}
+assert hits.get(100) == 5, hits
+print("PASS semantic_decontaminate")
+
+ev2 = spark.createDataFrame(
+    [("u1", "signup", 0), ("u1", "view", 3600),
+     ("u2", "signup", 0), ("u2", "view", 2000000)],  # > 7 days later? no: 2e6 s ~ 23 days
+    "user_id string, event_type string, s long") \
+    .selectExpr("user_id", "event_type", "timestamp_seconds(s) AS ts")
+
+from graft import funnel_windowed, time_to_convert
+fw = funnel_windowed(ev2, "user_id", "event_type", "ts", ["signup", "view"], 604800).collect()[0]
+assert fw["reached_1"] == 2 and fw["reached_2"] == 1, fw
+print("PASS funnel_windowed")
+
+ev3 = spark.createDataFrame(
+    [("u1", "signup", 0), ("u1", "purchase", 7200)],
+    "user_id string, event_type string, s long") \
+    .selectExpr("user_id", "event_type", "timestamp_seconds(s) AS ts")
+tc = time_to_convert(ev3, "user_id", "event_type", "ts", "signup", "purchase").collect()
+assert len(tc) == 1 and tc[0]["n_users"] == 1 and tc[0]["min_hours"] == 2, tc
+print("PASS time_to_convert")
+
+from graft import bpe_train, bpe_segment_counts
+docs10 = spark.createDataFrame([("banana banana banana bandana",)], "text string")
+merges, words = bpe_train(docs10, "text", 2, 2)
+assert merges[0][1] == "a" and merges[0][2] == "n", merges
+seg = bpe_segment_counts(
+    spark.createDataFrame([(1, "banana bandana")], "doc_id long, text string"),
+    "doc_id", "text", words)
+assert seg.collect()[0]["n_words"] == 2
+print("PASS bpe_train/bpe_segment_counts:", merges)
+
+from graft import near_dup_safe_split
+base_docs = spark.createDataFrame(
+    [(i, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4) + f"tail{i} " * 6)
+     for i in range(8)], "doc_id long, text string")
+corpus10 = base_docs.unionAll(
+    base_docs.selectExpr("doc_id + 1000 AS doc_id", "substring(text, 1, length(text) - 20) AS text"))
+nds = near_dup_safe_split(corpus10, "doc_id", "text", 0.4)
+leak = nds.groupBy("canonical_id").agg({"split": "count"}) \
+    .join(nds.select("canonical_id", "split").distinct()
+             .groupBy("canonical_id").count().where("count > 1"), "canonical_id", "inner")
+assert leak.count() == 0, "a near-dup component crossed splits"
+print("PASS near_dup_safe_split")
+spark.stop()
+print("PASS: round-8 wave-2 wrappers")
