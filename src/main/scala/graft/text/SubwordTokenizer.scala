@@ -88,6 +88,9 @@ object SubwordTokenizer {
 /** The greedy longest-prefix-match segmenter over a fixed gram vocabulary.
   * Rides into tasks as one codegen reference object. */
 class SubwordKernel(grams: Array[String], val maxLen: Int) extends Serializable {
+  require(grams.length <= (1 << 22),
+    s"subword vocab has ${grams.length} grams — the kernel is a broadcast " +
+      "driver model; cap trainVocab's vocabSize (real tokenizers use <= ~1M)")
   private val set = new java.util.HashSet[String](java.util.Arrays.asList(grams: _*))
 
   def size: Int = set.size()

@@ -256,4 +256,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("LocalTableScan") || p.contains("LocalRelation"), p.take(1000))
     assert(out.count() <= 20)
   }
+
+  test("semantic decontamination: eval broadcasts; threshold filters BEFORE the window shuffle") {
+    val p = plan("q_semantic_decontaminate")
+    // dense scoring against a constant-size eval set is a broadcast nested
+    // loop by design — the corpus side must NOT sort-merge or shuffle to join
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the sim >= 0.99 threshold filter must sit below the rank window
+    // (map-side on the scan), so only the contaminated sliver reaches the
+    // exchange — deeper operators print later in the top-down plan string
+    val thresholdIdx = p.indexOf("0.99")
+    val windowIdx = p.indexOf("Window")
+    assert(thresholdIdx >= 0 && windowIdx >= 0 && thresholdIdx > windowIdx,
+      s"threshold filter must be deeper than the window (threshold@$thresholdIdx window@$windowIdx)")
+  }
+
+  test("subword vocab training ends in TakeOrderedAndProject (top-k never sorts globally)") {
+    val p = plan("q_subword_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("windowed funnel keeps the single-aggregation shape (one user-key exchange)") {
+    val p = plan("q_funnel_windowed")
+    assert(!p.contains("Join"), p.take(2000)) // fold, not self-join
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges (user agg + global 1-row agg), got $exchanges:\n${p.take(3000)}")
+  }
 }

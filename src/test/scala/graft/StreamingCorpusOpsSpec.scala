@@ -68,4 +68,32 @@ class StreamingCorpusOpsSpec extends AnyFunSuite with SparkTestSession {
     sq.stop()
     assert(streamed.toSeq == viaMap.filter(r => r._1 == 1L || r._1 == 2L).toSeq)
   }
+
+  test("subword counting is a stateless map: batch ≡ stream under a fixed trained kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train once on a batch corpus — the kernel is then broadcast state,
+    // applicable to any stream (the NB-classifier deployment shape)
+    val train = Seq.tabulate(6)(i => (i.toLong, s"banana bandana cabana $i"))
+      .toDF("doc_id", "text")
+    val k = graft.text.SubwordTokenizer.kernel(
+      graft.text.SubwordTokenizer.trainVocab(train, "text", 4, 64, 2L), 4)
+
+    val batchRows = Seq((10L, "banana bandana"), (11L, "panama canal"), (12L, ""))
+    val batch = graft.text.SubwordTokenizer.withSubwordCount(
+        batchRows.toDF("doc_id", "text"), "text", k, "n_subwords")
+      .select("doc_id", "n_subwords").as[(Long, Long)].collect().sorted
+
+    val stream = MemoryStream[(Long, String)]
+    val sq = graft.text.SubwordTokenizer.withSubwordCount(
+        stream.toDS().toDF("doc_id", "text"), "text", k, "n_subwords")
+      .select("doc_id", "n_subwords")
+      .writeStream.format("memory").queryName("subword_parity")
+      .outputMode("append").start()
+    stream.addData(batchRows.take(1)); sq.processAllAvailable()
+    stream.addData(batchRows.drop(1)); sq.processAllAvailable()
+    val streamed = spark.table("subword_parity").as[(Long, Long)].collect().sorted
+    sq.stop()
+    assert(streamed.toSeq == batch.toSeq, s"stream=${streamed.toSeq} batch=${batch.toSeq}")
+  }
 }
