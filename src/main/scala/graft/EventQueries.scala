@@ -65,6 +65,46 @@ object EventQueries {
       // (whole-hour floor via micros div).
       EventAnalytics.timeToConvert(events(s, dir), "user_id", "event_type",
         "ts", "signup", "purchase")
+    }),
+
+    "q_props_profile" -> ((s, dir) => {
+      // semi-structured payloads: `props` is a JSON string column; parse it
+      // NATIVELY (from_json — Jackson inside codegen, no UDF, schema
+      // declared so Catalyst prunes to the one referenced field) and
+      // profile the extracted metric per event type. The standard
+      // clickstream shape: JSON stays schemaless at rest, typed on read.
+      val ev = events(s, dir)
+      ev.select(col("event_type"), col("user_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_stickiness" -> ((s, dir) => {
+      // weekly engagement ratio (DAU/WAU stickiness): per week, the sum of
+      // daily distinct actives over 7x the weekly distinct actives —
+      // micro-quantized integer ratio, two shuffles (the (week,day,user)
+      // distinct and the week agg).
+      val ev = events(s, dir)
+      val daily = ev.select(
+          date_trunc("week", col("ts")).cast("date").as("week"),
+          col("ts").cast("date").as("day"),
+          col("user_id"))
+        .distinct()
+      daily.groupBy(col("week"))
+        .agg(count(lit(1)).as("sum_daily_actives"),
+          countDistinct(col("user_id")).as("wau"))
+        .withColumn("stickiness_micro",
+          expr("CAST(sum_daily_actives * 1000000 div (wau * 7) AS BIGINT)"))
+        .orderBy(col("week"))
     })
   )
 
@@ -165,6 +205,37 @@ object EventQueries {
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(min(hours) AS BIGINT) AS min_hours,
         |  CAST(max(hours) AS BIGINT) AS max_hours
-        |FROM h GROUP BY 1 ORDER BY hours_log2""".stripMargin
+        |FROM h GROUP BY 1 ORDER BY hours_log2""".stripMargin,
+
+    "q_props_profile" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(k) AS BIGINT) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stickiness" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    CAST(ts AS DATE) AS day, user_id
+        |  FROM events
+        |),
+        |w AS (
+        |  SELECT week,
+        |    CAST(count(*) AS BIGINT) AS sum_daily_actives,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM daily GROUP BY week
+        |)
+        |SELECT week, sum_daily_actives, wau,
+        |  CAST((sum_daily_actives * 1000000) // (wau * 7) AS BIGINT) AS stickiness_micro
+        |FROM w ORDER BY week""".stripMargin
   )
 }
