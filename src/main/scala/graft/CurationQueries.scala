@@ -188,8 +188,40 @@ object CurationQueries {
       Similarity.semanticContamination(corpus, ev,
           "vec_id", "embedding", "eval_id", "embedding", threshold = 0.99)
         .orderBy(col("vec_id"))
+    }),
+
+    "q_blocklist" -> ((s, dir) => {
+      // policy/blocklist filtering: per-pattern document and occurrence
+      // counts via ONE Aho-Corasick walk per doc (the automaton rides as a
+      // codegen reference object) — vs the naive |patterns| locate passes
+      // per row. Patterns are borderless (no proper prefix = suffix), so
+      // occurrences cannot self-overlap and a replace-based engine counts
+      // them identically — the DuckDB-replayability contract.
+      val k = graft.text.Blocklist.kernel(blocklistPatterns)
+      t(s, dir, "documents")
+        .select(posexplode(graft.text.Blocklist.counts(col("text"), k))
+          .as(Seq("pid", "cnt")))
+        .groupBy(col("pid"))
+        .agg(count(when(col("cnt") > 0, 1)).as("n_docs"),
+          sum(col("cnt")).as("n_hits"))
+        .select(
+          element_at(typedLit(blocklistPatterns), col("pid") + 1).as("pattern"),
+          col("n_docs"), col("n_hits"))
+        .orderBy(col("pattern"))
+    }),
+
+    "q_moments" -> ((s, dir) => {
+      // single-pass per-source raw-moment profile of doc length: the
+      // mergeable-sketch distribution-shape answer (one agg shuffle) next
+      // to q_percentiles' exact-but-sorted order statistics.
+      CorpusStats.moments(t(s, dir, "documents"), "source", "n_chars")
     })
   )
+
+  /** Borderless corpus phrases for q_blocklist (see the query comment). */
+  private[graft] val blocklistPatterns: Seq[String] = Seq(
+    "batch scan", "customer join", "filter small", "merge group",
+    "part filter", "slow key", "table hash", "vector")
 
   // =================================================================== oracles
 
@@ -504,6 +536,40 @@ object CurationQueries {
          |  FROM hits
          |)
          |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(eval_id AS BIGINT) AS eval_id, sim
-         |FROM pick WHERE rk = 1 ORDER BY vec_id""".stripMargin
+         |FROM pick WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // patterns are borderless, so non-overlapping replace-counting equals
+    // the kernel's all-occurrence Aho-Corasick counting (see the query)
+    "q_blocklist" -> {
+      val vals = blocklistPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH pats(pattern) AS (VALUES $vals),
+         |c AS (
+         |  SELECT p.pattern,
+         |    CAST((length(d.text) - length(replace(d.text, p.pattern, '')))
+         |         // length(p.pattern) AS BIGINT) AS cnt
+         |  FROM documents d CROSS JOIN pats p
+         |)
+         |SELECT pattern,
+         |  CAST(count(CASE WHEN cnt > 0 THEN 1 END) AS BIGINT) AS n_docs,
+         |  CAST(sum(cnt) AS BIGINT) AS n_hits
+         |FROM c GROUP BY pattern ORDER BY pattern""".stripMargin
+    },
+
+    "q_moments" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+        |    CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars) AS s4
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT source, n, s1, s2, s3,
+        |  CAST(s4 // 1000000 AS BIGINT) AS s4_q6,
+        |  CAST(CAST(s1 AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_micro,
+        |  CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 1000000
+        |       // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro
+        |FROM m ORDER BY source""".stripMargin
   )
 }

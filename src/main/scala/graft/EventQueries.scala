@@ -105,6 +105,23 @@ object EventQueries {
         .withColumn("stickiness_micro",
           expr("CAST(sum_daily_actives * 1000000 div (wau * 7) AS BIGINT)"))
         .orderBy(col("week"))
+    }),
+
+    "q_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix: adjacent event pairs per
+      // user (total order via the event_id tiebreak) → pair counts +
+      // micro-quantized row-conditional probability. Streaming twin:
+      // EventStreams.transitionPairs (one string of state per user).
+      EventAnalytics.transitions(events(s, dir), "user_id", "event_type",
+        "ts", "event_id")
+    }),
+
+    "q_top_paths" -> ((s, dir) => {
+      // top-20 5-step user journeys: first five event types per user
+      // joined with '>', ranked by user count (ties path-asc) — struct
+      // array_sort makes collect_list order-deterministic.
+      EventAnalytics.topPaths(events(s, dir), "user_id", "event_type",
+        "ts", "event_id", pathLen = 5, k = 20)
     })
   )
 
@@ -236,6 +253,36 @@ object EventQueries {
         |)
         |SELECT week, sum_daily_actives, wau,
         |  CAST((sum_daily_actives * 1000000) // (wau * 7) AS BIGINT) AS stickiness_micro
-        |FROM w ORDER BY week""".stripMargin
+        |FROM w ORDER BY week""".stripMargin,
+
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events
+        |),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS prob_micro
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_top_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events
+        |),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM o WHERE rn <= 5 GROUP BY user_id
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -100,5 +101,66 @@ object EventAnalytics {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /**
+   * First-order Markov transition matrix over event types: per user,
+   * events totally ordered by `(tsCol, idCol)` (the unique-id tiebreak
+   * makes the pair set deterministic), each adjacent pair contributes one
+   * `(from_type, to_type)` observation. Returns
+   * `(from_type, to_type, n, prob_micro)` where
+   * `prob_micro = n * 1e6 div Σn` over the from_type row — the
+   * "where do users go next" dashboard.
+   *
+   * Scale shape: one shuffle for the per-user sort (pairs come out of
+   * `lead()` over the sorted partition — no self-join), one aggregation
+   * shuffle on the (from, to) pair; the row normalizer is a window over
+   * the TYPE×TYPE pair table (tiny — |types|² rows), never a second scan
+   * of the events. Per-user partitions bound the sort; no global sort.
+   */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("prob_micro",
+        expr("CAST(n * 1000000 div from_total AS BIGINT)"))
+      .drop("from_total")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /**
+   * Top-k user journeys: each user's first `pathLen` event types (totally
+   * ordered by `(tsCol, idCol)`) joined with '>', ranked by user count —
+   * the "what do new users actually do" dashboard. Deterministic despite
+   * `collect_list`'s partial-merge order: the list holds
+   * `(ts, id, type)` structs and `array_sort` imposes the total order
+   * before the slice; ranking ties break path-ascending.
+   *
+   * Scale shape: two aggregation shuffles (per-user assemble, path count);
+   * the per-user array is bounded by that user's event count and the
+   * emitted path by `pathLen`; the final top-k is TakeOrderedAndProject
+   * (per-partition heaps, k rows to the driver — never a global sort).
+   */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, pathLen: Int, k: Int): DataFrame = {
+    require(pathLen > 0 && k > 0, "pathLen and k must be positive")
+    events
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), col(idCol).as("id"),
+          col(typeCol).as("et")).as("e"))
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(array_join(
+        transform(slice(col("es"), 1, pathLen), e => e("et")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
   }
 }

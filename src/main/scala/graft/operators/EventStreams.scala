@@ -94,4 +94,42 @@ object EventStreams {
       }
       .toDF(userCol, tsCol, "first_ts")
   }
+
+  /**
+   * Transition pairs as a stream: per user, each arriving event emits one
+   * (from_type, to_type) adjacency against its predecessor under (ts, id)
+   * order — the exact pair set q_transitions aggregates. In-batch rows are
+   * sorted by (event-time micros, id) before the fold, so intra-batch
+   * arrival order never matters; cross-batch, event-time-ordered delivery
+   * per user (the watermarked shape, as in retentionCells) makes the
+   * carried last event the true predecessor. State: one
+   * (micros, id, type) triple per user — bounded, never event history.
+   */
+  def transitionPairs(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    implicit val rowEnc = Encoders.row(df.schema)
+    implicit val strEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[(Long, Long, String)]
+    implicit val outEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    df.groupByKey((r: Row) => String.valueOf(r.getAs[Any](userCol)))
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows: Iterator[Row], state: GroupState[(Long, Long, String)]) =>
+          val evs = rows.map { r =>
+            (micros(r.getAs[Timestamp](tsCol)),
+              r.getAs[Number](idCol).longValue(),
+              String.valueOf(r.getAs[Any](typeCol)))
+          }.toVector.sortBy(e => (e._1, e._2))
+          val out = Vector.newBuilder[(String, String)]
+          var last = state.getOption
+          evs.foreach { e =>
+            last.foreach(l => out += ((l._3, e._3)))
+            last = Some(e)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("from_type", "to_type")
+  }
 }

@@ -283,4 +283,39 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected <=2 exchanges (user agg + global 1-row agg), got $exchanges:\n${p.take(3000)}")
   }
+
+  test("transitions: pairs come from lead() over one user sort, never a self-join") {
+    val p = plan("q_transitions")
+    assert(!p.contains("Join"), p.take(3000))
+    // per-user window + pair agg + tiny from-row normalizer window + sort
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 4, s"expected <=4 exchanges, got $exchanges:\n${p.take(3000)}")
+  }
+
+  test("top paths end in TakeOrderedAndProject with the per-user agg upstream") {
+    val p = plan("q_top_paths")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("blocklist: one kernel scan, no join against a pattern table, one agg") {
+    val p = plan("q_blocklist")
+    assert(p.contains("blocklist_counts"), p.take(2000))
+    assert(!p.contains("Join"), p.take(3000)) // patterns ride the automaton, not a table
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(schema.contains("text") && !schema.contains("doc_id"), schema)
+    assert(p.contains("partial_count"), p.take(3000)) // map-side combine
+    val aggExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(aggExchanges <= 1, s"expected one agg exchange:\n${p.take(3000)}")
+  }
+
+  test("moments is scan + single hash aggregation, pruned to (source, n_chars)") {
+    val p = plan("q_moments")
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(schema.contains("source") && schema.contains("n_chars"), schema)
+    assert(!schema.contains("text"), schema)
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(3000))
+    val aggExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(aggExchanges <= 1, s"expected one agg exchange:\n${p.take(3000)}")
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.operators.{CorpusStats, EventAnalytics}
+import graft.text.Blocklist
+
+/**
+ * Round-8 wave 3: Aho–Corasick blocklist matching, Markov event
+ * transitions, top-k user journeys, and the single-pass moments profile.
+ * Hand-computed expectations on small data plus the borderless-pattern
+ * contract the q_blocklist oracle depends on.
+ */
+class Round8Wave3Spec extends AnyFunSuite with SparkTestSession {
+
+  // ------------------------------------------------------------- blocklist
+
+  test("blocklist kernel counts every occurrence of every pattern in one walk") {
+    val k = Blocklist.kernel(Seq("ab", "bc", "abc", "zz"))
+    def counts(s: String): Seq[Long] = {
+      val a = k.counts(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until a.numElements()).map(a.getLong)
+    }
+    // "xabcabz": ab at 1 and 4, bc at 2, abc at 1, no zz
+    assert(counts("xabcabz") == Seq(2L, 1L, 1L, 0L))
+    assert(counts("") == Seq(0L, 0L, 0L, 0L))
+    // suffix patterns emitted through failure links: "abc" ends "ab"+"bc"+"abc"
+    assert(counts("abc") == Seq(1L, 1L, 1L, 0L))
+    // overlapping occurrences all counted
+    assert(counts("zzz") == Seq(0L, 0L, 0L, 2L))
+  }
+
+  test("blocklist kernel matches bytes, so multi-byte text cannot false-positive") {
+    val k = Blocklist.kernel(Seq("table"))
+    val a = k.counts(org.apache.spark.unsafe.types.UTF8String.fromString("数据table表格"))
+    assert(a.getLong(0) == 1L)
+  }
+
+  test("q_blocklist patterns are borderless (oracle replayability contract)") {
+    // no proper prefix that is also a suffix ⟹ occurrences cannot
+    // self-overlap ⟹ replace-based non-overlapping counting (the DuckDB
+    // oracle) equals the kernel's all-occurrence counting
+    for (p <- CurationQueries.blocklistPatterns; l <- 1 until p.length)
+      assert(p.take(l) != p.takeRight(l), s"pattern '$p' has border length $l")
+  }
+
+  test("blocklist column expression agrees with per-pattern contains counting") {
+    import spark.implicits._
+    val pats = Seq("on", "ion", "xx")
+    val docs = Seq("onion station", "no hits here", "onon").toDF("text")
+    val k = Blocklist.kernel(pats)
+    val got = docs.select(Blocklist.counts(col("text"), k).as("c"))
+      .as[Seq[Long]].collect().toSeq
+    // "onion station": on@0? "on"ion → on at 0, 3 ("onion" = on,i,on) and
+    // "station" has on at 10... count manually: o-n at 0, at 3, "stati-on"
+    // at 12 ⇒ 3; ion at 2 and 10 ⇒ 2
+    assert(got(0) == Seq(3L, 2L, 0L))
+    assert(got(1) == Seq(0L, 0L, 0L))
+    assert(got(2) == Seq(2L, 0L, 0L))
+  }
+
+  // ----------------------------------------------------------- transitions
+
+  private val base = 1700000000000L
+  private def ts(min: Long): Timestamp = new Timestamp(base + min * 60000L)
+
+  test("transitions counts adjacent pairs per user under (ts, id) order") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: a -> b -> a ; u2: b -> b ; u3 single event (no pair)
+      ("u1", 1L, ts(0), "a"), ("u1", 2L, ts(10), "b"), ("u1", 3L, ts(20), "a"),
+      ("u2", 4L, ts(5), "b"), ("u2", 5L, ts(6), "b"),
+      ("u3", 6L, ts(7), "a"),
+      // tie on ts broken by id: id 7 before id 8 ⇒ c -> a
+      ("u4", 7L, ts(9), "c"), ("u4", 8L, ts(9), "a")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.transitions(ev, "user_id", "event_type", "ts", "event_id")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 1L, 1000000L),   // from a: 1 of 1
+      ("b", "a", 1L, 500000L),    // from b: 1 of 2
+      ("b", "b", 1L, 500000L),
+      ("c", "a", 1L, 1000000L)))
+  }
+
+  test("topPaths ranks deterministic first-k journeys with path tiebreak") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", 1L, ts(0), "a"), ("u1", 2L, ts(1), "b"), ("u1", 3L, ts(2), "c"),
+      ("u2", 4L, ts(0), "a"), ("u2", 5L, ts(1), "b"),
+      ("u3", 6L, ts(0), "z")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.topPaths(ev, "user_id", "event_type", "ts",
+        "event_id", pathLen = 2, k = 10)
+      .as[(String, Long)].collect().toSeq
+    // u1 and u2 both start a>b (pathLen truncates u1); ties break path-asc
+    assert(got == Seq(("a>b", 2L), ("z", 1L)))
+  }
+
+  // --------------------------------------------------------------- moments
+
+  test("moments emits exact power sums and quantized mean/variance") {
+    import spark.implicits._
+    val df = Seq(("s", 2L), ("s", 4L), ("s", 6L), ("t", 5L)).toDF("src", "len")
+    val got = CorpusStats.moments(df, "src", "len")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // s: n=3 s1=12 s2=56 s3=288 s4=1568 → s4_q6 = 0; mean=4e6;
+    // var = (3*56-144)/9 = 24/9 → 2666666 micro (truncated)
+    assert(got == Seq(
+      ("s", 3L, 12L, 56L, 288L, 0L, 4000000L, 2666666L),
+      ("t", 1L, 5L, 25L, 125L, 0L, 5000000L, 0L)))
+  }
+}

@@ -118,4 +118,44 @@ class StreamingEventParitySpec extends AnyFunSuite with SparkTestSession {
       assert(got.toSeq == batch.toSeq, s"stream ${got.toSeq} vs batch ${batch.toSeq}")
     } finally sq.stop()
   }
+
+  test("transitions: streaming adjacency pairs reproduce the batch pair counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // u1 and u2 both span the micro-batch boundary; u3 ties on ts (id
+    // tiebreak); u4 is single-event (no pair ever)
+    val trows = Seq(
+      ("u1", 1L, 0L, "a"), ("u1", 2L, 10L, "b"), ("u1", 5L, 40L, "a"),
+      ("u2", 3L, 5L, "b"), ("u2", 6L, 50L, "b"),
+      ("u3", 4L, 20L, "c"), ("u3", 7L, 20L * 1L, "a"), // same minute, id 4 < 7
+      ("u4", 8L, 60L, "z")
+    ).map { case (u, id, m, et) => (u, id, ts(m), et) }
+
+    val batch = graft.operators.EventAnalytics.transitions(
+        trows.toDF("user_id", "event_id", "ts", "event_type"),
+        "user_id", "event_type", "ts", "event_id")
+      .select("from_type", "to_type", "n")
+      .as[(String, String, Long)].collect().sorted.toSeq
+
+    // event-time-ordered feed split mid-user (u1's third and u2's second
+    // event arrive in the second micro-batch)
+    val ordered = trows.sortBy(r => (r._3.getTime, r._2))
+    val (b1, b2) = ordered.partition(_._3.getTime <= ts(20).getTime)
+    val stream = MemoryStream[(String, Long, Timestamp, String)]
+    val sq = EventStreams.transitionPairs(
+        stream.toDS().toDF("user_id", "event_id", "ts", "event_type"),
+        "user_id", "event_type", "ts", "event_id")
+      .writeStream.format("memory").queryName("transitions_parity")
+      .outputMode("append").start()
+    try {
+      stream.addData(b1); sq.processAllAvailable()
+      stream.addData(b2); sq.processAllAvailable()
+      val got = spark.table("transitions_parity")
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().sorted.toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally sq.stop()
+  }
 }
