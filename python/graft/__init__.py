@@ -564,3 +564,48 @@ def near_dup_safe_split(df, id_col, text_col, threshold, train_pct=80, val_pct=1
     lsh = jvm.graft.dedup.MinHashLSH(32, 8, 3)
     return _wrap(df, m.nearDupSafeSplit(df._jdf, id_col, text_col,
                                         float(threshold), train_pct, val_pct, lsh))
+
+
+def transitions(events, user_col, type_col, ts_col, id_col):
+    """First-order Markov event-transition matrix: (from_type, to_type, n,
+    prob_micro) from adjacent pairs per user under total (ts, id) order."""
+    m = _module(events.sparkSession, "graft.operators.EventAnalytics$")
+    return _wrap(events, m.transitions(events._jdf, user_col, type_col,
+                                       ts_col, id_col))
+
+
+def top_paths(events, user_col, type_col, ts_col, id_col, path_len, k):
+    """Top-k user journeys: first path_len event types per user joined with
+    '>', ranked by user count (ties path-ascending)."""
+    m = _module(events.sparkSession, "graft.operators.EventAnalytics$")
+    return _wrap(events, m.topPaths(events._jdf, user_col, type_col, ts_col,
+                                    id_col, path_len, k))
+
+
+def blocklist_counts(df, text_col, patterns, out_col="counts"):
+    """array<bigint> of per-pattern occurrence counts via one Aho-Corasick
+    byte walk per row (the automaton rides as a codegen reference object)."""
+    jvm = df.sparkSession._jvm
+    m = _module(df.sparkSession, "graft.text.Blocklist$")
+    kern = m.kernel(_str_seq(df, list(patterns)))
+    from pyspark.sql.column import Column
+    from pyspark.sql.functions import col as _col
+    jcol = m.counts(_col(text_col)._jc, kern)
+    return df.withColumn(out_col, Column(jcol))
+
+
+def moments(df, group_col, val_col):
+    """Single-pass per-group raw-moment profile of an integer column:
+    (n, s1..s3, s4_q6, mean_micro, var_micro) - one aggregation shuffle."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.moments(df._jdf, group_col, val_col))
+
+
+def pagerank_top(nodes, edges, id_col, src_col, dst_col, iters, k,
+                 damp_micro=850000):
+    """Top-k nodes by integer-exact PageRank (micro-scaled int64, no FP):
+    one co-partitioned join + agg per iteration, caches released."""
+    m = _module(nodes.sparkSession, "graft.sim.GraphRank$")
+    return _wrap(nodes, m.pageRankTop(nodes._jdf, edges._jdf, id_col,
+                                      src_col, dst_col, iters, k,
+                                      damp_micro))

@@ -215,6 +215,20 @@ object CurationQueries {
       // mergeable-sketch distribution-shape answer (one agg shuffle) next
       // to q_percentiles' exact-but-sorted order statistics.
       CorpusStats.moments(t(s, dir, "documents"), "source", "n_chars")
+    }),
+
+    "q_centrality" -> ((s, dir) => {
+      // document centrality for representative selection: integer-exact
+      // PageRank (5 power iterations, micro-scaled int64 arithmetic — no
+      // libm, no FP fold order) over the same kNN similarity graph
+      // q_knn_graph builds. Each iteration is one co-partitioned equi-join
+      // + one agg; ranks materialize per iteration so lineage stays O(1).
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 3, planes = 5, dim = 64)
+        .select(col("src"), col("nbr"))
+      graft.sim.GraphRank.pageRankTop(emb.select(col("vec_id")), edges,
+        "vec_id", "src", "nbr", iters = 5, k = 20)
     })
   )
 
@@ -570,6 +584,40 @@ object CurationQueries {
         |  CAST(CAST(s1 AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_micro,
         |  CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 1000000
         |       // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_micro
-        |FROM m ORDER BY source""".stripMargin
+        |FROM m ORDER BY source""".stripMargin,
+
+    // same kNN-graph CTEs as q_knn_graph, then 5 unrolled integer power
+    // iterations (r // deg contributions, damp·S // 1e6 update) — the
+    // trajectory is pure int64, so the replay is exact by construction
+    "q_centrality" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""s$i AS (
+           |  SELECT e.nbr AS vec_id, sum(r.r // e.d) AS s
+           |  FROM ed e JOIN r${i - 1} r ON r.vec_id = e.src GROUP BY e.nbr),
+           |r$i AS (
+           |  SELECT n.vec_id,
+           |    CAST(150000 + 850000 * coalesce(s.s, 0) // 1000000 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN s$i s USING (vec_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 5, 64)} AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT l.vec_id AS src, r.vec_id AS nbr,
+         |         ROUND(${cosineSql("l.embedding", "r.embedding")}, 6) AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id
+         |),
+         |ranked AS (
+         |  SELECT src, nbr, sim,
+         |         row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr ASC) AS rank
+         |  FROM pairs
+         |),
+         |edges AS (SELECT src, nbr FROM ranked WHERE rank <= 3),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+         |ed AS (SELECT e.src, e.nbr, d.d FROM edges e JOIN deg d USING (src)),
+         |nodes AS (SELECT vec_id FROM embeddings),
+         |r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |$iterCtes
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, r AS rank_micro
+         |FROM r5 ORDER BY rank_micro DESC, vec_id LIMIT 20""".stripMargin
+    }
   )
 }

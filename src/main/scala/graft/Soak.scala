@@ -65,7 +65,13 @@ object Soak {
       "q_bpe_segment",
       // map-side broadcast scoring (O(E) per row, E fixed) and the
       // near-dup CC split (pair join + O(diameter) label rounds)
-      "q_semantic_decontaminate", "q_cluster_split")
+      "q_semantic_decontaminate", "q_cluster_split",
+      // round-8 wave 3: the per-user window sort + pair agg (transitions),
+      // the per-user assemble + TakeOrderedAndProject (top paths), the
+      // Aho-Corasick scan (pure map-side, pattern count fixed), the
+      // single-agg moments profile, and the two engagement aggs
+      "q_transitions", "q_top_paths", "q_blocklist", "q_moments",
+      "q_props_profile", "q_stickiness")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,10 +113,19 @@ object Soak {
       catch { case _: Throwable => "" }
     val load0 = loadavg
 
+    // Min of `reps` timings per measurement: this host shows sporadic
+    // heavy external CPU steal (identical runs swing 5-10x), and a ratio
+    // of two single noisy samples is noise squared. The minimum is the
+    // contention-free estimate — same self-adjudication Bench.scala uses
+    // for the headline number.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "2").toInt
     def time(name: String, dir: String): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = exec(name, dir)
-      ((System.nanoTime() - t0) / 1e9, n)
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = exec(name, dir)
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      (samples.map(_._1).min, samples.head._2)
     }
 
     val rows0 = SoakQueries.map { name =>
@@ -136,10 +151,16 @@ object Soak {
             k = k, iters = 2, threshold = 0.42, hierAssign = true)
           .queryExecution.toRdd.count()
       semdedup(baseDir, 32) // warm
-      val t0 = System.nanoTime(); val brows = semdedup(baseDir, 32)
-      val bs = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime(); val srows = semdedup(soakDir, 32 * scale)
-      val ss = (System.nanoTime() - t1) / 1e9
+      def timeSem(dir: String, k: Int): (Double, Long) = {
+        val samples = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val n = semdedup(dir, k)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        (samples.map(_._1).min, samples.head._2)
+      }
+      val (bs, brows) = timeSem(baseDir, 32)
+      val (ss, srows) = timeSem(soakDir, 32 * scale)
       val ratio = ss / bs
       System.err.println(
         f"[soak] q_semdedup_kscaled base ${bs}%6.2fs ($brows%d rows)  soak ${ss}%6.2fs ($srows%d rows)  ratio ${ratio}%5.2fx")
@@ -151,7 +172,7 @@ object Soak {
     }.mkString("{", ",", "}")
     val worst = rows.map(_._6).max
     val line =
-      s"""{"metric":"soak_worst_ratio","value":$worst,"unit":"x","scale":$scale,"queries":$qjson,"base":"$baseDir","loadavg_start":"$load0","loadavg_end":"$loadavg"}"""
+      s"""{"metric":"soak_worst_ratio","value":$worst,"unit":"x","scale":$scale,"reps":$reps,"stat":"min","queries":$qjson,"base":"$baseDir","loadavg_start":"$load0","loadavg_end":"$loadavg"}"""
     println(line)
     Files.writeString(Paths.get("soak.json"), line + "\n")
     spark.stop()

@@ -101,6 +101,42 @@ class Round8Wave3Spec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq(("a>b", 2L), ("z", 1L)))
   }
 
+  // -------------------------------------------------------------- pagerank
+
+  test("pageRankTop matches a sequential integer power-iteration replay") {
+    import spark.implicits._
+    // 1 -> 2, 2 -> 1, 3 -> 1, 3 -> 2, 4 isolated (never a src; rank floor)
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L)).toDF("s", "d")
+    val got = graft.sim.GraphRank
+      .pageRankTop(nodes, edges, "id", "s", "d", iters = 3, k = 4)
+      .as[(Long, Long)].collect().toSeq
+
+    // sequential replay of the exact integer recurrence
+    val out = Map(1L -> 1, 2L -> 1, 3L -> 2)
+    val adj = Seq(1L -> 2L, 2L -> 1L, 3L -> 1L, 3L -> 2L)
+    var r = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L)
+    for (_ <- 1 to 3) {
+      val s = adj.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / out(u) }.sum
+      }
+      r = r.keys.map(v => v -> (150000L + 850000L * s.getOrElse(v, 0L) / 1000000L)).toMap
+    }
+    val want = r.toSeq.sortBy { case (v, rk) => (-rk, v) }
+    assert(got == want, s"got $got want $want")
+    // node 4 (no in-edges) sits at the teleport floor
+    assert(r(4L) == 150000L)
+  }
+
+  test("pageRankTop releases every cache it creates") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    graft.sim.GraphRank.pageRankTop(nodes, edges, "id", "s", "d", 2, 2).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   // --------------------------------------------------------------- moments
 
   test("moments emits exact power sums and quantized mean/variance") {

@@ -430,5 +430,49 @@ leak = nds.groupBy("canonical_id").agg({"split": "count"}) \
              .groupBy("canonical_id").count().where("count > 1"), "canonical_id", "inner")
 assert leak.count() == 0, "a near-dup component crossed splits"
 print("PASS near_dup_safe_split")
+
+# round 8 wave 3: transitions, top paths, blocklist, moments
+from graft import transitions, top_paths, blocklist_counts, moments
+
+ev3 = spark.createDataFrame(
+    [("u1", 1, 1000, "a"), ("u1", 2, 2000, "b"), ("u1", 3, 3000, "a"),
+     ("u2", 4, 1500, "b"), ("u2", 5, 2500, "b")],
+    "user_id string, event_id long, ms long, event_type string") \
+    .selectExpr("user_id", "event_id", "event_type", "timestamp_millis(ms) AS ts")
+tr = {(r["from_type"], r["to_type"]): (r["n"], r["prob_micro"])
+      for r in transitions(ev3, "user_id", "event_type", "ts", "event_id").collect()}
+assert tr[("a", "b")] == (1, 1000000) and tr[("b", "a")] == (1, 500000) \
+    and tr[("b", "b")] == (1, 500000), tr
+print("PASS transitions")
+
+tp = top_paths(ev3, "user_id", "event_type", "ts", "event_id", 2, 5).collect()
+assert [(r["path"], r["n_users"]) for r in tp] == [("a>b", 1), ("b>b", 1)], tp
+print("PASS top_paths")
+
+bl = blocklist_counts(
+    spark.createDataFrame([(1, "onion station"), (2, "nothing")],
+                          "doc_id long, text string"),
+    "text", ["on", "ion"]).collect()
+bl = {r["doc_id"]: list(r["counts"]) for r in bl}
+assert bl[1] == [3, 2] and bl[2] == [0, 0], bl
+print("PASS blocklist_counts")
+
+mo = moments(spark.createDataFrame([("s", 2), ("s", 4), ("s", 6)],
+                                   "src string, len long"), "src", "len").collect()[0]
+assert (mo["n"], mo["s1"], mo["s2"], mo["mean_micro"], mo["var_micro"]) \
+    == (3, 12, 56, 4000000, 2666666), mo
+print("PASS moments")
+
+from graft import pagerank_top
+pr = pagerank_top(
+    spark.createDataFrame([(1,), (2,), (3,)], "id long"),
+    spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "s long, d long"),
+    "id", "s", "d", 2, 3)
+pr = {r["id"]: r["rank_micro"] for r in pr.collect()}
+# replay: r1 = {1: 1850000, 2: 1000000, 3: 150000}
+#         r2 = {1: 150000+850000*1150000//1e6, 2: 150000+850000*1850000//1e6, 3: 150000}
+assert pr == {1: 1127500, 2: 1722500, 3: 150000}, pr
+print("PASS pagerank_top")
+
 spark.stop()
-print("PASS: round-8 wave-2 wrappers")
+print("PASS: round-8 wave-2 + wave-3 wrappers")
