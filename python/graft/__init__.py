@@ -609,3 +609,10 @@ def pagerank_top(nodes, edges, id_col, src_col, dst_col, iters, k,
     return _wrap(nodes, m.pageRankTop(nodes._jdf, edges._jdf, id_col,
                                       src_col, dst_col, iters, k,
                                       damp_micro))
+
+
+def k_centers(df, id_col, vec_col, k, round_to=6):
+    """Greedy farthest-first k-center diversity selection: (rank, id,
+    sel_sim) - k map-side scan rounds, deterministic trajectory."""
+    m = _module(df.sparkSession, "graft.sim.KCenter$")
+    return _wrap(df, m.farthestFirst(df._jdf, id_col, vec_col, k, round_to))

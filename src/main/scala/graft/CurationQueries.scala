@@ -229,6 +229,16 @@ object CurationQueries {
         .select(col("src"), col("nbr"))
       graft.sim.GraphRank.pageRankTop(emb.select(col("vec_id")), edges,
         "vec_id", "src", "nbr", iters = 5, k = 20)
+    }),
+
+    "q_kcenter" -> ((s, dir) => {
+      // diversity coreset: greedy farthest-first k-center (Gonzalez) over
+      // the embeddings — the diverse-selection complement to
+      // q_centrality's representative selection. k map-side-scan rounds
+      // against a single literal center each; deterministic via rounded
+      // sims + id tiebreaks, so the DuckDB oracle replays the trajectory.
+      graft.sim.KCenter.farthestFirst(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 6)
     })
   )
 
@@ -618,6 +628,29 @@ object CurationQueries {
          |$iterCtes
          |SELECT CAST(vec_id AS BIGINT) AS vec_id, r AS rank_micro
          |FROM r5 ORDER BY rank_micro DESC, vec_id LIMIT 20""".stripMargin
+    },
+
+    // farthest-first replay: c0 = min id; stage i carries every
+    // not-yet-chosen vector's running max-sim and picks the argmin
+    // (ms asc, id asc) — the exact trajectory KCenter.farthestFirst walks
+    "q_kcenter" -> {
+      val stages = (1 to 5).map { i =>
+        s"""s$i AS (
+           |  SELECT p.vec_id, p.embedding,
+           |    GREATEST(p.ms, ROUND(${cosineSql("p.embedding", s"c${i - 1}.embedding")}, 6)) AS ms
+           |  FROM s${i - 1} p, c${i - 1} WHERE p.vec_id != c${i - 1}.vec_id),
+           |c$i AS (SELECT vec_id, embedding, ms FROM s$i
+           |        ORDER BY ms ASC, vec_id ASC LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val arms = (1 to 5).map { i =>
+        s"SELECT CAST(${i + 1} AS BIGINT) AS rank, CAST(c$i.vec_id AS BIGINT) AS vec_id, c$i.ms AS sel_sim FROM c$i"
+      }.mkString("\nUNION ALL ")
+      s"""WITH c0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+         |s0 AS (SELECT vec_id, embedding, -1.0 AS ms FROM embeddings),
+         |$stages
+         |SELECT CAST(1 AS BIGINT) AS rank, CAST(c0.vec_id AS BIGINT) AS vec_id, 1.0 AS sel_sim FROM c0
+         |UNION ALL $arms
+         |ORDER BY rank""".stripMargin
     }
   )
 }

@@ -137,6 +137,36 @@ class Round8Wave3Spec extends AnyFunSuite with SparkTestSession {
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 
+  // -------------------------------------------------------------- k-center
+
+  test("farthestFirst walks the exact greedy trajectory with id tiebreaks") {
+    import spark.implicits._
+    // four unit-ish vectors: 1 and 2 nearly parallel, 3 orthogonal to both,
+    // 4 diagonal. Seed = id 1; farthest from 1 is 3 (sim 0); then 4 (its
+    // max-sim to {1,3} below 2's near-1 sim to 1); then 2.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.999, 0.0447)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.6, 0.8))
+    ).toDF("id", "v")
+    val got = graft.sim.KCenter.farthestFirst(vecs, "id", "v", k = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 4L, 2L), got)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // selection scores: 3's max-sim to {1} is 0; 4's to {1,3} is max(.6,.8)
+    assert(got(1)._3 == 0.0 && got(2)._3 == 0.8, got)
+    // seed reports 1.0
+    assert(got(0)._3 == 1.0)
+  }
+
+  test("farthestFirst stops early when k exceeds the corpus and frees caches") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
+    val got = graft.sim.KCenter.farthestFirst(vecs, "id", "v", k = 10).count()
+    assert(got == 2L)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   // --------------------------------------------------------------- moments
 
   test("moments emits exact power sums and quantized mean/variance") {

@@ -474,5 +474,14 @@ pr = {r["id"]: r["rank_micro"] for r in pr.collect()}
 assert pr == {1: 1127500, 2: 1722500, 3: 150000}, pr
 print("PASS pagerank_top")
 
+from graft import k_centers
+kc = k_centers(
+    spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.6, 0.8])],
+                          "id long, v array<double>"),
+    "id", "v", 3)
+kc = [(r["rank"], r["id"], r["sel_sim"]) for r in kc.collect()]
+assert kc == [(1, 1, 1.0), (2, 2, 0.0), (3, 3, 0.8)], kc
+print("PASS k_centers")
+
 spark.stop()
 print("PASS: round-8 wave-2 + wave-3 wrappers")
