@@ -35,6 +35,8 @@ object Verify {
     "q_pack_shards", "q_curation_funnel", "q_vocab",
     "q_top_ngrams", "q_surprisal", "q_tfidf", "q_cms", "q_substring_dedup",
     "q_bloom_decontaminate",
+    "q_blocklist", "q_moments", "q_props_profile", "q_stickiness",
+    "q_transitions", "q_top_paths",
     "q_term_rarity", "q_decontaminate", "q_contaminated_by", "q_line_dedup", "q_window_agg",
     "q_sessionize", "q_event_sequences",
     "q1_pricing", "q3_shipping", "q_rand_gaussian",

@@ -119,6 +119,43 @@ class StreamingEventParitySpec extends AnyFunSuite with SparkTestSession {
     } finally sq.stop()
   }
 
+  test("props profiling: typed-on-read JSON parses identically in a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val prows = Seq(
+      ("click", "u1", """{"k": 5}"""), ("click", "u2", """{"k": 7}"""),
+      ("view", "u1", """{"j": 1}"""),  // no k field -> null
+      ("view", "u3", "not json"),      // malformed -> null
+      ("click", "u1", """{"k": -2}""")
+    )
+    def profile(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("user_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"))
+
+    val batch = profile(prows.toDF("event_type", "user_id", "props"))
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+
+    val stream = MemoryStream[(String, String, String)]
+    val sq = profile(stream.toDS().toDF("event_type", "user_id", "props"))
+      .writeStream.format("memory").queryName("props_parity")
+      .outputMode("complete").start()
+    try {
+      stream.addData(prows.take(2)); sq.processAllAvailable()
+      stream.addData(prows.drop(2)); sq.processAllAvailable()
+      val got = spark.table("props_parity")
+        .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(batch.find(_._1 == "click").get._4.contains(10L))
+      assert(batch.find(_._1 == "view").get._3 == 0L)
+    } finally sq.stop()
+  }
+
   test("transitions: streaming adjacency pairs reproduce the batch pair counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
