@@ -96,4 +96,66 @@ class StreamingCorpusOpsSpec extends AnyFunSuite with SparkTestSession {
     sq.stop()
     assert(streamed.toSeq == batch.toSeq, s"stream=${streamed.toSeq} batch=${batch.toSeq}")
   }
+
+  test("blocklist counting is a stateless map: batch ≡ stream under a fixed automaton") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val kern = graft.text.Blocklist.kernel(Seq("on", "ion", "zz"))
+    val rows = Seq((1L, "onion station"), (2L, "no hits"), (3L, "zzz onon"))
+
+    def counted(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      graft.text.Blocklist.counts(col("text"), kern).as("c"))
+
+    val batch = counted(rows.toDF("doc_id", "text"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+
+    val stream = MemoryStream[(Long, String)]
+    val sq = counted(stream.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("blocklist_parity")
+      .outputMode("append").start()
+    stream.addData(rows.take(1)); sq.processAllAvailable()
+    stream.addData(rows.drop(1)); sq.processAllAvailable()
+    val streamed = spark.table("blocklist_parity")
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    sq.stop()
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch.head._2 == Seq(3L, 2L, 0L))
+  }
+
+  test("moments power sums accumulate incrementally on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(("s", 2L), ("s", 4L), ("t", 5L), ("s", 6L), ("t", 7L))
+
+    val batch = graft.operators.CorpusStats
+      .moments(rows.toDF("src", "len"), "src", "len")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+
+    // streaming form: the same power-sum aggregation in complete mode
+    // (sums are associative+commutative, so partial fold order is free);
+    // the quantized projections run on the aggregated frame
+    val stream = MemoryStream[(String, Long)]
+    val x = col("len").cast("long")
+    val sq = stream.toDS().toDF("src", "len")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"),
+        sum(x.cast("decimal(38,0)") * x * x * x).as("_s4d"))
+      .writeStream.format("memory").queryName("moments_parity")
+      .outputMode("complete").start()
+    stream.addData(rows.take(2)); sq.processAllAvailable()
+    stream.addData(rows.drop(2)); sq.processAllAvailable()
+    val streamed = spark.table("moments_parity")
+      .select(col("src"), col("n"), col("s1"), col("s2"), col("s3"),
+        expr("CAST(_s4d div 1000000 AS BIGINT)").as("s4_q6"),
+        expr("CAST(CAST(s1 AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)").as("mean_micro"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * s2 -
+                      CAST(s1 AS DECIMAL(38,0)) * s1) * 1000000
+                 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""").as("var_micro"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    sq.stop()
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
 }
