@@ -231,6 +231,30 @@ object CurationQueries {
         "vec_id", "src", "nbr", iters = 5, k = 20)
     }),
 
+    "q_pmi" -> ((s, dir) => {
+      // phrase mining: top-40 bigram collocations by staged-integer
+      // pointwise lift (exact at 100 TB token totals — see
+      // CorpusStats.pmiCollocations for the DECIMAL(38,0) staging bound).
+      // Count-table joins only; TakeOrderedAndProject top-k.
+      CorpusStats.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5L, k = 40)
+    }),
+
+    "q_char_entropy" -> ((s, dir) => {
+      // vocabulary-free gibberish/boilerplate signal: quantized per-doc
+      // character entropy (millibits/char, exact bit-length arithmetic) +
+      // the per-source rollup every curation dashboard actually reads.
+      CorpusStats.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_ngram_diversity" -> ((s, dir) => {
+      // template-detection dashboard: per-source distinct 1/2/3-gram
+      // counts and type-token ratios; trigram TTR collapse = templated
+      // source, unigram TTR explosion = gibberish source.
+      CorpusStats.ngramDiversity(t(s, dir, "documents"), "source", "text")
+    }),
+
     "q_kcenter" -> ((s, dir) => {
       // diversity coreset: greedy farthest-first k-center (Gonzalez) over
       // the embeddings — the diverse-selection complement to
@@ -578,6 +602,65 @@ object CurationQueries {
          |  CAST(sum(cnt) AS BIGINT) AS n_hits
          |FROM c GROUP BY pattern ORDER BY pattern""".stripMargin
     },
+
+    // staged HUGEINT lift replay — same operation order as the Scala
+    // DECIMAL(38,0) staging, so the quantized lift matches bit-for-bit
+    "q_pmi" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks()} AS tk FROM documents),
+         |toks AS (SELECT unnest(tk) AS tok FROM tk),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY tok),
+         |grams AS (
+         |  SELECT unnest(CASE WHEN len(tk) >= 2
+         |    THEN list_transform(range(len(tk) - 1),
+         |                        i -> array_to_string(list_slice(tk, i+1, i+2), ' '))
+         |    ELSE [] END) AS g
+         |  FROM tk),
+         |bigall AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY g),
+         |big AS (SELECT * FROM bigall WHERE c2 >= 5),
+         |tot AS (SELECT (SELECT sum(c1) FROM uni) AS tu,
+         |               (SELECT sum(c2) FROM bigall) AS tb)
+         |SELECT b.g AS bigram, b.c2 AS n,
+         |  u1.c1 AS cw1, u2.c1 AS cw2,
+         |  CAST(((CAST(b.c2 AS HUGEINT) * tu // u1.c1)
+         |         * tu // u2.c1) * 1000000 // tb AS BIGINT) AS lift_micro
+         |FROM big b
+         |JOIN uni u1 ON string_split(b.g, ' ')[1] = u1.tok
+         |JOIN uni u2 ON string_split(b.g, ' ')[2] = u2.tok
+         |CROSS JOIN tot
+         |ORDER BY lift_micro DESC, bigram LIMIT 40""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]'))
+        |    AS ch
+        |  FROM documents),
+        |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS nc
+        |       FROM ch GROUP BY doc_id, ch),
+        |w AS (SELECT doc_id, nc,
+        |        sum(nc) OVER (PARTITION BY doc_id) AS n
+        |      FROM cc),
+        |b AS (SELECT doc_id, n, nc,
+        |        CAST(length(bin(n // nc)) - 1 AS BIGINT) AS bits
+        |      FROM w)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_alnum,
+        |  CAST(sum(nc * bits) * 1000 // max(n) AS BIGINT) AS ent_milli
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_diversity" ->
+      s"""WITH tk AS (SELECT source, ${duckToks()} AS tk FROM documents),
+         |g AS (
+         |  SELECT source, n, unnest(CASE WHEN len(tk) >= n
+         |    THEN list_transform(range(len(tk) - n + 1),
+         |           i -> array_to_string(list_slice(tk, i+1, i+n), ' '))
+         |    ELSE [] END) AS gram
+         |  FROM tk CROSS JOIN (SELECT unnest([1, 2, 3]) AS n)),
+         |c AS (SELECT source, n, gram, count(*) AS c
+         |      FROM g GROUP BY source, n, gram)
+         |SELECT source, CAST(n AS BIGINT) AS n,
+         |  CAST(sum(c) AS BIGINT) AS total,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(count(*) * 1000 // sum(c) AS BIGINT) AS ttr_milli
+         |FROM c GROUP BY source, n ORDER BY source, n""".stripMargin,
 
     "q_moments" ->
       """WITH m AS (

@@ -116,6 +116,27 @@ object EventQueries {
         "ts", "event_id")
     }),
 
+    "q_attribution" -> ((s, dir) => {
+      // first/last-touch conversion attribution: channel credit for the
+      // touches strictly before each user's first purchase. One exchange
+      // on user_id (window + groupBy share the partitioning); determinism
+      // via the zero-padded (ts_micros, event_id) order key.
+      EventAnalytics.attribution(events(s, dir), "user_id", "event_type",
+        "ts", "event_id", convType = "purchase")
+    }),
+
+    "q_rfm" -> ((s, dir) => {
+      // log2-bucketed RFM segmentation on the order facts: data-independent
+      // bucket edges (no global ntile sort), exact DECIMAL(18,2) revenue,
+      // cents exported as BIGINT. Two aggregation shuffles end-to-end.
+      EventAnalytics.rfmSegments(t(s, dir, "orders"), "o_custkey",
+          "o_orderdate", "o_totalprice")
+        .select(col("r_bucket"), col("f_bucket"), col("m_bucket"),
+          col("n_customers"),
+          (col("total_monetary") * 100).cast("long").as("total_cents"),
+          col("max_freq"))
+    }),
+
     "q_top_paths" -> ((s, dir) => {
       // top-20 5-step user journeys: first five event types per user
       // joined with '>', ranked by user count (ties path-asc) — struct
@@ -270,6 +291,61 @@ object EventQueries {
         |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
         |    AS prob_micro
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+        |    lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord
+        |  FROM events
+        |),
+        |c AS (
+        |  SELECT user_id, event_type, ord,
+        |    min(CASE WHEN event_type = 'purchase' THEN ord END)
+        |      OVER (PARTITION BY user_id) AS conv_ord
+        |  FROM e
+        |),
+        |t AS (
+        |  SELECT user_id,
+        |    arg_min(event_type, ord) AS first_touch,
+        |    arg_max(event_type, ord) AS last_touch
+        |  FROM c WHERE conv_ord IS NOT NULL AND ord < conv_ord
+        |  GROUP BY user_id
+        |),
+        |f AS (SELECT first_touch AS event_type,
+        |        CAST(count(*) AS BIGINT) AS fn FROM t GROUP BY 1),
+        |l AS (SELECT last_touch AS event_type,
+        |        CAST(count(*) AS BIGINT) AS ln FROM t GROUP BY 1)
+        |SELECT coalesce(f.event_type, l.event_type) AS event_type,
+        |  CAST(coalesce(fn, 0) AS BIGINT) AS first_touch_users,
+        |  CAST(coalesce(ln, 0) AS BIGINT) AS last_touch_users
+        |FROM f FULL OUTER JOIN l ON f.event_type = l.event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    max(o_orderdate) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY o_custkey
+        |),
+        |ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+        |b AS (
+        |  SELECT
+        |    CAST(length(bin(date_diff('day', CAST(last_order AS DATE),
+        |      CAST(ref_date AS DATE)) + 1)) AS BIGINT) AS r_bucket,
+        |    CAST(length(bin(freq)) AS BIGINT) AS f_bucket,
+        |    CAST(length(bin(CAST(floor(monetary) AS BIGINT) + 1)) AS BIGINT)
+        |      AS m_bucket,
+        |    monetary, freq
+        |  FROM pc CROSS JOIN ref
+        |)
+        |SELECT r_bucket, f_bucket, m_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(monetary) * 100 AS BIGINT) AS total_cents,
+        |  CAST(max(freq) AS BIGINT) AS max_freq
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_top_paths" ->
       """WITH o AS (

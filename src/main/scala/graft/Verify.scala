@@ -28,6 +28,8 @@ object Verify {
     "q_curriculum", "q_pad_batches", "q_repetition_budget",
     "q_dup_cluster_hist", "q_embed_stats", "q_knn_label_vote",
     "q_funnel", "q_retention", "q_containment",
+    "q_funnel_windowed", "q_time_to_convert", "q_attribution", "q_rfm",
+    "q_kcenter", "q_centrality", "q_cluster_split", "q_semantic_decontaminate",
     "q_nb_classifier", "q_dsir_weights",
     "q_ann_pq", "q_ann_ivfpq",
     "q_dedup_exact", "q_source_overlap", "q_leakage_split", "q_stratified_sample",
@@ -35,6 +37,8 @@ object Verify {
     "q_pack_shards", "q_curation_funnel", "q_vocab",
     "q_top_ngrams", "q_surprisal", "q_tfidf", "q_cms", "q_substring_dedup",
     "q_bloom_decontaminate",
+    "q_subword_vocab", "q_bpe_tokens", "q_bpe_budget", "q_bpe_train",
+    "q_bpe_segment", "q_pmi", "q_char_entropy", "q_ngram_diversity",
     "q_blocklist", "q_moments", "q_props_profile", "q_stickiness",
     "q_transitions", "q_top_paths",
     "q_term_rarity", "q_decontaminate", "q_contaminated_by", "q_line_dedup", "q_window_agg",

@@ -315,4 +315,116 @@ object CorpusStats {
           .as("var_micro"))
       .orderBy(col(groupCol))
   }
+
+  /**
+   * Top-k bigram collocations by integer pointwise-lift — the corpus
+   * phrase-mining pass ("new york"-style multiword units score high, chance
+   * co-occurrences score ~1e6). For bigram w1·w2 with bigram count c2,
+   * unigram counts cw1/cw2, token total `tu` and bigram total `tb`, the
+   * micro-scaled lift is the STAGED integer expression
+   *
+   *   lift_micro = (((c2·tu div cw1)·tu div cw2)·1e6) div tb
+   *
+   * — a deterministic quantization of p(w1w2)/(p(w1)p(w2)) (monotone in the
+   * true lift up to quantization). Staging keeps every intermediate within
+   * DECIMAL(38,0): c2·tu ≤ tu² is 26 digits at tu = 10¹³ tokens (≈ 100 TB
+   * of text), the divisions only shrink it, and the ×1e6 adds 6 digits —
+   * never near 38. A single c2·tu²·1e6 numerator would need 45 digits and
+   * overflow; the staged form is the scale-safe one, and the oracle replays
+   * the exact same staging.
+   *
+   * Scale shape: two vocabulary-sized count aggregations (unigram, bigram),
+   * two joins OF COUNT TABLES (never the corpus), 1-row total broadcast,
+   * and a TakeOrderedAndProject top-k — no global sort, no window.
+   * `minCount` prunes the hapax tail before the joins (the bigram vocab is
+   * Heaps-law huge; the c2 ≥ minCount survivors are a tiny fraction).
+   */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k > 0, "minCount and k must be positive")
+    val toks = df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val grams = df.select(
+      explode(graft.functions.HashExpressions.wordNGrams(col(textCol), 2)).as("g"))
+    val bigAll = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val big = bigAll.where(col("c2") >= minCount)
+    // totals over the UNFILTERED counts — tb is the corpus bigram count,
+    // not the post-prune survivor count, so minCount never shifts the scale
+    val totals = uni.agg(sum(col("c1")).as("tu"))
+      .crossJoin(bigAll.agg(sum(col("c2")).as("tb")))
+    big
+      .join(uni.select(col("tok").as("_w1"), col("c1").as("cw1")),
+        substring_index(col("g"), " ", 1) === col("_w1"))
+      .join(uni.select(col("tok").as("_w2"), col("c1").as("cw2")),
+        substring_index(col("g"), " ", -1) === col("_w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift_micro",
+        expr("""CAST(((CAST(c2 AS DECIMAL(38,0)) * tu div cw1)
+                      * tu div cw2) * 1000000 div tb AS BIGINT)"""))
+      .select(col("g").as("bigram"), col("c2").as("n"), col("cw1"),
+        col("cw2"), col("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /**
+   * Quantized character-distribution entropy per document — the
+   * gibberish/boilerplate detector that needs no vocabulary: keyboard-mash
+   * and base64 blobs score high, "aaaa…" and template spam score near zero.
+   * Counts lowercase alphanumerics only (regexp_extract_all '[a-z0-9]' —
+   * portable across engines, immune to newline/'.'-matching differences).
+   * Each char class c with count n_c out of N contributes n_c·bits(c) where
+   * bits(c) = floor(log2(N div n_c)) via the exact bit-length trick, and
+   *
+   *   ent_milli = Σ n_c·bits(c) · 1000 div N
+   *
+   * — the integer-quantized empirical entropy in millibits/char, replayed
+   * exactly by any engine.
+   *
+   * Scale shape: one explode + aggregation keyed (doc, char) with map-side
+   * partials (≤ 36 rows per doc out of the partial), then a per-doc
+   * rollup — embarrassingly parallel, no corpus-wide state at all.
+   */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.select(col(idCol),
+      explode(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]', 0)")).as("ch"))
+    chars.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("nc"))
+      .withColumn("n", sum(col("nc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .withColumn("bits", (length(bin(expr("n div nc"))) - 1).cast("long"))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n_alnum"),
+        sum(col("nc") * col("bits")).as("sum_bits"))
+      .withColumn("ent_milli", expr("CAST(sum_bits * 1000 div n_alnum AS BIGINT)"))
+      .select(col(idCol), col("n_alnum"), col("ent_milli"))
+  }
+
+  /**
+   * Multi-order n-gram diversity per group — the repetition dashboard one
+   * level above `vocabProfile`: for n = 1..3, the distinct-n-gram count and
+   * the type/token ratio `ttr_milli = distinct·1000 div total`. A crawl
+   * slice whose trigram TTR collapses while its unigram TTR holds is
+   * template-heavy (same words, same phrasings); synthetic/gibberish text
+   * shows the opposite signature. Output: (group, n, total, distinct,
+   * ttr_milli), all integer-exact.
+   *
+   * Scale shape: per order, one aggregation keyed (group, gram) — shuffle
+   * bounded by per-group n-gram vocabulary, never token count — then a
+   * |groups|-row rollup; the three orders union tiny PROFILE tables, not
+   * corpus scans... each order is its own corpus scan (3 scans total), the
+   * price of exact distinct counts per order.
+   */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val orders = (1 to 3).map { n =>
+      val grams = df.select(col(groupCol),
+        explode(graft.functions.HashExpressions.wordNGrams(col(textCol), n)).as("g"))
+      grams.groupBy(col(groupCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(groupCol))
+        .agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"))
+        .select(col(groupCol), lit(n).cast("long").as("n"), col("total"),
+          col("n_distinct"),
+          expr("CAST(n_distinct * 1000 div total AS BIGINT)").as("ttr_milli"))
+    }
+    orders.reduce(_.unionByName(_)).orderBy(col(groupCol), col("n"))
+  }
 }

@@ -136,6 +136,92 @@ object EventAnalytics {
   }
 
   /**
+   * First/last-touch conversion attribution: for every user who converts
+   * (has a `convType` event), the event types of their FIRST and LAST
+   * touches strictly before the first conversion get one credit each.
+   * Returns `(event_type, first_touch_users, last_touch_users)` — the
+   * channel-credit dashboard marketers run next to the funnel.
+   *
+   * Determinism across engines: events are totally ordered by a zero-padded
+   * `(ts_micros, event_id)` string key (unique id breaks timestamp ties),
+   * so "first conversion", "first touch" and "last touch" are exact
+   * `min_by`/`max_by` picks — no window-function tie luck.
+   *
+   * Scale shape: ONE exchange on the user key — the per-user first
+   * conversion rides an unordered window over that partitioning, the
+   * pre-conversion filter is a projection, and the touch `groupBy(user)`
+   * reuses the same hash partitioning (no second exchange); the final
+   * channel rollup aggregates the |users|-row touch table into |types|
+   * rows with map-side partials. No join against the event stream.
+   */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, convType: String): DataFrame = {
+    val ord = concat(
+      lpad(unix_micros(col(tsCol)).cast("string"), 20, "0"),
+      lpad(col(idCol).cast("string"), 20, "0"))
+    val w = Window.partitionBy(col(userCol))
+    val touches = events
+      .select(col(userCol), col(typeCol), ord.as("ord"))
+      .withColumn("conv_ord",
+        min(when(col(typeCol) === convType, col("ord"))).over(w))
+      .where(col("conv_ord").isNotNull && col("ord") < col("conv_ord"))
+      .groupBy(col(userCol))
+      .agg(min_by(col(typeCol), col("ord")).as("first_touch"),
+        max_by(col(typeCol), col("ord")).as("last_touch"))
+    // unpivot the two credit kinds so ONE rollup serves both — a separate
+    // groupBy per kind would recompute the whole touch subtree (scan +
+    // window + agg) once per branch
+    touches
+      .select(explode(array(
+        struct(lit(1).as("is_first"), col("first_touch").as("event_type")),
+        struct(lit(0).as("is_first"), col("last_touch").as("event_type")))).as("x"))
+      .groupBy(col("x.event_type").as("event_type"))
+      .agg(sum(when(col("x.is_first") === 1, 1L).otherwise(0L)).as("first_touch_users"),
+        sum(when(col("x.is_first") === 0, 1L).otherwise(0L)).as("last_touch_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
+   * Log2-bucketed RFM segmentation over an order fact table: per customer,
+   * recency (days since their last order, against the corpus max date),
+   * frequency (order count) and monetary (exact DECIMAL(18,2) revenue sum —
+   * order-independent addition, unlike a double sum) fold into bit-length
+   * buckets, and the output is one row per `(r_bucket, f_bucket, m_bucket)`
+   * segment with customer count, total revenue and max frequency.
+   *
+   * Data-independent bucket edges (log2, not ntile): an `ntile` quantile
+   * scoring needs a GLOBAL sort window over every customer — the classic
+   * single-partition scale killer. Bit-length buckets are a projection, keep
+   * the whole plan at two aggregation shuffles (customer rollup, segment
+   * rollup), and are stable period-over-period, which dashboards prefer.
+   * The corpus max date is a 1-row broadcast.
+   */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+      amountCol: String): DataFrame = {
+    val amt = col(amountCol).cast("decimal(18,2)")
+    val perCust = orders.groupBy(col(custCol)).agg(
+      max(col(dateCol)).as("last_order"),
+      count(lit(1)).as("freq"),
+      sum(amt).as("monetary"))
+    val refDate = orders.agg(max(col(dateCol)).as("ref_date"))
+    perCust.crossJoin(broadcast(refDate))
+      .withColumn("recency_days",
+        datediff(col("ref_date").cast("date"), col("last_order").cast("date"))
+          .cast("long"))
+      .select(
+        length(bin(col("recency_days") + 1)).cast("long").as("r_bucket"),
+        length(bin(col("freq"))).cast("long").as("f_bucket"),
+        length(bin(floor(col("monetary")).cast("long") + 1)).cast("long")
+          .as("m_bucket"),
+        col("monetary"), col("freq"))
+      .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).as("total_monetary"),
+        max(col("freq")).as("max_freq"))
+      .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+  }
+
+  /**
    * Top-k user journeys: each user's first `pathLen` event types (totally
    * ordered by `(tsCol, idCol)`) joined with '>', ranked by user count —
    * the "what do new users actually do" dashboard. Deterministic despite
