@@ -616,3 +616,44 @@ def k_centers(df, id_col, vec_col, k, round_to=6):
     sel_sim) - k map-side scan rounds, deterministic trajectory."""
     m = _module(df.sparkSession, "graft.sim.KCenter$")
     return _wrap(df, m.farthestFirst(df._jdf, id_col, vec_col, k, round_to))
+
+
+def attribution(events, user_col, type_col, ts_col, id_col, conv_type):
+    """First/last-touch conversion attribution: (event_type,
+    first_touch_users, last_touch_users) for the touches strictly before
+    each user's first conv_type event. One exchange on the user key."""
+    m = _module(events.sparkSession, "graft.operators.EventAnalytics$")
+    return _wrap(events, m.attribution(events._jdf, user_col, type_col,
+                                       ts_col, id_col, conv_type))
+
+
+def rfm_segments(orders, cust_col, date_col, amount_col):
+    """Log2-bucketed RFM segmentation: (r_bucket, f_bucket, m_bucket,
+    n_customers, total_monetary, max_freq) with exact DECIMAL revenue and
+    data-independent bit-length bucket edges (no global ntile sort)."""
+    m = _module(orders.sparkSession, "graft.operators.EventAnalytics$")
+    return _wrap(orders, m.rfmSegments(orders._jdf, cust_col, date_col,
+                                       amount_col))
+
+
+def pmi_collocations(df, id_col, text_col, min_count, k):
+    """Top-k bigram collocations by staged-integer pointwise lift
+    (lift_micro, exact to 100 TB token totals); count-table joins only."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.pmiCollocations(df._jdf, id_col, text_col,
+                                       int(min_count), int(k)))
+
+
+def char_entropy(df, id_col, text_col):
+    """Quantized per-doc character entropy over [a-z0-9] classes:
+    (id, n_alnum, ent_milli) in exact millibits/char — the
+    vocabulary-free gibberish/boilerplate signal."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.charEntropy(df._jdf, id_col, text_col))
+
+
+def ngram_diversity(df, group_col, text_col):
+    """Per-group distinct 1/2/3-gram counts + type/token ratios
+    (ttr_milli): trigram TTR collapse = templated source."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.ngramDiversity(df._jdf, group_col, text_col))

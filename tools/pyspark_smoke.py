@@ -483,5 +483,62 @@ kc = [(r["rank"], r["id"], r["sel_sim"]) for r in kc.collect()]
 assert kc == [(1, 1, 1.0), (2, 2, 0.0), (3, 3, 0.8)], kc
 print("PASS k_centers")
 
+# round 8 wave 6: attribution, RFM, PMI, char entropy, n-gram diversity
+from graft import (attribution, rfm_segments, pmi_collocations, char_entropy,
+                   ngram_diversity)
+
+ev6 = spark.createDataFrame(
+    [("u1", 1, 1000, "ad"), ("u1", 2, 2000, "email"),
+     ("u1", 3, 3000, "purchase"), ("u1", 4, 4000, "ad"),
+     ("u2", 5, 1000, "email"), ("u2", 6, 2000, "ad"),
+     ("u2", 7, 3000, "purchase"),
+     ("u3", 8, 1000, "ad")],
+    "user_id string, event_id long, ms long, event_type string") \
+    .selectExpr("user_id", "event_id", "event_type", "timestamp_millis(ms) AS ts")
+at = {r["event_type"]: (r["first_touch_users"], r["last_touch_users"])
+      for r in attribution(ev6, "user_id", "event_type", "ts", "event_id",
+                           "purchase").collect()}
+# u1: first=ad last=email; u2: first=email last=ad; u3 never converts
+assert at == {"ad": (1, 1), "email": (1, 1)}, at
+print("PASS attribution")
+
+rf = rfm_segments(
+    spark.createDataFrame(
+        [("A", "2024-01-01", 10.00), ("B", "2024-01-10", 12.00),
+         ("B", "2024-01-11", 8.00)],
+        "cust string, d string, amt double").selectExpr(
+            "cust", "CAST(d AS DATE) AS d", "amt"),
+    "cust", "d", "amt").collect()
+rf = [(r["r_bucket"], r["f_bucket"], r["m_bucket"], r["n_customers"],
+       float(r["total_monetary"]), r["max_freq"]) for r in rf]
+# B: recency 0+1 -> bucket 1, freq 2 -> 2, floor(20)+1=21 -> 5
+# A: recency 10+1=11 -> 4, freq 1 -> 1, floor(10)+1=11 -> 4
+assert rf == [(1, 2, 5, 1, 20.0, 2), (4, 1, 4, 1, 10.0, 1)], rf
+print("PASS rfm_segments")
+
+pm = pmi_collocations(
+    spark.createDataFrame([(1, "x y x y"), (2, "x y")],
+                          "doc_id long, text string"),
+    "doc_id", "text", 2, 5).collect()
+# tu=6, tb=4; "x y": c2=3 cw1=cw2=3 -> ((3*6//3)*6//3)*1e6//4 = 3_000_000
+assert [(r["bigram"], r["n"], r["lift_micro"]) for r in pm] \
+    == [("x y", 3, 3000000)], pm
+print("PASS pmi_collocations")
+
+ce = char_entropy(
+    spark.createDataFrame([(1, "aabb"), (2, "aaaa")],
+                          "doc_id long, text string"),
+    "doc_id", "text").orderBy("doc_id").collect()
+assert [(r["doc_id"], r["n_alnum"], r["ent_milli"]) for r in ce] \
+    == [(1, 4, 1000), (2, 4, 0)], ce
+print("PASS char_entropy")
+
+nd = ngram_diversity(
+    spark.createDataFrame([("s", "a b a b")], "src string, text string"),
+    "src", "text").collect()
+assert [(r["n"], r["total"], r["n_distinct"], r["ttr_milli"]) for r in nd] \
+    == [(1, 4, 2, 500), (2, 3, 2, 666), (3, 2, 2, 1000)], nd
+print("PASS ngram_diversity")
+
 spark.stop()
-print("PASS: round-8 wave-2 + wave-3 wrappers")
+print("PASS: round-8 wave-2 + wave-3 + wave-6 wrappers")
