@@ -96,6 +96,50 @@ object EventStreams {
   }
 
   /**
+   * Attribution touches as a stream: per user per micro-batch, emits the
+   * running (first_touch, last_touch) event types among events strictly
+   * before the user's first `convType` event — the exact per-user row
+   * q_attribution's channel rollup aggregates. In update mode the LATEST
+   * row per user is the live attribution; non-converted users emit nothing.
+   * In-batch rows are sorted by (event-time micros, id) before the fold;
+   * cross-batch, event-time-ordered delivery per user (the watermarked
+   * shape, as in retentionCells) makes the carried state exact. State: one
+   * (converted flag, first type, last type) triple per user — bounded,
+   * never event history.
+   */
+  def attributionTouches(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, convType: String): DataFrame = {
+    implicit val rowEnc = Encoders.row(df.schema)
+    implicit val strEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[(Boolean, String, String)]
+    implicit val outEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING)
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    df.groupByKey((r: Row) => String.valueOf(r.getAs[Any](userCol)))
+      .flatMapGroupsWithState[(Boolean, String, String), (String, String, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[Row], state: GroupState[(Boolean, String, String)]) =>
+          val evs = rows.map { r =>
+            (micros(r.getAs[Timestamp](tsCol)),
+              r.getAs[Number](idCol).longValue(),
+              String.valueOf(r.getAs[Any](typeCol)))
+          }.toVector.sortBy(e => (e._1, e._2))
+          var (converted, first, last) =
+            state.getOption.getOrElse((false, null: String, null: String))
+          evs.foreach { e =>
+            if (!converted) {
+              if (e._3 == convType) converted = true
+              else { if (first == null) first = e._3; last = e._3 }
+            }
+          }
+          state.update((converted, first, last))
+          if (converted && first != null) Iterator((user, first, last))
+          else Iterator.empty
+      }
+      .toDF(userCol, "first_touch", "last_touch")
+  }
+
+  /**
    * Transition pairs as a stream: per user, each arriving event emits one
    * (from_type, to_type) adjacency against its predecessor under (ts, id)
    * order — the exact pair set q_transitions aggregates. In-batch rows are

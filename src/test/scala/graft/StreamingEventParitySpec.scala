@@ -156,6 +156,61 @@ class StreamingEventParitySpec extends AnyFunSuite with SparkTestSession {
     } finally sq.stop()
   }
 
+  test("attribution: streaming touch state reproduces the batch channel credit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // u1 converts with its touches split across the micro-batch boundary;
+    // u2 converts entirely in batch 2; u3 never converts (emits nothing);
+    // u4's post-conversion ad must NOT earn credit
+    val arows = Seq(
+      ("u1", 1L, 0L, "ad"), ("u1", 2L, 10L, "email"),
+      ("u1", 3L, 30L, "purchase"),
+      ("u2", 4L, 25L, "email"), ("u2", 5L, 35L, "ad"),
+      ("u2", 6L, 45L, "purchase"),
+      ("u3", 7L, 5L, "ad"),
+      ("u4", 8L, 2L, "search"), ("u4", 9L, 12L, "purchase"),
+      ("u4", 10L, 22L, "ad")
+    ).map { case (u, id, m, et) => (u, id, ts(m), et) }
+
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("kind") === "f", 1L).otherwise(0L)).as("first_touch_users"),
+        sum(when(col("kind") === "l", 1L).otherwise(0L)).as("last_touch_users"))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+
+    val batch = graft.operators.EventAnalytics.attribution(
+        arows.toDF("user_id", "event_id", "ts", "event_type"),
+        "user_id", "event_type", "ts", "event_id", "purchase")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+
+    // event-time-ordered feed split so u1 converts only in the second batch
+    val ordered = arows.sortBy(r => (r._3.getTime, r._2))
+    val (b1, b2) = ordered.partition(_._3.getTime <= ts(20).getTime)
+    val stream = MemoryStream[(String, Long, Timestamp, String)]
+    val sq = EventStreams.attributionTouches(
+        stream.toDS().toDF("user_id", "event_id", "ts", "event_type"),
+        "user_id", "event_type", "ts", "event_id", "purchase")
+      .writeStream.format("memory").queryName("attribution_parity")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1); sq.processAllAvailable()
+      stream.addData(b2); sq.processAllAvailable()
+      // latest emitted row per user is the live attribution
+      val latest = spark.table("attribution_parity")
+        .withColumn("_n", monotonically_increasing_id())
+        .orderBy(col("_n").desc)
+        .as[(String, String, String, Long)].collect()
+        .groupBy(_._1).map { case (_, v) => (v.head._2, v.head._3) }.toSeq
+      val got = rollup(latest
+        .flatMap { case (f, l) => Seq((f, "f"), (l, "l")) }
+        .toDF("event_type", "kind"))
+      assert(got == batch, s"stream $got vs batch $batch")
+      // spot meanings: u4's post-conversion ad earned nothing, u3 absent
+      assert(batch == Seq(("ad", 1L, 1L), ("email", 1L, 1L), ("search", 1L, 1L)))
+    } finally sq.stop()
+  }
+
   test("transitions: streaming adjacency pairs reproduce the batch pair counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
