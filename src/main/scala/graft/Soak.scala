@@ -71,7 +71,13 @@ object Soak {
       // Aho-Corasick scan (pure map-side, pattern count fixed), the
       // single-agg moments profile, and the two engagement aggs
       "q_transitions", "q_top_paths", "q_blocklist", "q_moments",
-      "q_props_profile", "q_stickiness")
+      "q_props_profile", "q_stickiness",
+      // round-8 wave 6: attribution (one user-key exchange; users scale),
+      // RFM (per-customer rollup; histories lengthen under the copy
+      // generator), PMI (two vocab-sized count aggs — vocabulary grows
+      // linearly under per-copy token suffixing), char entropy (pure
+      // map-side ≤36-row partials), and the 3-order n-gram diversity aggs
+      "q_attribution", "q_rfm", "q_pmi", "q_char_entropy", "q_ngram_diversity")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
