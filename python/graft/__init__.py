@@ -657,3 +657,55 @@ def ngram_diversity(df, group_col, text_col):
     (ttr_milli): trigram TTR collapse = templated source."""
     m = _module(df.sparkSession, "graft.operators.CorpusStats$")
     return _wrap(df, m.ngramDiversity(df._jdf, group_col, text_col))
+
+
+def oov_rate(df, group_col, text_col, vocab_size):
+    """Per-group OOV permille against the corpus' own top-V vocabulary
+    (exact deterministic cut; vocab rides as one codegen kernel)."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.oovRate(df._jdf, group_col, text_col, int(vocab_size)))
+
+
+def zipf_profile(df, text_col, max_rank):
+    """Term frequency at power-of-two ranks with exact floor-log2 bits —
+    the one-glance Zipf corpus-health plot."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.zipfProfile(df._jdf, text_col, int(max_rank)))
+
+
+def readability(df, id_col, text_col):
+    """Integer Flesch-style readability per doc (vowel-group syllable
+    proxy): pure map-side projection, zero shuffles."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.readability(df._jdf, id_col, text_col))
+
+
+def prefix_clusters(df, id_col, text_col, k):
+    """Clusters of docs sharing their first k word tokens — the
+    crawl-boilerplate head detector; one bounded-prefix hash agg."""
+    m = _module(df.sparkSession, "graft.dedup.ExactDedup$")
+    return _wrap(df, m.prefixClusters(df._jdf, id_col, text_col, int(k)))
+
+
+def daily_anomalies(events, type_col, ts_col, min_score_milli=0):
+    """Robust (median/MAD) daily-volume anomaly scores per event type;
+    windows run on the bounded (types x days) profile, never on events."""
+    m = _module(events.sparkSession, "graft.operators.EventAnalytics$")
+    return _wrap(events, m.dailyAnomalies(events._jdf, type_col, ts_col,
+                                          int(min_score_milli)))
+
+
+def session_stats(events, user_col, ts_col, gap_sec=1800):
+    """Gap-session log2 (duration, length) histogram — the
+    engagement-shape dashboard above per-session rows."""
+    m = _module(events.sparkSession, "graft.operators.EventAnalytics$")
+    return _wrap(events, m.sessionStats(events._jdf, user_col, ts_col,
+                                        int(gap_sec)))
+
+
+def ab_lift(events, user_col, type_col, conv_type, arm_pct=50):
+    """Deterministic md5-bucket A/B assignment + per-arm conversion rate
+    and micro-quantized lift vs arm A."""
+    m = _module(events.sparkSession, "graft.operators.EventAnalytics$")
+    return _wrap(events, m.abLift(events._jdf, user_col, type_col,
+                                  conv_type, int(arm_pct)))

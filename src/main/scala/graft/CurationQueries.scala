@@ -255,6 +255,32 @@ object CurationQueries {
       CorpusStats.ngramDiversity(t(s, dir, "documents"), "source", "text")
     }),
 
+    "q_oov_rate" -> ((s, dir) => {
+      // vocabulary-coverage check: per-source OOV permille against the
+      // corpus' own top-2048 vocabulary (bounded model + O(log V) codegen
+      // probe — the NB-classifier broadcast pattern).
+      CorpusStats.oovRate(t(s, dir, "documents"), "source", "text", 2048)
+    }),
+
+    "q_zipf" -> ((s, dir) => {
+      // corpus-health plot: term frequency at power-of-two ranks with exact
+      // floor-log2 bits — a healthy corpus loses ~1 bit per rank doubling.
+      CorpusStats.zipfProfile(t(s, dir, "documents"), "text", 1024)
+    }),
+
+    "q_readability" -> ((s, dir) => {
+      // integer Flesch-style readability per doc (vowel-group syllable
+      // proxy): the standard curation gate, zero shuffles, pure projection.
+      CorpusStats.readability(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "q_prefix_dedup" -> ((s, dir) => {
+      // boilerplate-head detector: clusters of docs sharing their first 16
+      // word tokens — one md5-prefix hash aggregation, the exact-dedup shape.
+      graft.dedup.ExactDedup.prefixClusters(
+        t(s, dir, "documents"), "doc_id", "text", 16)
+    }),
+
     "q_kcenter" -> ((s, dir) => {
       // diversity coreset: greedy farthest-first k-center (Gonzalez) over
       // the embeddings — the diverse-selection complement to
@@ -661,6 +687,66 @@ object CurationQueries {
          |  CAST(count(*) AS BIGINT) AS n_distinct,
          |  CAST(count(*) * 1000 // sum(c) AS BIGINT) AS ttr_milli
          |FROM c GROUP BY source, n ORDER BY source, n""".stripMargin,
+
+    // vocab built under the same (count desc, token asc) total order as
+    // the Scala TakeOrderedAndProject, so the cut at 2048 is identical
+    "q_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, source, ${duckToks()} AS tk FROM documents),
+         |toks AS (SELECT source, unnest(tk) AS tok FROM tk),
+         |vocab AS (SELECT tok FROM (
+         |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+         |  ORDER BY c DESC, tok LIMIT 2048)),
+         |tot AS (
+         |  SELECT t.source, CAST(count(*) AS BIGINT) AS total_tokens,
+         |    CAST(count(v.tok) AS BIGINT) AS n_in
+         |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+         |  GROUP BY t.source),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY source)
+         |SELECT nd.source, nd.n_docs, tot.total_tokens,
+         |  tot.total_tokens - tot.n_in AS oov_tokens,
+         |  CAST((tot.total_tokens - tot.n_in) * 1000 // tot.total_tokens
+         |    AS BIGINT) AS oov_permille
+         |FROM nd JOIN tot ON nd.source = tot.source
+         |ORDER BY nd.source""".stripMargin,
+
+    "q_zipf" ->
+      s"""WITH tk AS (SELECT ${duckToks()} AS tk FROM documents),
+         |toks AS (SELECT unnest(tk) AS tok FROM tk),
+         |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+         |        FROM toks GROUP BY tok),
+         |top AS (SELECT tok, freq FROM cnt ORDER BY freq DESC, tok LIMIT 1024),
+         |rk AS (SELECT tok, freq,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank
+         |  FROM top)
+         |SELECT rank, tok AS term, freq,
+         |  CAST(length(bin(freq)) - 1 AS BIGINT) AS freq_bits
+         |FROM rk WHERE (rank & (rank - 1)) = 0 ORDER BY rank""".stripMargin,
+
+    "q_readability" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len(${duckToks()}) AS BIGINT) AS words,
+         |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+         |      AS sentences,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         |      AS syllables
+         |  FROM documents)
+         |SELECT doc_id, words, sentences, syllables,
+         |  CAST(206835 - (1015 * words) // greatest(sentences, 1)
+         |       - (84600 * syllables) // words AS BIGINT) AS flesch_milli
+         |FROM b WHERE words > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_prefix_dedup" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_slice(${duckToks()}, 1, 16), ' '))
+         |      AS prefix_hash
+         |  FROM documents)
+         |SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+         |FROM p GROUP BY prefix_hash HAVING count(*) > 1
+         |ORDER BY prefix_hash""".stripMargin,
 
     "q_moments" ->
       """WITH m AS (

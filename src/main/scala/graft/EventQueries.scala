@@ -137,6 +137,28 @@ object EventQueries {
           col("max_freq"))
     }),
 
+    "q_anomaly_days" -> ((s, dir) => {
+      // robust daily-volume anomaly scores: each (type, day) count against
+      // the type's exact lower median and MAD — the windows run on the
+      // bounded (types x days) profile table, never on events.
+      EventAnalytics.dailyAnomalies(events(s, dir), "event_type", "ts",
+        minScoreMilli = 0L)
+    }),
+
+    "q_session_stats" -> ((s, dir) => {
+      // engagement-shape dashboard: 30-min-gap sessions folded into a log2
+      // (duration, length) histogram with data-independent bucket edges.
+      EventAnalytics.sessionStats(events(s, dir), "user_id", "ts",
+        gapSec = 1800L)
+    }),
+
+    "q_ab_lift" -> ((s, dir) => {
+      // deterministic A/B assignment (the split operators' md5 bucket) +
+      // per-arm conversion rate and lift vs arm A — exact integer rates.
+      EventAnalytics.abLift(events(s, dir), "user_id", "event_type",
+        convType = "purchase", armPct = 50)
+    }),
+
     "q_top_paths" -> ((s, dir) => {
       // top-20 5-step user journeys: first five event types per user
       // joined with '>', ranked by user count (ties path-asc) — struct
@@ -346,6 +368,84 @@ object EventQueries {
         |  CAST(sum(monetary) * 100 AS BIGINT) AS total_cents,
         |  CAST(max(freq) AS BIGINT) AS max_freq
         |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // stepwise CTEs replay the exact lower-median picks: row (n+1)//2 under
+    // (value, day) order, then the same for the absolute deviations
+    "q_anomaly_days" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |m AS (
+        |  SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN c END)
+        |    OVER (PARTITION BY event_type) AS med
+        |  FROM r),
+        |v AS (SELECT *, abs(c - med) AS dev FROM m),
+        |r2 AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev, day) AS rn2
+        |  FROM v),
+        |m2 AS (
+        |  SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+        |    OVER (PARTITION BY event_type) AS mad
+        |  FROM r2)
+        |SELECT event_type, day, c AS n_events, CAST(med AS BIGINT) AS median,
+        |  CAST(mad AS BIGINT) AS mad,
+        |  CAST(dev * 1000 // greatest(mad, 1) AS BIGINT) AS score_milli
+        |FROM m2 ORDER BY event_type, day""".stripMargin,
+
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |f AS (
+        |  SELECT user_id, tsu,
+        |    CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+        |           > 1800000000
+        |         OR lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, tsu,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    (max(tsu) - min(tsu)) // 1000000 AS dur_sec
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(length(bin(dur_sec + 1)) AS BIGINT) AS dur_bucket,
+        |  CAST(length(bin(n_events)) AS BIGINT) AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  CAST(max(dur_sec) AS BIGINT) AS max_dur_sec
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_ab_lift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT CASE WHEN (CAST(('0x' || substring(
+        |        md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        % 2147483647) % 100 < 50
+        |      THEN 'A' ELSE 'B' END AS variant, converted
+        |  FROM u),
+        |g AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(converted) AS BIGINT) AS n_converted
+        |  FROM a GROUP BY variant),
+        |c AS (SELECT *, CAST(n_converted * 1000000 // n_users AS BIGINT)
+        |        AS cvr_micro FROM g)
+        |SELECT variant, n_users, n_converted, cvr_micro,
+        |  CAST(cvr_micro - max(CASE WHEN variant = 'A' THEN cvr_micro END)
+        |    OVER () AS BIGINT) AS lift_vs_a_micro
+        |FROM c ORDER BY variant""".stripMargin,
 
     "q_top_paths" ->
       """WITH o AS (

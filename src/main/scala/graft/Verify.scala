@@ -39,6 +39,8 @@ object Verify {
     "q_bloom_decontaminate",
     "q_subword_vocab", "q_bpe_tokens", "q_bpe_budget", "q_bpe_train",
     "q_bpe_segment", "q_pmi", "q_char_entropy", "q_ngram_diversity",
+    "q_oov_rate", "q_zipf", "q_readability", "q_prefix_dedup",
+    "q_anomaly_days", "q_session_stats", "q_ab_lift",
     "q_blocklist", "q_moments", "q_props_profile", "q_stickiness",
     "q_transitions", "q_top_paths",
     "q_term_rarity", "q_decontaminate", "q_contaminated_by", "q_line_dedup", "q_window_agg",

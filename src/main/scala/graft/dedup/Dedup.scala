@@ -24,6 +24,30 @@ object ExactDedup {
   }
 
   /**
+   * Shared-prefix clusters: documents whose first `k` word tokens are
+   * identical — the crawl-boilerplate head detector (cookie banners,
+   * licence preambles, scraped-nav headers) that exact full-text dedup
+   * misses because the bodies differ. Shorter docs hash their full token
+   * list, so byte-identical short docs also cluster. Output: one row per
+   * prefix shared by ≥2 docs, with the cluster size and the smallest id as
+   * canonical.
+   *
+   * Scale shape: identical to exact dedup — a map-side md5 of the bounded
+   * k-token prefix (never the full text) and ONE hash-aggregation shuffle;
+   * the n_docs > 1 filter rides the aggregation.
+   */
+  def prefixClusters(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val key = md5(concat_ws(" ", slice(tokens(col(textCol)), 1, k)))
+    df.select(col(idCol), key.as("prefix_hash"))
+      .groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("prefix_hash"))
+  }
+
+  /**
    * Cross-source duplicate-overlap matrix: for every pair of sources, how
    * many DISTINCT contents they share byte-identically — the provenance
    * profile that surfaces mirror sites and re-crawled feeds before

@@ -427,4 +427,96 @@ object CorpusStats {
     }
     orders.reduce(_.unionByName(_)).orderBy(col(groupCol), col("n"))
   }
+
+  /**
+   * Out-of-vocabulary rate per group against the corpus' own top-`vocabSize`
+   * vocabulary — the coverage check run before committing to a tokenizer or
+   * a pruned embedding table: a group (source, language, time slice) whose
+   * OOV permille spikes is drifting away from the vocabulary the model will
+   * actually train on.
+   *
+   * The vocabulary is exact and deterministic: top `vocabSize` tokens by
+   * (count desc, token asc) — a TakeOrderedAndProject, never a global sort.
+   * It returns to the driver as a bounded model (`vocabSize` strings, the
+   * NB-classifier pattern) and rides back as ONE codegen reference object
+   * (VocabKernel binary search, O(log V) per token); the per-doc in-vocab
+   * count is a map-side kernel call. Corpus scanned twice (vocab build +
+   * probe), shuffled once per scan, final rollup is |groups| rows.
+   */
+  def oovRate(df: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = TextFunctions.tokens(col(textCol))
+    val vocab = df.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok")).collect().map(_.getString(0))
+    val kern = graft.functions.VocabExpressions.kernel(vocab.map(_ -> 1L).toMap)
+    df.select(col(groupCol), toks.as("tk"))
+      .select(col(groupCol), size(col("tk")).cast("long").as("n_tok"),
+        graft.functions.VocabExpressions.scoreSum(col("tk"), kern).as("n_in"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        (sum(col("n_tok")) - sum(col("n_in"))).as("oov_tokens"))
+      .where(col("total_tokens") > 0)
+      .withColumn("oov_permille",
+        expr("CAST(oov_tokens * 1000 div total_tokens AS BIGINT)"))
+      .orderBy(col(groupCol))
+  }
+
+  /**
+   * Zipf rank-frequency profile: the corpus term frequency at power-of-two
+   * ranks 1, 2, 4, … ≤ `maxRank`, with the exact floor-log2 of each
+   * frequency (`freq_bits`, bit-length trick). A healthy natural-language
+   * corpus shows freq_bits falling ~1 per rank doubling (Zipf slope ≈ −1);
+   * machine-generated or template spam bends the curve — the one-glance
+   * corpus-health plot.
+   *
+   * Deterministic: rank order is (count desc, token asc), materialized by a
+   * TakeOrderedAndProject of `maxRank` rows — the rank window runs on that
+   * bounded table, never on the full vocabulary.
+   */
+  def zipfProfile(df: DataFrame, textCol: String, maxRank: Int): DataFrame = {
+    require(maxRank > 0, "maxRank must be positive")
+    val top = df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(maxRank)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("tok"))).cast("long"))
+      .where(expr("(rank & (rank - 1)) = 0"))
+      .select(col("rank"), col("tok").as("term"), col("freq"),
+        (length(bin(col("freq"))) - 1).cast("long").as("freq_bits"))
+      .orderBy(col("rank"))
+  }
+
+  /**
+   * Integer Flesch-style readability per document: words (shared word
+   * tokenizer), sentences (runs of `[.!?]`), syllable proxy (vowel-group
+   * runs `[aeiouy]+` over the lowercased text — the standard
+   * dictionary-free estimator), and the milli-scaled score
+   *
+   *   flesch_milli = 206835 − (1015·W) div max(S,1) − (84600·Y) div W
+   *
+   * — the classic 206.835 − 1.015·(W/S) − 84.6·(Y/W) with each division
+   * truncated once, so any engine replays it bit-for-bit. Readability is a
+   * standard curation gate (too-low = legalese/gibberish, implausibly high
+   * = word salad). Pure map-side projection + nothing else: the 100 TB
+   * shape is one scan, zero shuffles before the caller's aggregation.
+   */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("words"),
+        size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")).cast("long")
+          .as("sentences"),
+        size(expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)"))
+          .cast("long").as("syllables"))
+      .where(col("words") > 0)
+      .withColumn("flesch_milli",
+        expr("""CAST(206835 - (1015 * words) div greatest(sentences, 1)
+                - (84600 * syllables) div words AS BIGINT)"""))
+      .orderBy(col(idCol))
+  }
 }

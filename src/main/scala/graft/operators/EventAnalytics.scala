@@ -249,4 +249,111 @@ object EventAnalytics {
       .orderBy(col("n_users").desc, col("path"))
       .limit(k)
   }
+
+  /**
+   * Robust daily-volume anomaly scores per event type: each (type, day)
+   * count is scored against the type's median and MAD (median absolute
+   * deviation) —
+   *
+   *   score_milli = |c − median| · 1000 div max(MAD, 1)
+   *
+   * — the outlier detector that a mean/stddev z-score cannot be, because
+   * one broken day drags the mean but not the median. Medians are EXACT
+   * lower medians (the value at row (n+1) div 2 under (value, day) order),
+   * so every engine replays them bit-for-bit — no interpolation, no
+   * approximate percentile.
+   *
+   * Scale shape: events collapse to the (types × days)-row daily-count
+   * table in ONE aggregation shuffle with map-side partials; the median /
+   * MAD windows then run on that bounded profile table, never on events.
+   * Rows with score_milli ≥ `minScoreMilli` survive (0 keeps every day).
+   */
+  def dailyAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+      minScoreMilli: Long): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("event_type"), col(tsCol).cast("date").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("rn", row_number().over(w.orderBy(col("c"), col("day"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("c"))).over(w))
+      .withColumn("dev", abs(col("c") - col("med")))
+      .withColumn("rn2", row_number().over(w.orderBy(col("dev"), col("day"))))
+      .withColumn("mad",
+        max(when(col("rn2") === expr("(n + 1) div 2"), col("dev"))).over(w))
+      .withColumn("score_milli",
+        expr("CAST(dev * 1000 div greatest(mad, 1) AS BIGINT)"))
+      .where(col("score_milli") >= minScoreMilli)
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        col("med").as("median"), col("mad"), col("score_milli"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /**
+   * Session-shape distribution: 30-min-gap (or `gapSec`) sessions folded
+   * into a log2 (duration_sec, n_events) histogram — the engagement-shape
+   * dashboard (bounce scans vs long reads) one level above q_sessionize's
+   * per-session rows. Buckets are bit-length cells (data-independent edges,
+   * stable period-over-period); all arithmetic integer-exact.
+   *
+   * Scale shape: one window shuffle on the user key builds sessions (the
+   * same lag/gap-sum q_sessionize uses; the session agg reuses that
+   * partitioning), then the histogram rollup is a |cells|-row aggregation
+   * with map-side partials.
+   */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+      gapSec: Long): DataFrame = {
+    require(gapSec > 0, "gapSec must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("tsu"))
+    val sess = events.select(col(userCol), unix_micros(col(tsCol)).as("tsu"))
+      .withColumn("new_s",
+        when(col("tsu") - lag(col("tsu"), 1).over(w) > gapSec * 1000000L
+            || lag(col("tsu"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(tsu) - min(tsu)) div 1000000").as("dur_sec"))
+    sess
+      .groupBy(length(bin(col("dur_sec") + 1)).cast("long").as("dur_bucket"),
+        length(bin(col("n_events"))).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        max(col("dur_sec")).as("max_dur_sec"))
+      .orderBy(col("dur_bucket"), col("len_bucket"))
+  }
+
+  /**
+   * Deterministic A/B assignment + conversion lift: users are split into
+   * arms A/B by the same md5 percent-bucket every split operator uses
+   * (stable across runs and engines — the assignment IS the experiment
+   * design, so it must be replayable), conversion = at least one `convType`
+   * event, and each arm reports users, conversions, the micro-quantized
+   * conversion rate, and its lift against arm A.
+   *
+   * Scale shape: one aggregation shuffle on the user key (per-user
+   * converted flag with a map-side max partial), then a 2-row arm rollup;
+   * the lift window runs on the 2-row table.
+   */
+  def abLift(events: DataFrame, userCol: String, typeCol: String,
+      convType: String, armPct: Int = 50): DataFrame = {
+    require(armPct > 0 && armPct < 100, "armPct must be in (0, 100)")
+    val arms = events.select(col(userCol), col(typeCol))
+      .groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        when(DatasetSplit.bucket(col(userCol)) < armPct, "A").otherwise("B"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+      .withColumn("cvr_micro",
+        expr("CAST(n_converted * 1000000 div n_users AS BIGINT)"))
+    arms
+      .withColumn("lift_vs_a_micro", col("cvr_micro") -
+        max(when(col("variant") === "A", col("cvr_micro")))
+          .over(Window.partitionBy()))
+      .orderBy(col("variant"))
+  }
 }

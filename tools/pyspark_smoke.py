@@ -540,5 +540,68 @@ assert [(r["n"], r["total"], r["n_distinct"], r["ttr_milli"]) for r in nd] \
     == [(1, 4, 2, 500), (2, 3, 2, 666), (3, 2, 2, 1000)], nd
 print("PASS ngram_diversity")
 
+# round 8 wave 7: oov rate, zipf, readability, prefix clusters,
+# daily anomalies, session stats, a/b lift
+from graft import (oov_rate, zipf_profile, readability, prefix_clusters,
+                   daily_anomalies, session_stats, ab_lift)
+
+docs7 = spark.createDataFrame(
+    [("A", 1, "the the cat cat dog"), ("B", 2, "the the cat dog zebra")],
+    "src string, doc_id long, text string")
+ov = {r["src"]: (r["oov_tokens"], r["oov_permille"])
+      for r in oov_rate(docs7, "src", "text", 2).collect()}
+# top-2 vocab (count desc, tok asc) = {cat, the}
+assert ov == {"A": (1, 200), "B": (2, 400)}, ov
+print("PASS oov_rate")
+
+zp = zipf_profile(
+    spark.createDataFrame([(1, "a a a a b b c")], "doc_id long, text string"),
+    "text", 8).collect()
+assert [(r["rank"], r["term"], r["freq"], r["freq_bits"]) for r in zp]     == [(1, "a", 4, 2), (2, "b", 2, 1)], zp
+print("PASS zipf_profile")
+
+rd = readability(
+    spark.createDataFrame([(1, "Hello world.")], "doc_id long, text string"),
+    "doc_id", "text").collect()
+assert [(r["words"], r["sentences"], r["syllables"], r["flesch_milli"])
+        for r in rd] == [(2, 1, 3, 206835 - 1015 * 2 - 84600 * 3 // 2)], rd
+print("PASS readability")
+
+pc = prefix_clusters(
+    spark.createDataFrame(
+        [(9, "terms of use apply here"), (4, "terms of use apply there"),
+         (1, "unique body")], "doc_id long, text string"),
+    "doc_id", "text", 4).collect()
+assert [(r["n_docs"], r["canonical_id"]) for r in pc] == [(2, 4)], pc
+print("PASS prefix_clusters")
+
+ev7 = spark.createDataFrame(
+    [("click", "2024-01-0%d 12:00:00" % d) for d in (1, 2, 3)] * 5
+    + [("click", "2024-01-04 12:00:00")] * 50,
+    "event_type string, s string").selectExpr(
+        "event_type", "CAST(s AS TIMESTAMP) AS ts")
+da = {str(r["day"]): (r["n_events"], r["median"], r["score_milli"])
+      for r in daily_anomalies(ev7, "event_type", "ts", 0).collect()}
+assert da["2024-01-04"] == (50, 5, 45000), da
+print("PASS daily_anomalies")
+
+se = spark.createDataFrame(
+    [("u1", 0), ("u1", 600), ("u1", 6000), ("u2", 0)],
+    "user_id string, sec long").selectExpr(
+        "user_id", "timestamp_seconds(sec) AS ts")
+ss = {(r["dur_bucket"], r["len_bucket"]): (r["n_sessions"], r["max_dur_sec"])
+      for r in session_stats(se, "user_id", "ts", 1800).collect()}
+assert ss[(10, 2)] == (1, 600) and ss[(1, 1)] == (2, 0), ss
+print("PASS session_stats")
+
+ab = ab_lift(
+    spark.createDataFrame(
+        [(u, "view") for u in range(1, 101)]
+        + [(u, "purchase") for u in range(1, 101, 4)],
+        "user_id long, event_type string"),
+    "user_id", "event_type", "purchase", 50).collect()
+assert len(ab) == 2 and ab[0]["variant"] == "A"     and ab[0]["lift_vs_a_micro"] == 0     and sum(r["n_users"] for r in ab) == 100, ab
+print("PASS ab_lift")
+
 spark.stop()
-print("PASS: round-8 wave-2 + wave-3 + wave-6 wrappers")
+print("PASS: round-8 wave-2 + wave-3 + wave-6 + wave-7 wrappers")
