@@ -709,3 +709,19 @@ def ab_lift(events, user_col, type_col, conv_type, arm_pct=50):
     m = _module(events.sparkSession, "graft.operators.EventAnalytics$")
     return _wrap(events, m.abLift(events._jdf, user_col, type_col,
                                   conv_type, int(arm_pct)))
+
+
+def chi2_terms(df, group_col, text_col, k):
+    """Top-k chi-square discriminative terms per group (staged-integer
+    chi2_milli, stopword prune, sparse presence semantics)."""
+    m = _module(df.sparkSession, "graft.operators.CorpusStats$")
+    return _wrap(df, m.chi2Terms(df._jdf, group_col, text_col, int(k)))
+
+
+def jaccard_pairs(df, id_col, text_col, tau_milli):
+    """EXACT Jaccard >= tau/1000 set-similarity self-join via prefix
+    filtering (PPJoin family): zero missed pairs, candidates bounded by
+    rare-token buckets."""
+    m = _module(df.sparkSession, "graft.dedup.PrefixFilterJoin$")
+    return _wrap(df, m.jaccardPairs(df._jdf, id_col, text_col,
+                                    int(tau_milli)))

@@ -281,6 +281,21 @@ object CurationQueries {
         t(s, dir, "documents"), "doc_id", "text", 16)
     }),
 
+    "q_chi2_terms" -> ((s, dir) => {
+      // per-source chi-square discriminative vocabulary: top-10 terms whose
+      // document presence most separates the source from the rest of the
+      // corpus — staged-integer x^2, stopword prune, groups x vocab windows.
+      CorpusStats.chi2Terms(t(s, dir, "documents"), "source", "text", 10)
+    }),
+
+    "q_jaccard_join" -> ((s, dir) => {
+      // EXACT Jaccard >= 0.7 set-similarity self-join via prefix filtering:
+      // candidates share a rare-first prefix token, verify is exact — zero
+      // missed pairs, the deterministic complement to MinHash LSH.
+      graft.dedup.PrefixFilterJoin.jaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", 700L)
+    }),
+
     "q_kcenter" -> ((s, dir) => {
       // diversity coreset: greedy farthest-first k-center (Gonzalez) over
       // the embeddings — the diverse-selection complement to
@@ -687,6 +702,69 @@ object CurationQueries {
          |  CAST(count(*) AS BIGINT) AS n_distinct,
          |  CAST(count(*) * 1000 // sum(c) AS BIGINT) AS ttr_milli
          |FROM c GROUP BY source, n ORDER BY source, n""".stripMargin,
+
+    // HUGEINT replays of the same staged-integer chi-square ladder: q1 =
+    // |ad-bc|*N*1000 // (dt*(N-dt)), then q1*|ad-bc| // (ds*(N-ds)) —
+    // identical op order, identical truncation (all operands non-negative)
+    "q_chi2_terms" ->
+      s"""WITH tk AS (SELECT source, list_distinct(${duckToks()}) AS tl
+         |            FROM documents),
+         |pres AS (SELECT source, unnest(tl) AS tok FROM tk),
+         |a AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+         |      FROM pres GROUP BY 1, 2),
+         |dtt AS (SELECT tok, CAST(sum(a) AS BIGINT) AS dt FROM a GROUP BY tok),
+         |dss AS (SELECT source, CAST(count(*) AS BIGINT) AS ds
+         |        FROM documents GROUP BY source),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |j AS (SELECT a.source, a.tok, a.a, dtt.dt, dss.ds, nn.n
+         |      FROM a JOIN dtt USING (tok) JOIN dss USING (source) CROSS JOIN nn
+         |      WHERE dtt.dt * 2 <= nn.n AND dss.ds < nn.n),
+         |c AS (SELECT source, tok, a, dt,
+         |  CAST((abs(CAST(a AS HUGEINT) * (n - ds - dt + a)
+         |            - CAST(dt - a AS HUGEINT) * (ds - a)) * n * 1000
+         |        // (CAST(dt AS HUGEINT) * (n - dt)))
+         |       * abs(CAST(a AS HUGEINT) * (n - ds - dt + a)
+         |             - CAST(dt - a AS HUGEINT) * (ds - a))
+         |       // (CAST(ds AS HUGEINT) * (n - ds)) AS BIGINT) AS chi2_milli
+         |  FROM j),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY source ORDER BY chi2_milli DESC, tok) AS rk
+         |      FROM c)
+         |SELECT source, tok AS term, a AS n_docs_in, dt AS n_docs_total,
+         |  chi2_milli
+         |FROM r WHERE rk <= 10 ORDER BY source, chi2_milli DESC, term""".stripMargin,
+
+    // the prefix-filter replay is equivalence, not necessity: prefix
+    // filtering has no false negatives, so the verified pair set equals the
+    // brute-force tau-join — the CTE ladder just keeps DuckDB off the
+    // all-pairs cross product
+    "q_jaccard_join" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct(${duckToks()}) AS tset
+         |           FROM documents
+         |           WHERE len(list_distinct(${duckToks()})) > 0),
+         |ex AS (SELECT doc_id, unnest(tset) AS tok FROM s),
+         |dfq AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
+         |rk AS (SELECT ex.doc_id, ex.tok,
+         |         row_number() OVER (PARTITION BY ex.doc_id
+         |                            ORDER BY dfq.df, ex.tok) AS rn,
+         |         count(*) OVER (PARTITION BY ex.doc_id) AS len
+         |       FROM ex JOIN dfq USING (tok)),
+         |pfx AS (SELECT doc_id, tok FROM rk
+         |        WHERE rn <= len - (700 * len + 999) // 1000 + 1),
+         |cand AS (SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+         |         FROM pfx p1 JOIN pfx p2 USING (tok)
+         |         WHERE p1.doc_id < p2.doc_id),
+         |v AS (SELECT a, b,
+         |        CAST(len(list_intersect(sa.tset, sb.tset)) AS BIGINT)
+         |          AS n_inter,
+         |        CAST(len(sa.tset) + len(sb.tset)
+         |             - len(list_intersect(sa.tset, sb.tset)) AS BIGINT)
+         |          AS n_union
+         |      FROM cand JOIN s sa ON cand.a = sa.doc_id
+         |                 JOIN s sb ON cand.b = sb.doc_id)
+         |SELECT a, b, n_inter, n_union,
+         |  CAST(n_inter * 1000 // n_union AS BIGINT) AS jaccard_milli
+         |FROM v WHERE n_inter * 1000 // n_union >= 700 ORDER BY a, b""".stripMargin,
 
     // vocab built under the same (count desc, token asc) total order as
     // the Scala TakeOrderedAndProject, so the cut at 2048 is identical

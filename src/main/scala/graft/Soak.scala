@@ -77,7 +77,21 @@ object Soak {
       // generator), PMI (two vocab-sized count aggs — vocabulary grows
       // linearly under per-copy token suffixing), char entropy (pure
       // map-side ≤36-row partials), and the 3-order n-gram diversity aggs
-      "q_attribution", "q_rfm", "q_pmi", "q_char_entropy", "q_ngram_diversity")
+      "q_attribution", "q_rfm", "q_pmi", "q_char_entropy", "q_ngram_diversity",
+      // round-8 wave 7: OOV (two scans + bounded vocab kernel), Zipf
+      // (vocab-sized agg + bounded top-K window), readability (pure
+      // projection), prefix clusters (bounded-prefix hash agg), daily
+      // anomalies (events collapse to the days×types profile before any
+      // window), session stats (one user-key exchange), and A/B lift
+      // (one user-key agg + 2-row rollup)
+      "q_oov_rate", "q_zipf", "q_readability", "q_prefix_dedup",
+      "q_anomaly_days", "q_session_stats", "q_ab_lift",
+      // round-8 wave 8: the chi-square join runs on the groups×vocab table
+      // (vocab grows linearly under per-copy suffixing) and the exact
+      // Jaccard join's candidate fan-out is bounded by rare-prefix buckets
+      // (the copy generator keeps cross-copy similarity sub-threshold, so
+      // candidates must grow ~linearly with the corpus)
+      "q_chi2_terms", "q_jaccard_join")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

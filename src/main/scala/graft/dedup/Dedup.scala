@@ -601,6 +601,67 @@ object SimHash {
  * pair-count aggregation, and a verify join that touches candidates only.
  * No cross join, no global sort, no driver-side state.
  */
+/**
+ * EXACT Jaccard set-similarity self-join via prefix filtering — the
+ * SSJoin/PPJoin family (Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+ * under any fixed global token order, two documents' distinct-token sets
+ * can only reach Jaccard ≥ τ if their length-(|t| − ⌈τ·|t|⌉ + 1) prefixes
+ * share a token. The candidate join therefore touches prefix tokens only,
+ * and with the canonical order (global docFreq asc, token asc) those are
+ * the RAREST tokens in the corpus — the join buckets are the smallest
+ * buckets the data has. The exact complement to MinHash LSH: zero missed
+ * pairs, no banding probability, at the cost of an exact verify join.
+ *
+ * Determinism: τ rides as an integer (tauMilli), ⌈τ·len⌉ replays as
+ * (tauMilli·len + 999) div 1000, and the output jaccard_milli =
+ * |∩|·1000 div |∪| — every engine reproduces the pair set bit-for-bit
+ * (prefix filtering has no false negatives, so the result equals the
+ * brute-force τ-join regardless of candidate generation).
+ *
+ * Scale shape: one vocab-sized docFreq agg; one per-doc rank window (the
+ * explode's doc key); a self-equi-join keyed on prefix tokens with
+ * fan-out bounded by the rare-token bucket sizes; a distinct pair agg;
+ * and a verify join against the bounded per-doc sets (cached once). No
+ * cross join, no global sort, no driver state.
+ */
+object PrefixFilterJoin {
+
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      tauMilli: Long): DataFrame = {
+    require(tauMilli > 0 && tauMilli <= 1000, "tauMilli must be in (0, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val sets = CachedProjections.swap("jaccard",
+      df.select(col(idCol).as("sid"),
+          array_distinct(tokens(col(textCol))).as("tset"))
+        .where(size(col("tset")) > 0))
+    val ex = sets.select(col("sid"), explode(col("tset")).as("tok"))
+    val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("sid"))
+    val prefix = ex.join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("tok"))))
+      .withColumn("len", count(lit(1)).over(byDoc))
+      .where(col("rn") <=
+        col("len") - expr(s"($tauMilli * len + 999) div 1000") + 1)
+      .select(col("tok"), col("sid"))
+    val cands = prefix.select(col("tok"), col("sid").as("a"))
+      .join(prefix.select(col("tok"), col("sid").as("b")), Seq("tok"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cands
+      .join(sets.select(col("sid").as("a"), col("tset").as("set_a")), Seq("a"))
+      .join(sets.select(col("sid").as("b"), col("tset").as("set_b")), Seq("b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("n_union",
+        size(col("set_a")).cast("long") + size(col("set_b")) - col("n_inter"))
+      .withColumn("jaccard_milli",
+        expr("CAST(n_inter * 1000 div n_union AS BIGINT)"))
+      .where(col("jaccard_milli") >= tauMilli)
+      .select(col("a"), col("b"), col("n_inter"), col("n_union"),
+        col("jaccard_milli"))
+  }
+}
+
 object ContainmentIndex {
 
   def excerptPairs(

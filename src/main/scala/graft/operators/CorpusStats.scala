@@ -506,6 +506,67 @@ object CorpusStats {
    * = word salad). Pure map-side projection + nothing else: the 100 TB
    * shape is one scan, zero shuffles before the caller's aggregation.
    */
+  /**
+   * Chi-square discriminative terms per group — the classic feature-selection
+   * statistic (Manning/Schütze IR ch.13) over document presence: for each
+   * (group g, term t) contingency table
+   *
+   *   a = docs in g containing t      b = docs elsewhere containing t
+   *   c = docs in g without t         d = docs elsewhere without t
+   *
+   * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), milli-quantized by the staged
+   * integer ladder
+   *
+   *   q1         = |ad−bc| · N · 1000 div (dt·(N−dt))
+   *   chi2_milli = q1 · |ad−bc|       div (ds·(N−ds))
+   *
+   * with dt = a+b (term doc-freq), ds = a+c (group size). |ad−bc| is used
+   * because χ² is symmetric in the sign and truncating division of negatives
+   * differs across engines. Terms with dt·2 > N are pruned (ubiquitous terms
+   * are never discriminative, and the prune bounds q1 ≤ 2000·N so every
+   * intermediate stays inside DECIMAL(38,0) through N ≈ 5·10¹¹ docs). Groups
+   * covering the whole corpus drop (N−ds = 0 ⇒ χ² undefined).
+   *
+   * Output: top-`k` terms per group by (chi2_milli desc, term asc) — the
+   * "what vocabulary makes this source different" dashboard, and the exact
+   * counterpart of the NB classifier's learned weights. Semantics are
+   * SPARSE: a group only lists terms it actually contains (a = 0 pairs
+   * never materialize — absence-discrimination shows up on the groups that
+   * DO contain the term).
+   *
+   * Scale shape: presence = one (group, doc, term)-distinct explode; a / dt /
+   * ds / N are aggregations bounded by groups×vocab, vocab, groups, and 1;
+   * the χ² join and the top-k window run on the groups×vocab table, never on
+   * documents. N and ds broadcast.
+   */
+  def chi2Terms(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pres = df.select(col(groupCol),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+    val a = pres.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("a"))
+    val dt = a.groupBy(col("tok")).agg(sum(col("a")).as("dt"))
+    val ds = df.groupBy(col(groupCol)).agg(count(lit(1)).as("ds"))
+    val n = df.agg(count(lit(1)).as("n"))
+    a.join(dt, Seq("tok"))
+      .join(broadcast(ds), Seq(groupCol))
+      .crossJoin(broadcast(n))
+      .where(col("dt") * 2 <= col("n") && col("ds") < col("n"))
+      .withColumn("num_abs", expr(
+        """abs(CAST(a AS DECIMAL(38,0)) * (n - ds - dt + a)
+               - CAST(dt - a AS DECIMAL(38,0)) * (ds - a))"""))
+      .withColumn("chi2_milli", expr(
+        """CAST((num_abs * n * 1000 div (CAST(dt AS DECIMAL(38,0)) * (n - dt)))
+                * num_abs div (CAST(ds AS DECIMAL(38,0)) * (n - ds)) AS BIGINT)"""))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col("chi2_milli").desc, col("tok"))))
+      .where(col("rk") <= k)
+      .select(col(groupCol), col("tok").as("term"), col("a").as("n_docs_in"),
+        col("dt").as("n_docs_total"), col("chi2_milli"))
+      .orderBy(col(groupCol), col("chi2_milli").desc, col("term"))
+  }
+
   def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     df.select(col(idCol),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("words"),
@@ -517,6 +578,7 @@ object CorpusStats {
       .withColumn("flesch_milli",
         expr("""CAST(206835 - (1015 * words) div greatest(sentences, 1)
                 - (84600 * syllables) div words AS BIGINT)"""))
-      .orderBy(col(idCol))
+    // no orderBy: a global sort on a pure projection would be the only
+    // shuffle in the plan, and it keeps the operator streamable (append)
   }
 }

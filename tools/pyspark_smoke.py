@@ -603,5 +603,27 @@ ab = ab_lift(
 assert len(ab) == 2 and ab[0]["variant"] == "A"     and ab[0]["lift_vs_a_micro"] == 0     and sum(r["n_users"] for r in ab) == 100, ab
 print("PASS ab_lift")
 
+# round 8 wave 8: chi-square terms + exact jaccard join
+from graft import chi2_terms, jaccard_pairs
+
+c2 = chi2_terms(
+    spark.createDataFrame(
+        [("A", "cats shared"), ("A", "cats shared"), ("A", "cats shared"),
+         ("B", "shared"), ("B", "shared"), ("B", "shared")],
+        "source string, text string"),
+    "source", "text", 5).collect()
+# 'cats': a=3 dt=3 ds=3 N=6 -> chi2_milli 6000; 'shared' pruned (dt=6)
+assert [(r["source"], r["term"], r["chi2_milli"]) for r in c2]     == [("A", "cats", 6000)], c2
+print("PASS chi2_terms")
+
+jp = jaccard_pairs(
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string"),
+    "doc_id", "text", 600).collect()
+# docs 1,2: |inter|=3 |union|=5 -> 600 >= 600; doc 3 disjoint
+assert [(r["a"], r["b"], r["jaccard_milli"]) for r in jp] == [(1, 2, 600)], jp
+print("PASS jaccard_pairs")
+
 spark.stop()
-print("PASS: round-8 wave-2 + wave-3 + wave-6 + wave-7 wrappers")
+print("PASS: round-8 wave-2 + wave-3 + wave-6 + wave-7 + wave-8 wrappers")
