@@ -718,10 +718,39 @@ def chi2_terms(df, group_col, text_col, k):
     return _wrap(df, m.chi2Terms(df._jdf, group_col, text_col, int(k)))
 
 
-def jaccard_pairs(df, id_col, text_col, tau_milli):
+def jaccard_pairs(df, id_col, text_col, tau_milli, shingle=1):
     """EXACT Jaccard >= tau/1000 set-similarity self-join via prefix
     filtering (PPJoin family): zero missed pairs, candidates bounded by
-    rare-token buckets."""
+    rare-element buckets. shingle > 1 joins on word n-gram shingle sets
+    (the production choice for low-vocabulary corpora)."""
     m = _module(df.sparkSession, "graft.dedup.PrefixFilterJoin$")
     return _wrap(df, m.jaccardPairs(df._jdf, id_col, text_col,
-                                    int(tau_milli)))
+                                    int(tau_milli), int(shingle)))
+
+
+def bpe_fertility(docs, group_cols, text_col, words):
+    """Per-group tokenizer fertility (BPE tokens/word, milli) and
+    compression (chars/token, milli) under a trained word table — the
+    tokenizer-evaluation dashboard. `words` is BpeTrainer.train's word
+    table (w, cnt, toks)."""
+    m = _module(docs.sparkSession, "graft.text.BpeTrainer$")
+    return _wrap(docs, m.fertility(docs._jdf, _str_seq(docs, group_cols),
+                                   text_col, words._jdf))
+
+
+def silhouette(corpus, id_col, vec_col, k, iters=3):
+    """Per-cell simplified (centroid) silhouette of the deterministic
+    Lloyd quantizer, micro-quantized: the cluster-quality gate before any
+    IVF/SemDeDup stage trusts the space."""
+    m = _module(corpus.sparkSession, "graft.sim.Similarity$")
+    return _wrap(corpus, m.silhouette(corpus._jdf, id_col, vec_col,
+                                      int(k), int(iters)))
+
+
+def pca_top(corpus, vec_col, dim, iters=8):
+    """Top principal component (all-but-the-top anisotropy axis): bounded
+    covariance aggregation + BigInt fixed-point power iteration; lambda_c /
+    trace_c = variance fraction the dominant direction hoards."""
+    m = _module(corpus.sparkSession, "graft.sim.Pca$")
+    return _wrap(corpus, m.topComponent(corpus._jdf, vec_col,
+                                        int(dim), int(iters)))

@@ -163,6 +163,17 @@ object AssemblyQueries {
           col("votes"),
           when(col("label") === col("true_label"), 1L).otherwise(0L).as("correct"))
         .orderBy(col("qid"))
+    }),
+
+    "q_pca_top" -> ((s, dir) => {
+      // the anisotropy diagnostic (all-but-the-top): dominant principal
+      // direction of the embedding space via one bounded covariance agg
+      // (d(d+3)/2-row driver fetch) + BigInt fixed-point power iteration.
+      // lambda_c/trace_c is the variance fraction the top direction hoards
+      // — the "is cosine even meaningful here" gate.
+      graft.sim.Pca.topComponent(t(s, dir, "embeddings"), "embedding",
+          dim = 64, iters = 8)
+        .orderBy(col("dim_idx"))
     })
   )
 
@@ -336,6 +347,81 @@ object AssemblyQueries {
          |  CAST(p.votes AS BIGINT) AS votes,
          |  CAST(CASE WHEN p.label = q.tl THEN 1 ELSE 0 END AS BIGINT) AS correct
          |FROM pick p JOIN q ON q.qid = p.qid WHERE p.pk = 1
-         |ORDER BY p.qid""".stripMargin
+         |ORDER BY p.qid""".stripMargin,
+
+    // covariance replay in HUGEINT (exact, matches the driver's BigInt),
+    // then the same fixed-point power iteration: w = C·v, max-abs
+    // normalization with sign-safe truncating division, 8 steps, sign
+    // canonicalized at the largest-|v| coordinate (ties -> smallest index).
+    "q_pca_top" ->
+      """WITH RECURSIVE
+        |qv AS MATERIALIZED (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM qv),
+        |ms AS MATERIALIZED (
+        |  SELECT i, CAST(sum(q[CAST(i AS INTEGER)+1]) AS HUGEINT) AS m
+        |  FROM qv, range(64) t(i) GROUP BY i
+        |),
+        |ps AS MATERIALIZED (
+        |  SELECT t1.i, t2.j,
+        |    CAST(sum(q[CAST(t1.i AS INTEGER)+1] * q[CAST(t2.j AS INTEGER)+1]) AS HUGEINT) AS s
+        |  FROM qv, range(64) t1(i), range(64) t2(j)
+        |  WHERE t1.i <= t2.j GROUP BY t1.i, t2.j
+        |),
+        |cov AS MATERIALIZED (
+        |  SELECT p.i, p.j, (SELECT n FROM nn) * p.s - mi.m * mj.m AS c
+        |  FROM ps p JOIN ms mi ON mi.i = p.i JOIN ms mj ON mj.i = p.j
+        |),
+        |covfull AS MATERIALIZED (
+        |  SELECT i, j, c FROM cov
+        |  UNION ALL
+        |  SELECT j AS i, i AS j, c FROM cov WHERE i < j
+        |),
+        |mat AS MATERIALIZED (
+        |  SELECT list(r ORDER BY i) AS mt FROM (
+        |    SELECT i, list(c ORDER BY j) AS r FROM covfull GROUP BY i)
+        |),
+        |it AS (
+        |  SELECT 0 AS t,
+        |    list_transform(range(64), x -> CAST(1000000 AS HUGEINT)) AS v,
+        |    CAST(0 AS HUGEINT) AS mx
+        |  FROM mat
+        |  UNION ALL
+        |  SELECT t + 1,
+        |    CASE WHEN list_max(list_transform(
+        |        list_transform(range(64), i -> list_sum(list_transform(range(64),
+        |          j -> mt[CAST(i AS INTEGER)+1][CAST(j AS INTEGER)+1] * v[CAST(j AS INTEGER)+1]))),
+        |        x -> abs(x))) = 0
+        |      THEN list_transform(range(64), x -> CAST(0 AS HUGEINT))
+        |      ELSE list_transform(
+        |        list_transform(range(64), i -> list_sum(list_transform(range(64),
+        |          j -> mt[CAST(i AS INTEGER)+1][CAST(j AS INTEGER)+1] * v[CAST(j AS INTEGER)+1]))),
+        |        x -> CASE WHEN x < 0
+        |          THEN -((-x * 1000000) // list_max(list_transform(
+        |            list_transform(range(64), i -> list_sum(list_transform(range(64),
+        |              j -> mt[CAST(i AS INTEGER)+1][CAST(j AS INTEGER)+1] * v[CAST(j AS INTEGER)+1]))),
+        |            y -> abs(y))))
+        |          ELSE (x * 1000000) // list_max(list_transform(
+        |            list_transform(range(64), i -> list_sum(list_transform(range(64),
+        |              j -> mt[CAST(i AS INTEGER)+1][CAST(j AS INTEGER)+1] * v[CAST(j AS INTEGER)+1]))),
+        |            y -> abs(y))) END) END,
+        |    list_max(list_transform(
+        |      list_transform(range(64), i -> list_sum(list_transform(range(64),
+        |        j -> mt[CAST(i AS INTEGER)+1][CAST(j AS INTEGER)+1] * v[CAST(j AS INTEGER)+1]))),
+        |      x -> abs(x)))
+        |  FROM it, mat WHERE t < 8
+        |),
+        |fin AS (SELECT v, mx FROM it WHERE t = 8),
+        |comps AS (SELECT i, v[CAST(i AS INTEGER)+1] AS vi FROM fin, range(64) t(i)),
+        |flip AS (SELECT vi FROM comps ORDER BY abs(vi) DESC, i ASC LIMIT 1),
+        |tr AS (SELECT sum(c) AS trace_c FROM cov WHERE i = j)
+        |SELECT CAST(c.i AS BIGINT) AS dim_idx,
+        |  CAST(CASE WHEN (SELECT vi FROM flip) < 0 THEN -c.vi ELSE c.vi END AS BIGINT) AS v_micro,
+        |  CAST((SELECT mx // 1000000 FROM fin) AS BIGINT) AS lambda_c,
+        |  CAST((SELECT trace_c FROM tr) AS BIGINT) AS trace_c
+        |FROM comps c ORDER BY dim_idx""".stripMargin
   )
 }

@@ -290,10 +290,16 @@ object CurationQueries {
 
     "q_jaccard_join" -> ((s, dir) => {
       // EXACT Jaccard >= 0.7 set-similarity self-join via prefix filtering:
-      // candidates share a rare-first prefix token, verify is exact — zero
-      // missed pairs, the deterministic complement to MinHash LSH.
+      // candidates share a rare-first prefix element, verify is exact —
+      // zero missed pairs, the deterministic complement to MinHash LSH.
+      // Elements are word TRIGRAM shingles (the classic w-shingling width):
+      // this corpus's unigram vocabulary is so small that ~40% of ALL pairs
+      // are unigram-τ-similar (a correct but Ω(N²)-output workload) and even
+      // bigram prefixes land in a 574-shingle vocabulary (9M candidates);
+      // trigram sets restore the real near-dup structure — same 256 planted
+      // pairs at sf0.1, 209k candidates, max prefix bucket 9.
       graft.dedup.PrefixFilterJoin.jaccardPairs(
-        t(s, dir, "documents"), "doc_id", "text", 700L)
+        t(s, dir, "documents"), "doc_id", "text", 700L, shingle = 3)
     }),
 
     "q_kcenter" -> ((s, dir) => {
@@ -739,9 +745,12 @@ object CurationQueries {
     // brute-force tau-join — the CTE ladder just keeps DuckDB off the
     // all-pairs cross product
     "q_jaccard_join" ->
-      s"""WITH s AS (SELECT doc_id, list_distinct(${duckToks()}) AS tset
-         |           FROM documents
-         |           WHERE len(list_distinct(${duckToks()})) > 0),
+      s"""WITH wq AS (SELECT doc_id, ${duckToks()} AS w FROM documents),
+         |s AS (SELECT doc_id, list_distinct(
+         |        list_transform(range(1, len(w) - 1),
+         |          i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+         |               || ' ' || w[CAST(i AS INTEGER)+2])) AS tset
+         |      FROM wq WHERE len(w) >= 3),
          |ex AS (SELECT doc_id, unnest(tset) AS tok FROM s),
          |dfq AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
          |rk AS (SELECT ex.doc_id, ex.tok,

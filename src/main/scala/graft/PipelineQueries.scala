@@ -268,6 +268,17 @@ object PipelineQueries {
         .orderBy(col("cell"))
     }),
 
+    "q_silhouette" -> ((s, dir) => {
+      // cluster-quality gate over the SAME trained quantizer q_ann_ivf
+      // searches: per-cell simplified silhouette (micro-quantized in the
+      // native kernel, so the agg is exact integer arithmetic). The answer
+      // to "is this clustering good enough to route/dedup by" before any
+      // IVF/SemDeDup stage trusts it. One scan + one 32-row agg shuffle.
+      val emb = t(s, dir, "embeddings")
+      Similarity.silhouette(emb, "vec_id", "embedding", k = 32, iters = 2)
+        .orderBy(col("cell"))
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(
@@ -1082,6 +1093,34 @@ object PipelineQueries {
        |  ON n.cell = c.cid
        |ORDER BY cell""".stripMargin
 
+  /** Silhouette replay: same kmeans CTEs, per-vector cosine to every final
+    * centroid, rk1/rk2 by (sim desc, cid asc), then the kernel's exact FP
+    * sequence (b−a)/b·1e6 with floor(x+0.5) and the b>0 guard. */
+  private def silhouetteOracle: String =
+    s"""WITH ${kmeansReplayCtes(iters = 2, dim = 64)},
+       |sims AS (
+       |  SELECT e.vec_id, c.cid, ${cosineSql("e.embedding", "c.cvec")} AS sim
+       |  FROM embeddings e CROSS JOIN cf c
+       |),
+       |rankedsil AS (
+       |  SELECT vec_id, cid, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+       |  FROM sims
+       |),
+       |sil AS (
+       |  SELECT b.cid AS cell,
+       |    CASE WHEN (1.0 - s.sim) > 0.0
+       |         THEN CAST(floor(((1.0 - s.sim) - (1.0 - b.sim)) / (1.0 - s.sim) * 1000000.0 + 0.5) AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS s_micro
+       |  FROM (SELECT * FROM rankedsil WHERE rk = 1) b
+       |  JOIN (SELECT * FROM rankedsil WHERE rk = 2) s USING (vec_id)
+       |)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(s_micro) AS BIGINT) AS sum_s_micro,
+       |  CAST(min(s_micro) AS BIGINT) AS min_s_micro,
+       |  CAST(max(s_micro) AS BIGINT) AS max_s_micro
+       |FROM sil GROUP BY cell ORDER BY cell""".stripMargin
+
   private def annLshOracle: String =
     s"""WITH cb AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 6, 64)} AS bucket FROM embeddings),
        |qb AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM cb WHERE vec_id < 5),
@@ -1512,6 +1551,7 @@ object PipelineQueries {
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_kmeans" -> annIvfKmeansOracle,
+    "q_silhouette" -> silhouetteOracle,
     "q_lang_id" -> langIdOracle,
     "q_quality" -> qualityOracle,
 

@@ -91,7 +91,11 @@ object Soak {
       // Jaccard join's candidate fan-out is bounded by rare-prefix buckets
       // (the copy generator keeps cross-copy similarity sub-threshold, so
       // candidates must grow ~linearly with the corpus)
-      "q_chi2_terms", "q_jaccard_join")
+      "q_chi2_terms", "q_jaccard_join",
+      // round-8 wave 9: the fertility words join (word table grows with
+      // vocabulary), the silhouette kernel scan (one k-row agg), and the
+      // bounded covariance agg (driver fetch fixed at d(d+3)/2 rows)
+      "q_fertility", "q_silhouette", "q_pca_top")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,6 +116,14 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+    // Optional subset (comma-separated names): adjudicate or extend a prior
+    // recorded run without re-timing all ~50 queries (mirrors
+    // SPARK_GRAFT_BENCH_ONLY). The semdedup k-scaled extra only runs on
+    // full sweeps or when named explicitly.
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SoakQueries)(s => SoakQueries.filter(s.contains))
+    val runSemDedup = only.forall(_.contains("q_semdedup_kscaled"))
+
     if (!Files.exists(Paths.get(soakDir, "_DONE"))) {
       System.err.println(s"[soak] generating ${scale}x data into $soakDir ...")
       generate(spark, baseDir, soakDir, scale)
@@ -125,7 +137,7 @@ object Soak {
 
     // Warm-up (JIT + codegen caches) so base-vs-soak ratios compare steady
     // state against steady state, not cold JVM against warm.
-    for (name <- SoakQueries)
+    for (name <- selected)
       try { exec(name, baseDir); () } catch { case _: Throwable => }
 
     def loadavg: String =
@@ -148,7 +160,7 @@ object Soak {
       (samples.map(_._1).min, samples.head._2)
     }
 
-    val rows0 = SoakQueries.map { name =>
+    val rows0 = selected.map { name =>
       val (bs, brows) = time(name, baseDir)
       val (ss, srows) = time(name, soakDir)
       val ratio = ss / bs
@@ -162,7 +174,7 @@ object Soak {
     // quadratic within each cluster — stays constant). A fixed k under 10x
     // data would measure the known quadratic on purpose-missized clusters,
     // not the operator's scaling design.
-    val rows = rows0 :+ {
+    val rows = if (!runSemDedup) rows0 else rows0 :+ {
       // hierAssign: flat nearest-centroid is O(N·k) per pass — with k ∝ N
       // that's the hidden quadratic; two-level routing is O(N·sqrt(k))
       def semdedup(dir: String, k: Int): Long =

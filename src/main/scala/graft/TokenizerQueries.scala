@@ -110,6 +110,18 @@ object TokenizerQueries {
       val out = BpeTrainer.segmentCounts(docs, "doc_id", "text", words)
         .orderBy(col("doc_id"))
       out
+    }),
+
+    "q_fertility" -> ((s, dir) => {
+      // the tokenizer-evaluation dashboard: per-(lang, source) fertility
+      // (BPE tokens/word, milli) and compression (chars/token, milli)
+      // under the trained 8-merge BPE — which corpus slices the vocabulary
+      // underserves. Words join co-partitioned; one group agg whose
+      // partials collapse map-side to |langs x sources| rows.
+      val docs = t(s, dir, "documents")
+      val (_, words) = BpeTrainer.train(docs, "text", BpeMerges, BpeMinPair)
+      BpeTrainer.fertility(docs, Seq("lang", "source"), "text", words)
+        .orderBy(col("lang"), col("source"))
     })
   )
 
@@ -280,6 +292,22 @@ object TokenizerQueries {
          |SELECT doc_id,
          |  CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(n) AS BIGINT) AS n_bpe_tokens
-         |FROM dw JOIN lens USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM dw JOIN lens USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_fertility" ->
+      s"""WITH RECURSIVE
+         |$bpeReplay,
+         |d AS (SELECT lang, source, ${duckToks()} AS toks FROM documents),
+         |dw AS (SELECT lang, source, unnest(toks) AS w FROM d),
+         |lens AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_bpe,
+         |                CAST(len(w) AS BIGINT) AS n_chr FROM words$BpeMerges)
+         |SELECT lang, source,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_chr) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST((sum(n_bpe) * 1000) // count(*) AS BIGINT) AS fertility_milli,
+         |  CAST((sum(n_chr) * 1000) // sum(n_bpe) AS BIGINT) AS chars_per_token_milli
+         |FROM dw JOIN lens USING (w)
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 }

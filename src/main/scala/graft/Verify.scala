@@ -26,7 +26,7 @@ object Verify {
     "q_shuffle_shards", "q_reservoir_sample", "q_chunk", "q_mix_interleave",
     "q_corpus_drift", "q_doc_topics",
     "q_curriculum", "q_pad_batches", "q_repetition_budget",
-    "q_dup_cluster_hist", "q_embed_stats", "q_knn_label_vote",
+    "q_dup_cluster_hist", "q_embed_stats", "q_knn_label_vote", "q_pca_top",
     "q_funnel", "q_retention", "q_containment",
     "q_funnel_windowed", "q_time_to_convert", "q_attribution", "q_rfm",
     "q_kcenter", "q_centrality", "q_cluster_split", "q_semantic_decontaminate",
@@ -38,7 +38,7 @@ object Verify {
     "q_top_ngrams", "q_surprisal", "q_tfidf", "q_cms", "q_substring_dedup",
     "q_bloom_decontaminate",
     "q_subword_vocab", "q_bpe_tokens", "q_bpe_budget", "q_bpe_train",
-    "q_bpe_segment", "q_pmi", "q_char_entropy", "q_ngram_diversity",
+    "q_bpe_segment", "q_fertility", "q_pmi", "q_char_entropy", "q_ngram_diversity",
     "q_oov_rate", "q_zipf", "q_readability", "q_prefix_dedup",
     "q_chi2_terms", "q_jaccard_join",
     "q_anomaly_days", "q_session_stats", "q_ab_lift",
@@ -52,7 +52,7 @@ object Verify {
     "q_multistep", "q_multimodal", "q_image_dedup", "q_audio_dedup",
     "q_video_dedup", "q_multimodal_audio", "q_multimodal_video",
     "q_lkf_blr", "q_ekf", "q_lkf_llt", "q_outlier", "q_lms",
-    "q_dedup_simhash", "q_mmae", "q_ann_ivf", "q_ann_ivf_kmeans",
+    "q_dedup_simhash", "q_mmae", "q_ann_ivf", "q_ann_ivf_kmeans", "q_silhouette",
     "q_dedup_minhash", "q_dedup_minhash_groups", "q_dedup_incremental",
     "q_dedup_keep_longest", "q_dedup_pipeline", "q_semdedup")
 

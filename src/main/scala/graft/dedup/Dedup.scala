@@ -626,13 +626,25 @@ object SimHash {
  */
 object PrefixFilterJoin {
 
+  /** `shingle` sets the set-element granularity: 1 = distinct unigram
+    * tokens; n > 1 = distinct word n-gram shingles (space-joined). Shingles
+    * are the production choice for near-dup joins on low-vocabulary corpora
+    * — unigram sets over a small shared vocabulary make nearly all pairs
+    * τ-similar, so the (correct) output itself goes quadratic; n-gram
+    * elements restore the discriminative set structure and linear output.
+    * Docs with fewer than `shingle` words have no elements and drop out. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      tauMilli: Long): DataFrame = {
+      tauMilli: Long, shingle: Int = 1): DataFrame = {
     require(tauMilli > 0 && tauMilli <= 1000, "tauMilli must be in (0, 1000]")
+    require(shingle >= 1, "shingle must be >= 1")
     import org.apache.spark.sql.expressions.Window
+    // shingling runs as the native word-n-gram kernel (one pass inside
+    // whole-stage codegen); the transform(sequence(...), concat_ws(get...))
+    // formulation runs its lambdas interpreted per gram and re-evaluates
+    // the tokenizer per element access — ~10x slower on this stage
+    val elems = graft.functions.HashExpressions.wordNGrams(col(textCol), shingle)
     val sets = CachedProjections.swap("jaccard",
-      df.select(col(idCol).as("sid"),
-          array_distinct(tokens(col(textCol))).as("tset"))
+      df.select(col(idCol).as("sid"), array_distinct(elems).as("tset"))
         .where(size(col("tset")) > 0))
     val ex = sets.select(col("sid"), explode(col("tset")).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))

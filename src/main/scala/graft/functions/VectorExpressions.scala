@@ -163,6 +163,37 @@ class CentroidKernel(val cids: Array[Long], val flat: Array[Double], val dim: In
     }
     bestCid
   }
+
+  /** Simplified (centroid-based) silhouette of a vector, micro-quantized:
+    * a = cosine distance to the nearest centroid, b = distance to the
+    * second-nearest (with multiplicity — two centroids tying at the top
+    * give s = 0, the boundary case), s = (b - a) / b since a <= b always.
+    * Mirrors `row_number() OVER (ORDER BY sim DESC)` at rk 1 and 2, so the
+    * SQL replay is exact. O(k·dim) map-side per row, like `nearest`. */
+  def silhouetteMicro(vec: ArrayData): Long = {
+    if (cids.length < 2) return 0L
+    val n = vec.numElements()
+    var nv2 = 0.0
+    var i = 0
+    while (i < n) { val v = vec.getDouble(i); nv2 += v * v; i += 1 }
+    val nv = math.sqrt(nv2)
+    var best = Double.NegativeInfinity
+    var second = Double.NegativeInfinity
+    var c = 0
+    while (c < cids.length) {
+      var d = 0.0
+      var j = 0
+      val m = math.min(dim, n)
+      while (j < m) { d += vec.getDouble(j) * flat(c * dim + j); j += 1 }
+      val sim = if (norms(c) > 0.0 && nv > 0.0) d / (nv * norms(c)) else 0.0
+      if (sim > best) { second = best; best = sim }
+      else if (sim > second) { second = sim }
+      c += 1
+    }
+    val a = 1.0 - best
+    val b = 1.0 - second
+    if (b > 0.0) math.floor((b - a) / b * 1000000.0 + 0.5).toLong else 0L
+  }
 }
 
 /**
@@ -283,6 +314,26 @@ case class NearestCentroidExpr(child: Expression, kernel: CentroidKernel) extend
     copy(child = newChild)
 }
 
+/** Micro-quantized simplified silhouette of a vector column against a fixed
+  * centroid set — the cluster-quality gate's per-row kernel. Same reference-
+  * object pattern as NearestCentroidExpr: one tight k·dim loop per row. */
+case class CentroidSilhouetteExpr(child: Expression, kernel: CentroidKernel)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "centroid_silhouette"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.silhouetteMicro(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidKernel", kernel, "graft.functions.CentroidKernel")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.silhouetteMicro($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidSilhouetteExpr =
+    copy(child = newChild)
+}
+
 /** Broadcastable hyperplane table for sign-bucket LSH. */
 class PlaneKernel(val flat: Array[Double], val planes: Int, val dim: Int) extends Serializable {
   /** Sign-bit bucket: bit j set when dot(vec, plane_j) >= 0 (left-fold). */
@@ -335,6 +386,14 @@ object VectorExpressions {
     val dim = cents.head._2.length
     val kernel = new CentroidKernel(cents.map(_._1), cents.flatMap(_._2), dim)
     Bridge.column(NearestCentroidExpr(Bridge.expression(vec), kernel))
+  }
+
+  /** Micro-quantized simplified silhouette against a fixed centroid set. */
+  def centroidSilhouette(vec: Column, cents: Array[(Long, Array[Double])]): Column = {
+    require(cents.nonEmpty, "empty centroid set")
+    val dim = cents.head._2.length
+    val kernel = new CentroidKernel(cents.map(_._1), cents.flatMap(_._2), dim)
+    Bridge.column(CentroidSilhouetteExpr(Bridge.expression(vec), kernel))
   }
 
   /** Sign-bucket of `vec` against a plane matrix (row-major planes x dim). */

@@ -121,4 +121,35 @@ object BpeTrainer {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe_tokens"))
   }
+
+  /**
+   * Tokenizer-fit dashboard: per-group fertility (BPE tokens per word) and
+   * compression (characters per BPE token) under a trained word table —
+   * the numbers a tokenizer evaluation reports per language/source slice
+   * (high fertility on a slice = the vocabulary underserves it, its
+   * effective context window shrinks and its per-byte training cost rises).
+   *
+   * Shape: the same co-partitioned words join as `segmentCounts` (the word
+   * table is data-sized, never broadcast by assumption), then ONE group
+   * aggregation whose partials collapse map-side to |groups| rows. Ratios
+   * are milli-quantized integer division — order-independent and exact up
+   * to ~9e15 tokens per group (documented bound; far past a 100 TB slice).
+   */
+  def fertility(
+      docs: DataFrame, groupCols: Seq[String], textCol: String,
+      words: DataFrame): DataFrame = {
+    val lens = words.select(col("w"),
+      size(col("toks")).cast("long").as("n_bpe"),
+      length(col("w")).cast("long").as("n_chr"))
+    docs.select(groupCols.map(col) :+ explode(TextFunctions.tokens(col(textCol))).as("w"): _*)
+      .join(lens, Seq("w"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chr")).as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe_tokens"))
+      // every word is >= 1 token, so both divisors are positive by
+      // construction; `div` keeps the ratio in exact integer arithmetic
+      .withColumn("fertility_milli", expr("n_bpe_tokens * 1000 div n_words"))
+      .withColumn("chars_per_token_milli", expr("n_chars * 1000 div n_bpe_tokens"))
+  }
 }

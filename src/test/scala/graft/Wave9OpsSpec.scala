@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.sim.{Pca, Similarity}
+import graft.text.BpeTrainer
+
+/**
+ * Round-8 wave-9 specs: tokenizer fertility, the simplified-silhouette
+ * cluster gate, and the top-principal-component (all-but-the-top)
+ * diagnostic — hand replays of the integer ladders plus a known-geometry
+ * eigenvector recovery.
+ */
+class Wave9OpsSpec extends AnyFunSuite with SparkTestSession {
+
+  // ----------------------------------------------------------- fertility
+
+  test("fertility replays the milli-quantized integer ratios per group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb", "en", "s1"),
+      (2L, "aa", "de", "s1")).toDF("doc_id", "text", "lang", "source")
+    // hand word table: 'aa' stays whole (1 token), 'bb' splits into 2 chars
+    val words = Seq(
+      ("aa", 2L, Seq("aa")),
+      ("bb", 1L, Seq("b", "b"))).toDF("w", "cnt", "toks")
+    val out = BpeTrainer.fertility(docs, Seq("lang", "source"), "text", words)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // en/s1: 2 words, 4 chars, 3 bpe tokens -> 3000 div 2, 4000 div 3
+    assert(out(("en", "s1")) == ((2L, 4L, 3L, 1500L, 1333L)))
+    // de/s1: 1 word, 2 chars, 1 token
+    assert(out(("de", "s1")) == ((1L, 2L, 1L, 1000L, 2000L)))
+  }
+
+  // ---------------------------------------------------------- silhouette
+
+  test("silhouette separates two orthogonal clusters (high s, exact counts)") {
+    import spark.implicits._
+    // LCG sampling at k=2 picks ids 1 and 3 (smallest lcg ranks), one per
+    // cluster by construction, so Lloyd starts with a centroid in each.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.05f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.05f, 0.95f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.silhouette(emb, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out.values.map(_._1).sum == 4L)
+    // both clusters tight and mutually near-orthogonal: every vector's
+    // simplified silhouette is close to the 1e6 ceiling
+    assert(out.values.forall(_._2 > 900000L), out.toString)
+  }
+
+  test("silhouette s_micro stays in [0, 1e6] and aggregates one shuffle") {
+    import spark.implicits._
+    val emb = (0L until 32L).map(i =>
+      (i, Seq.tabulate(4)(d => ((i + d) % 7).toFloat / 7f + 0.1f)))
+      .toDF("vec_id", "embedding")
+    val df = Similarity.silhouette(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum == 32L)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(4) <= 1000000L, r.toString)
+    }
+    // the silhouette DataFrame itself: scan -> kernel project -> one agg
+    // exchange (the kernel rides map-side; no join, no second shuffle).
+    // AQE prints the initial plan after the final one — count only the final.
+    val planStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    assert(nExchanges <= 1, planStr.take(2000))
+  }
+
+  // ----------------------------------------------------------------- pca
+
+  test("pca topComponent recovers a known dominant direction exactly") {
+    import spark.implicits._
+    // rank-1 data along u = (0.6, 0.8, 0, 0), zero mean: the top component
+    // is u up to max-abs fixed-point scale -> (750000, 1000000, 0, 0)
+    val emb = Seq(-2.0f, -1.0f, 1.0f, 2.0f).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Seq(0.6f * t, 0.8f * t, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Pca.topComponent(emb, "embedding", dim = 4, iters = 8)
+      .orderBy("dim_idx").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(750000L, 1000000L, 0L, 0L))
+    // trace = lambda for rank-1 data (all variance in one direction)
+    assert(out.head.getLong(2) > 0L)
+    assert(out.head.getLong(3) == out.head.getLong(2) ||
+      (out.head.getLong(3) - out.head.getLong(2)).abs <= 1L)
+  }
+
+  test("pca topComponent sign-canonicalizes at the largest coordinate") {
+    import spark.implicits._
+    // dominant direction (-0.8, 0.6): the largest-|v| coordinate (index 0)
+    // must come out positive, flipping the whole vector
+    val emb = Seq(-2.0f, -1.0f, 1.0f, 2.0f).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Seq(-0.8f * t, 0.6f * t, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val v = Pca.topComponent(emb, "embedding", dim = 4, iters = 8)
+      .orderBy("dim_idx").collect().map(_.getLong(1)).toSeq
+    assert(v == Seq(1000000L, -750000L, 0L, 0L))
+  }
+}

@@ -625,5 +625,34 @@ jp = jaccard_pairs(
 assert [(r["a"], r["b"], r["jaccard_milli"]) for r in jp] == [(1, 2, 600)], jp
 print("PASS jaccard_pairs")
 
+# round 8 wave 9: fertility, silhouette, pca_top
+from graft import bpe_fertility, silhouette, pca_top
+
+fert = bpe_fertility(
+    spark.createDataFrame([(1, "aa bb", "en"), (2, "aa", "de")],
+                          "doc_id long, text string, lang string"),
+    ["lang"], "text",
+    spark.createDataFrame([("aa", 2, ["aa"]), ("bb", 1, ["b", "b"])],
+                          "w string, cnt long, toks array<string>")).collect()
+f = {r["lang"]: (r["fertility_milli"], r["chars_per_token_milli"]) for r in fert}
+assert f == {"en": (1500, 1333), "de": (1000, 2000)}, fert
+print("PASS bpe_fertility")
+
+sil = silhouette(
+    spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.05]), (2, [0.0, 1.0]), (3, [0.05, 0.95])],
+        "vec_id long, embedding array<float>"),
+    "vec_id", "embedding", 2, 2).collect()
+assert sum(r["n_vecs"] for r in sil) == 4     and all(r["min_s_micro"] > 900000 for r in sil), sil
+print("PASS silhouette")
+
+pc = pca_top(
+    spark.createDataFrame(
+        [(i, [0.6 * t, 0.8 * t]) for i, t in enumerate([-2.0, -1.0, 1.0, 2.0])],
+        "vec_id long, embedding array<float>"),
+    "embedding", 2, 8).collect()
+assert [r["v_micro"] for r in pc] == [750000, 1000000], pc
+print("PASS pca_top")
+
 spark.stop()
-print("PASS: round-8 wave-2 + wave-3 + wave-6 + wave-7 + wave-8 wrappers")
+print("PASS: round-8 wave-2 + wave-3 + wave-6 + wave-7 + wave-8 + wave-9 wrappers")
