@@ -754,3 +754,12 @@ def pca_top(corpus, vec_col, dim, iters=8):
     m = _module(corpus.sparkSession, "graft.sim.Pca$")
     return _wrap(corpus, m.topComponent(corpus._jdf, vec_col,
                                         int(dim), int(iters)))
+
+
+def pca_project(corpus, group_col, vec_col, dim, iters=8):
+    """Per-group projection-mass profile along the top component (the
+    apply half of all-but-the-top): exact-integer projections, one scan +
+    one group agg."""
+    m = _module(corpus.sparkSession, "graft.sim.Pca$")
+    return _wrap(corpus, m.projectProfile(corpus._jdf, group_col, vec_col,
+                                          int(dim), int(iters)))

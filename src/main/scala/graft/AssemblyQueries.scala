@@ -174,6 +174,16 @@ object AssemblyQueries {
       graft.sim.Pca.topComponent(t(s, dir, "embeddings"), "embedding",
           dim = 64, iters = 8)
         .orderBy(col("dim_idx"))
+    }),
+
+    "q_pca_project" -> ((s, dir) => {
+      // the apply half of all-but-the-top: per-label projection-mass
+      // profile along the top component (which slices load on the
+      // anisotropy axis). Component broadcast as one literal; exact
+      // integer projections ride one scan + one |labels|-row agg.
+      graft.sim.Pca.projectProfile(t(s, dir, "embeddings"), "label",
+          "embedding", dim = 64, iters = 8)
+        .orderBy(col("grp"))
     })
   )
 
@@ -354,8 +364,41 @@ object AssemblyQueries {
     // normalization with sign-safe truncating division, 8 steps, sign
     // canonicalized at the largest-|v| coordinate (ties -> smallest index).
     "q_pca_top" ->
-      """WITH RECURSIVE
-        |qv AS MATERIALIZED (
+      s"""WITH RECURSIVE
+        |$pcaReplayCtes
+        |SELECT CAST(c.i AS BIGINT) AS dim_idx,
+        |  CAST(CASE WHEN (SELECT vi FROM flip) < 0 THEN -c.vi ELSE c.vi END AS BIGINT) AS v_micro,
+        |  CAST((SELECT mx // 1000000 FROM fin) AS BIGINT) AS lambda_c,
+        |  CAST((SELECT trace_c FROM tr) AS BIGINT) AS trace_c
+        |FROM comps c ORDER BY dim_idx""".stripMargin,
+
+    // the apply half: per-label projection-mass profile along the flipped
+    // component — p = sum(v_micro_i * q_i), exact HUGEINT = exact BigInt
+    "q_pca_project" ->
+      s"""WITH RECURSIVE
+        |$pcaReplayCtes,
+        |vflip AS (SELECT list(CASE WHEN (SELECT vi FROM flip) < 0 THEN -vi ELSE vi END
+        |                      ORDER BY i) AS v FROM comps),
+        |qd AS (SELECT label, list_transform(embedding,
+        |         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |pr AS (SELECT label, list_sum(list_transform(range(64),
+        |         i -> vflip.v[CAST(i AS INTEGER)+1] * q[CAST(i AS INTEGER)+1])) AS p
+        |       FROM qd, vflip)
+        |SELECT CAST(label AS BIGINT) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(p) AS BIGINT) AS sum_p,
+        |  CAST(sum(abs(p)) AS BIGINT) AS sum_abs_p,
+        |  CAST(min(p) AS BIGINT) AS min_p,
+        |  CAST(max(p) AS BIGINT) AS max_p
+        |FROM pr GROUP BY label ORDER BY grp""".stripMargin
+  )
+
+  /** Shared covariance + power-iteration replay (see q_pca_top): ends with
+    * CTEs `fin` (final v + mx), `comps` (i, vi), `flip` (sign pivot), `tr`
+    * (trace). */
+  private def pcaReplayCtes: String =
+      """qv AS MATERIALIZED (
         |  SELECT list_transform(embedding,
         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
         |  FROM embeddings
@@ -417,11 +460,5 @@ object AssemblyQueries {
         |fin AS (SELECT v, mx FROM it WHERE t = 8),
         |comps AS (SELECT i, v[CAST(i AS INTEGER)+1] AS vi FROM fin, range(64) t(i)),
         |flip AS (SELECT vi FROM comps ORDER BY abs(vi) DESC, i ASC LIMIT 1),
-        |tr AS (SELECT sum(c) AS trace_c FROM cov WHERE i = j)
-        |SELECT CAST(c.i AS BIGINT) AS dim_idx,
-        |  CAST(CASE WHEN (SELECT vi FROM flip) < 0 THEN -c.vi ELSE c.vi END AS BIGINT) AS v_micro,
-        |  CAST((SELECT mx // 1000000 FROM fin) AS BIGINT) AS lambda_c,
-        |  CAST((SELECT trace_c FROM tr) AS BIGINT) AS trace_c
-        |FROM comps c ORDER BY dim_idx""".stripMargin
-  )
+        |tr AS (SELECT sum(c) AS trace_c FROM cov WHERE i = j)""".stripMargin
 }

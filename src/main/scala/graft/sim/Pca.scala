@@ -40,6 +40,17 @@ object Pca {
   def topComponent(
       corpus: DataFrame, vecCol: String, dim: Int, iters: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
+    val (v, lambda, trace) = topComponentVector(corpus, vecCol, dim, iters)
+    import spark.implicits._
+    (0 until dim).map(i => (i.toLong, v(i), lambda, trace))
+      .toDF("dim_idx", "v_micro", "lambda_c", "trace_c")
+  }
+
+  /** The raw driver-side model behind [[topComponent]]: the 1e6-fixed-point
+    * component (long per coordinate), λ and trace in C units — the bounded
+    * broadcastable artifact the apply stage ([[projectProfile]]) consumes. */
+  def topComponentVector(
+      corpus: DataFrame, vecCol: String, dim: Int, iters: Int = 8): (Array[Long], Long, Long) = {
     val d = dim
 
     val q = transform(col(vecCol).cast("array<double>"),
@@ -88,9 +99,36 @@ object Pca {
     val trace = (0 until d).map(i => cov(i, i)).sum
     require(lambda.isValidLong && trace.isValidLong,
       s"lambda/trace exceed int64 (N=$n): emit at a coarser quantization grain")
+    (v.map(_.toLong), lambda.toLong, trace.toLong)
+  }
 
-    import spark.implicits._
-    (0 until d).map(i => (i.toLong, v(i).toLong, lambda.toLong, trace.toLong))
-      .toDF("dim_idx", "v_micro", "lambda_c", "trace_c")
+  /**
+   * The apply half of all-but-the-top: project every vector onto the top
+   * component and profile the projection mass per group — how much of each
+   * slice's embedding mass lies along the corpus-wide anisotropy axis
+   * (slices that load heavily on it are the ones cosine pulls together for
+   * non-semantic reasons). Projections are exact integers (p = Σ v_micro_i
+   * · q_i with milli-quantized coordinates: |p| ≤ d·1e6·|q|max, ~1e13 at
+   * unit-norm inputs), so the group aggregation is order-independent.
+   * Shape: the component rides as one broadcast literal; one scan + one
+   * |groups|-row agg shuffle.
+   */
+  def projectProfile(
+      corpus: DataFrame, groupCol: String, vecCol: String,
+      dim: Int, iters: Int = 8): DataFrame = {
+    val (v, _, _) = topComponentVector(corpus, vecCol, dim, iters)
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => round(x * 1000).cast("long"))
+    val proj = aggregate(
+      zip_with(q, typedLit(v.toSeq), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    corpus
+      .select(col(groupCol).cast("long").as("grp"), proj.as("p"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("p")).as("sum_p"),
+        sum(abs(col("p"))).as("sum_abs_p"),
+        min(col("p")).as("min_p"),
+        max(col("p")).as("max_p"))
   }
 }

@@ -654,5 +654,18 @@ pc = pca_top(
 assert [r["v_micro"] for r in pc] == [750000, 1000000], pc
 print("PASS pca_top")
 
+from graft import pca_project
+
+pp = pca_project(
+    spark.createDataFrame(
+        [(i, i % 2, [0.6 * t, 0.8 * t])
+         for i, t in enumerate([-2.0, -1.0, 1.0, 2.0])],
+        "vec_id long, label int, embedding array<float>"),
+    "label", "embedding", 2, 8).collect()
+# rank-1 data: projection = |t| * (600*75e4 + 800*1e6) with signs; labels
+# alternate over t = -2,-1,1,2 -> label 0: {-2,1}, label 1: {-1,2}
+assert {(r["grp"], r["sum_p"], r["sum_abs_p"]) for r in pp}     == {(0, -1250000000, 3750000000), (1, 1250000000, 3750000000)}, pp
+print("PASS pca_project")
+
 spark.stop()
 print("PASS: round-8 wave-2 + wave-3 + wave-6 + wave-7 + wave-8 + wave-9 wrappers")
