@@ -756,6 +756,15 @@ def pca_top(corpus, vec_col, dim, iters=8):
                                         int(dim), int(iters)))
 
 
+def neyman_allocation(df, stratum_col, metric_col, total_target):
+    """Neyman-optimal eval-set quotas per stratum (minimum-variance
+    stratified allocation by N_h * S_h), largest-remainder rounded so the
+    quotas sum EXACTLY to total_target."""
+    m = _module(df.sparkSession, "graft.operators.DatasetSplit$")
+    return _wrap(df, m.neymanAllocation(df._jdf, stratum_col, metric_col,
+                                        int(total_target)))
+
+
 def pca_project(corpus, group_col, vec_col, dim, iters=8):
     """Per-group projection-mass profile along the top component (the
     apply half of all-but-the-top): exact-integer projections, one scan +

@@ -184,6 +184,16 @@ object AssemblyQueries {
       graft.sim.Pca.projectProfile(t(s, dir, "embeddings"), "label",
           "embedding", dim = 64, iters = 8)
         .orderBy(col("grp"))
+    }),
+
+    "q_neyman" -> ((s, dir) => {
+      // Neyman-optimal eval-set quotas per source (minimum-variance
+      // stratified allocation by N_h·S_h over doc length), largest-
+      // remainder rounded so the quotas sum to EXACTLY the budget — the
+      // eval-set construction rule, not the proportional shortcut.
+      DatasetSplit.neymanAllocation(t(s, dir, "documents"), "source",
+          "n_chars", totalTarget = 1000L)
+        .orderBy(col("source"))
     })
   )
 
@@ -391,7 +401,39 @@ object AssemblyQueries {
         |  CAST(sum(abs(p)) AS BIGINT) AS sum_abs_p,
         |  CAST(min(p) AS BIGINT) AS min_p,
         |  CAST(max(p) AS BIGINT) AS max_p
-        |FROM pr GROUP BY label ORDER BY grp""".stripMargin
+        |FROM pr GROUP BY label ORDER BY grp""".stripMargin,
+
+    // HUGEINT replay of the exact integer ladder: N²·var = n·Σx² − (Σx)²,
+    // weight = floor(double sqrt) (same IEEE double both engines), base
+    // quota by integer division, largest-remainder (ties -> stratum asc)
+    "q_neyman" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sxx
+        |  FROM documents GROUP BY source),
+        |v AS (SELECT source, n, n * sxx - sx * sx AS var2 FROM g),
+        |w AS (SELECT source, n,
+        |        CAST(floor(sqrt(CAST(var2 AS DOUBLE))) AS HUGEINT) AS w0 FROM v),
+        |t AS (SELECT CAST(sum(w0) AS HUGEINT) AS wtot0,
+        |             CAST(sum(n) AS HUGEINT) AS ntot FROM w),
+        |e AS (SELECT source, n,
+        |        CASE WHEN (SELECT wtot0 FROM t) > 0 THEN w0 ELSE n END AS wt,
+        |        CASE WHEN (SELECT wtot0 FROM t) > 0 THEN (SELECT wtot0 FROM t)
+        |             ELSE (SELECT ntot FROM t) END AS wtot
+        |      FROM w),
+        |a AS (SELECT source, n, wt,
+        |        CAST((1000 * wt) // wtot AS BIGINT) AS alloc_base,
+        |        CAST(1000 * wt - ((1000 * wt) // wtot) * wtot AS BIGINT) AS remainder
+        |      FROM e),
+        |d AS (SELECT 1000 - sum(alloc_base) AS deficit FROM a),
+        |r AS (SELECT *, row_number() OVER (ORDER BY remainder DESC, source ASC) AS rk
+        |      FROM a)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(wt AS BIGINT) AS weight,
+        |  alloc_base, remainder,
+        |  CAST(alloc_base + CASE WHEN rk <= (SELECT deficit FROM d)
+        |                         THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin
   )
 
   /** Shared covariance + power-iteration replay (see q_pca_top): ends with

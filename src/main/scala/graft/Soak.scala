@@ -95,7 +95,9 @@ object Soak {
       // round-8 wave 9: the fertility words join (word table grows with
       // vocabulary), the silhouette kernel scan (one k-row agg), and the
       // bounded covariance agg (driver fetch fixed at d(d+3)/2 rows)
-      "q_fertility", "q_silhouette", "q_pca_top", "q_pca_project")
+      "q_fertility", "q_silhouette", "q_pca_top", "q_pca_project",
+      // one corpus agg -> |strata| rows; windows on the tiny frame only
+      "q_neyman")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

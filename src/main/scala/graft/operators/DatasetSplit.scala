@@ -174,6 +174,63 @@ object DatasetSplit {
   }
 
   /**
+   * Neyman-optimal eval-set allocation: how many eval rows to draw from
+   * each stratum so a fixed-budget eval set minimizes the variance of the
+   * estimated corpus mean of `metricCol` — quota_h ∝ N_h·S_h (Neyman 1934),
+   * the eval-set construction rule stratified sampling textbooks prescribe
+   * over proportional quotas whenever strata spreads differ.
+   *
+   * Integer-exact pipeline: per stratum one agg computes (n, Σx, Σx²) with
+   * DECIMAL(38,0) sums; N²·variance = n·Σx² − (Σx)² is exact, and
+   * N_h·S_h = √(n·Σx² − (Σx)²) exactly (since S = √(var/n)·(N=n)), taken as
+   * floor over the IEEE double sqrt — the SAME double on every engine, so
+   * the floor replays bit-for-bit. Quotas are largest-remainder rounded so
+   * they sum to EXACTLY totalTarget: base_h = T·w_h div W, then the
+   * (T − Σbase) strata with the largest remainders (ties → stratum asc)
+   * get +1. All-constant strata (ΣS = 0) fall back to proportional
+   * allocation by stratum size — the standard degenerate-case choice.
+   *
+   * Bounds (documented, like budgetAllocation): exactness needs
+   * n·Σx² < 10³⁸ (metric ≤ 10⁶ per row holds to ~10²⁰ rows) and the double
+   * sqrt is shared-behavior-exact at any magnitude. Scale shape: one
+   * corpus agg collapsing map-side to |strata| rows; every window runs on
+   * that tiny frame.
+   */
+  def neymanAllocation(
+      df: DataFrame, stratumCol: String, metricCol: String,
+      totalTarget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalTarget > 0)
+    val x = col(metricCol).cast("decimal(19,0)")
+    val whole = Window.partitionBy()
+    df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(x).as("_sx"),
+        sum(x * x).as("_sxx"))
+      .withColumn("_var2",
+        expr("CAST(n_docs AS DECIMAL(38,0)) * _sxx - _sx * _sx"))
+      .withColumn("_w", floor(sqrt(col("_var2").cast("double"))).cast("long"))
+      .withColumn("_wtot", sum(col("_w")).over(whole))
+      // all-constant strata: Neyman weights vanish -> proportional fallback
+      .withColumn("weight",
+        when(col("_wtot") > 0, col("_w")).otherwise(col("n_docs")))
+      .withColumn("_wt",
+        when(col("_wtot") > 0, col("_wtot"))
+          .otherwise(sum(col("n_docs")).over(whole)))
+      .withColumn("alloc_base",
+        expr(s"CAST(CAST($totalTarget AS DECIMAL(38,0)) * weight div _wt AS BIGINT)"))
+      .withColumn("remainder",
+        expr(s"CAST(CAST($totalTarget AS DECIMAL(38,0)) * weight" +
+          " - CAST(alloc_base AS DECIMAL(38,0)) * _wt AS BIGINT)"))
+      .withColumn("_deficit", lit(totalTarget) - sum(col("alloc_base")).over(whole))
+      .withColumn("_rk", row_number().over(
+        whole.orderBy(col("remainder").desc, col(stratumCol).asc)))
+      .withColumn("alloc",
+        col("alloc_base") + when(col("_rk") <= col("_deficit"), 1L).otherwise(0L))
+      .drop("_sx", "_sxx", "_var2", "_w", "_wtot", "_wt", "_deficit", "_rk")
+  }
+
+  /**
    * Leakage-proof split: like `withSplit`, but byte-identical documents
    * always land in the SAME split — the bucket hashes the content group's
    * canonical id, not the row's own id. A plain id-hash split leaks

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.filter.SparkTestSession
+import graft.operators.DatasetSplit
 import graft.sim.{Pca, Similarity}
 import graft.text.BpeTrainer
 
@@ -92,6 +93,36 @@ class Wave9OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.head.getLong(2) > 0L)
     assert(out.head.getLong(3) == out.head.getLong(2) ||
       (out.head.getLong(3) - out.head.getLong(2)).abs <= 1L)
+  }
+
+  // -------------------------------------------------------------- neyman
+
+  test("neymanAllocation: quotas track N·S and sum exactly to the budget") {
+    import spark.implicits._
+    // stratum A: constant metric (S=0); B: high spread; C: mild spread.
+    // Neyman gives A nothing beyond remainders, B the most.
+    val docs = Seq(
+      ("A", 100L), ("A", 100L), ("A", 100L),
+      ("B", 0L), ("B", 1000L), ("B", 0L), ("B", 1000L),
+      ("C", 90L), ("C", 110L)).toDF("source", "n_chars")
+    val out = DatasetSplit.neymanAllocation(docs, "source", "n_chars", 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(5))).toMap
+    assert(out.values.map(_._2).sum == 100L)
+    // weights: A -> 0; B -> floor(sqrt(4*2e6 - 2000^2)) = 2000; C -> 20
+    assert(out("A")._1 == 0L)
+    assert(out("B")._1 == 2000L)
+    assert(out("C")._1 == 20L)
+    assert(out("B")._2 > out("C")._2 && out("C")._2 > out("A")._2, out.toString)
+  }
+
+  test("neymanAllocation falls back to proportional when all strata are constant") {
+    import spark.implicits._
+    val docs = Seq(("A", 5L), ("A", 5L), ("A", 5L), ("B", 7L))
+      .toDF("source", "n_chars")
+    val out = DatasetSplit.neymanAllocation(docs, "source", "n_chars", 8L)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    // proportional: A 3/4 of 8 = 6, B 2
+    assert(out == Map("A" -> 6L, "B" -> 2L), out.toString)
   }
 
   test("pca topComponent sign-canonicalizes at the largest coordinate") {

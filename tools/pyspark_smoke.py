@@ -667,5 +667,18 @@ pp = pca_project(
 assert {(r["grp"], r["sum_p"], r["sum_abs_p"]) for r in pp}     == {(0, -1250000000, 3750000000), (1, 1250000000, 3750000000)}, pp
 print("PASS pca_project")
 
+from graft import neyman_allocation
+
+ney = neyman_allocation(
+    spark.createDataFrame(
+        [("A", 100), ("A", 100), ("A", 100),
+         ("B", 0), ("B", 1000), ("B", 0), ("B", 1000),
+         ("C", 90), ("C", 110)],
+        "source string, n_chars long"),
+    "source", "n_chars", 100).collect()
+n = {r["source"]: r["alloc"] for r in ney}
+assert sum(n.values()) == 100 and n["B"] > n["C"] > n["A"], ney
+print("PASS neyman_allocation")
+
 spark.stop()
 print("PASS: round-8 wave-2 + wave-3 + wave-6 + wave-7 + wave-8 + wave-9 wrappers")
