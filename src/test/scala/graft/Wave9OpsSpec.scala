@@ -125,6 +125,30 @@ class Wave9OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Map("A" -> 6L, "B" -> 2L), out.toString)
   }
 
+  test("pca topComponent degenerates to zeros on a constant corpus") {
+    import spark.implicits._
+    // a single repeated vector: covariance is identically zero, the
+    // iteration hits the mx=0 branch and reports a zero component
+    val emb = Seq((0L, Seq(0.5f, 0.5f)), (1L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Pca.topComponent(emb, "embedding", dim = 2, iters = 8)
+      .orderBy("dim_idx").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 0L))
+    assert(out.head.getLong(2) == 0L && out.head.getLong(3) == 0L)
+  }
+
+  test("silhouette handles k larger than the corpus") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)), (2L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    // k=8 > N=3: the sampler returns all 3 vectors as centroids; the
+    // kernel still scores every row and counts stay exact
+    val rows = Similarity.silhouette(emb, "vec_id", "embedding", k = 8, iters = 1)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == 3L)
+  }
+
   test("pca topComponent sign-canonicalizes at the largest coordinate") {
     import spark.implicits._
     // dominant direction (-0.8, 0.6): the largest-|v| coordinate (index 0)
