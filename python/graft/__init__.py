@@ -765,6 +765,15 @@ def neyman_allocation(df, stratum_col, metric_col, total_target):
                                         int(total_target)))
 
 
+def sample_to_quotas(df, stratum_col, id_col, quotas, quota_col="alloc"):
+    """Draw the rows an allocation prescribes: deterministic
+    bottom-quota-by-md5 per stratum (quotas e.g. from neyman_allocation).
+    Adds a sample_rank column."""
+    m = _module(df.sparkSession, "graft.operators.DatasetSplit$")
+    return _wrap(df, m.sampleToQuotas(df._jdf, stratum_col, id_col,
+                                      quotas._jdf, quota_col))
+
+
 def pca_project(corpus, group_col, vec_col, dim, iters=8):
     """Per-group projection-mass profile along the top component (the
     apply half of all-but-the-top): exact-integer projections, one scan +

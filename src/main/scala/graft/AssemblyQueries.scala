@@ -194,6 +194,18 @@ object AssemblyQueries {
       DatasetSplit.neymanAllocation(t(s, dir, "documents"), "source",
           "n_chars", totalTarget = 1000L)
         .orderBy(col("source"))
+    }),
+
+    "q_neyman_sample" -> ((s, dir) => {
+      // the end-to-end eval-set DRAW: Neyman quotas -> deterministic
+      // bottom-quota-by-md5 rows per stratum. Row-level output pins both
+      // WHICH documents and their sample ranks.
+      val docs = t(s, dir, "documents")
+      val quotas = DatasetSplit.neymanAllocation(docs, "source",
+        "n_chars", totalTarget = 200L)
+      DatasetSplit.sampleToQuotas(docs, "source", "doc_id", quotas)
+        .select(col("source"), col("sample_rank"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("sample_rank"))
     })
   )
 
@@ -407,34 +419,60 @@ object AssemblyQueries {
     // weight = floor(double sqrt) (same IEEE double both engines), base
     // quota by integer division, largest-remainder (ties -> stratum asc)
     "q_neyman" ->
-      """WITH g AS (
-        |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
-        |    CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
-        |    CAST(sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sxx
-        |  FROM documents GROUP BY source),
-        |v AS (SELECT source, n, n * sxx - sx * sx AS var2 FROM g),
-        |w AS (SELECT source, n,
-        |        CAST(floor(sqrt(CAST(var2 AS DOUBLE))) AS HUGEINT) AS w0 FROM v),
-        |t AS (SELECT CAST(sum(w0) AS HUGEINT) AS wtot0,
-        |             CAST(sum(n) AS HUGEINT) AS ntot FROM w),
-        |e AS (SELECT source, n,
-        |        CASE WHEN (SELECT wtot0 FROM t) > 0 THEN w0 ELSE n END AS wt,
-        |        CASE WHEN (SELECT wtot0 FROM t) > 0 THEN (SELECT wtot0 FROM t)
-        |             ELSE (SELECT ntot FROM t) END AS wtot
-        |      FROM w),
-        |a AS (SELECT source, n, wt,
-        |        CAST((1000 * wt) // wtot AS BIGINT) AS alloc_base,
-        |        CAST(1000 * wt - ((1000 * wt) // wtot) * wtot AS BIGINT) AS remainder
-        |      FROM e),
-        |d AS (SELECT 1000 - sum(alloc_base) AS deficit FROM a),
-        |r AS (SELECT *, row_number() OVER (ORDER BY remainder DESC, source ASC) AS rk
-        |      FROM a)
+      s"""WITH ${neymanCtes(1000)}
         |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(wt AS BIGINT) AS weight,
         |  alloc_base, remainder,
         |  CAST(alloc_base + CASE WHEN rk <= (SELECT deficit FROM d)
         |                         THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM r ORDER BY source""".stripMargin
+        |FROM r ORDER BY source""".stripMargin,
+
+    // the draw: same quota ladder at budget 200, then the reservoir-style
+    // md5 rank (identical to q_reservoir_sample's key) cut at each
+    // stratum's quota
+    "q_neyman_sample" ->
+      s"""WITH ${neymanCtes(200)},
+        |ney AS (
+        |  SELECT source,
+        |    CAST(alloc_base + CASE WHEN rk <= (SELECT deficit FROM d)
+        |                           THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |  FROM r),
+        |rnk AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(concat_ws('_', doc_id)), doc_id) AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |SELECT rnk.source, rnk.sample_rank, rnk.doc_id,
+        |  CAST(rnk.n_chars AS BIGINT) AS n_chars
+        |FROM rnk JOIN ney ON ney.source = rnk.source
+        |WHERE rnk.sample_rank <= ney.alloc
+        |ORDER BY rnk.source, rnk.sample_rank""".stripMargin
   )
+
+  /** Shared Neyman-quota replay at `budget`: ends with CTEs `r` (per-source
+    * alloc_base + remainder + remainder rank) and `d` (deficit). */
+  private def neymanCtes(budget: Long): String =
+    s"""g AS (
+       |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+       |    CAST(sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sxx
+       |  FROM documents GROUP BY source),
+       |v AS (SELECT source, n, n * sxx - sx * sx AS var2 FROM g),
+       |w AS (SELECT source, n,
+       |        CAST(floor(sqrt(CAST(var2 AS DOUBLE))) AS HUGEINT) AS w0 FROM v),
+       |t AS (SELECT CAST(sum(w0) AS HUGEINT) AS wtot0,
+       |             CAST(sum(n) AS HUGEINT) AS ntot FROM w),
+       |e AS (SELECT source, n,
+       |        CASE WHEN (SELECT wtot0 FROM t) > 0 THEN w0 ELSE n END AS wt,
+       |        CASE WHEN (SELECT wtot0 FROM t) > 0 THEN (SELECT wtot0 FROM t)
+       |             ELSE (SELECT ntot FROM t) END AS wtot
+       |      FROM w),
+       |a AS (SELECT source, n, wt,
+       |        CAST(($budget * wt) // wtot AS BIGINT) AS alloc_base,
+       |        CAST($budget * wt - (($budget * wt) // wtot) * wtot AS BIGINT) AS remainder
+       |      FROM e),
+       |d AS (SELECT $budget - sum(alloc_base) AS deficit FROM a),
+       |r AS (SELECT *, row_number() OVER (ORDER BY remainder DESC, source ASC) AS rk
+       |      FROM a)""".stripMargin
 
   /** Shared covariance + power-iteration replay (see q_pca_top): ends with
     * CTEs `fin` (final v + mx), `comps` (i, vi), `flip` (sign pivot), `tr`

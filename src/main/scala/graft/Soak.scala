@@ -97,7 +97,9 @@ object Soak {
       // bounded covariance agg (driver fetch fixed at d(d+3)/2 rows)
       "q_fertility", "q_silhouette", "q_pca_top", "q_pca_project",
       // one corpus agg -> |strata| rows; windows on the tiny frame only
-      "q_neyman")
+      "q_neyman",
+      // broadcast quota join + one stratum-key rank window
+      "q_neyman_sample")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

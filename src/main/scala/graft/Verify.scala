@@ -27,7 +27,7 @@ object Verify {
     "q_corpus_drift", "q_doc_topics",
     "q_curriculum", "q_pad_batches", "q_repetition_budget",
     "q_dup_cluster_hist", "q_embed_stats", "q_knn_label_vote", "q_pca_top",
-    "q_pca_project", "q_neyman",
+    "q_pca_project", "q_neyman", "q_neyman_sample",
     "q_funnel", "q_retention", "q_containment",
     "q_funnel_windowed", "q_time_to_convert", "q_attribution", "q_rfm",
     "q_kcenter", "q_centrality", "q_cluster_split", "q_semantic_decontaminate",

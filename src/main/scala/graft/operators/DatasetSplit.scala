@@ -308,6 +308,35 @@ object DatasetSplit {
    * One window per group (rank by hash), same shape as the per-source
    * cap. Output: input columns + `sample_rank` (1..k by hash order).
    */
+  /**
+   * Draw the rows an allocation table prescribes: deterministic
+   * bottom-quota-by-md5 per stratum, quotas from a tiny (stratum, quota)
+   * table (e.g. [[neymanAllocation]]'s `alloc` column) broadcast back onto
+   * the corpus. The end-to-end eval-set constructor — the allocator says
+   * HOW MANY per stratum, this says WHICH rows, and both halves replay
+   * bit-for-bit in any engine. A stratum smaller than its quota passes
+   * through whole (rank can't exceed the population). Same sampling key as
+   * [[bottomKSample]] (mergeable, growth-stable: a new row only enters the
+   * sample by displacing the current max hash).
+   *
+   * Plan shape: one broadcast join of the |strata|-row quota table + one
+   * per-stratum rank window — a single shuffle on the stratum key.
+   */
+  def sampleToQuotas(
+      df: DataFrame, stratumCol: String, idCol: String,
+      quotas: DataFrame, quotaCol: String = "alloc"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat_ws("_", col(idCol))), col(idCol))
+    df.join(
+        broadcast(quotas.select(col(stratumCol),
+          col(quotaCol).cast("long").as("_quota"))),
+        Seq(stratumCol))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= col("_quota"))
+      .drop("_quota")
+  }
+
   def bottomKSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
     require(k > 0)
     import org.apache.spark.sql.expressions.Window

@@ -125,6 +125,26 @@ class Wave9OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Map("A" -> 6L, "B" -> 2L), out.toString)
   }
 
+  test("sampleToQuotas draws exactly the quota per stratum, deterministically") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (if (i <= 30) "A" else "B", i, i * 10))
+      .toDF("source", "doc_id", "n_chars")
+    val quotas = Seq(("A", 3L), ("B", 20L)).toDF("source", "alloc")
+    val out = DatasetSplit.sampleToQuotas(docs, "source", "doc_id", quotas)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // A capped at its quota; B (quota > population) passes through whole
+    assert(bySrc == Map("A" -> 3L, "B" -> 10L), bySrc.toString)
+    // deterministic: the same draw twice is row-identical
+    val again = DatasetSplit.sampleToQuotas(docs, "source", "doc_id", quotas)
+    assert(out.collect().toSet == again.collect().toSet)
+    // and equals bottomKSample at the same k for the capped stratum
+    val bk = DatasetSplit.bottomKSample(
+      docs.where(col("source") === "A"), "source", "doc_id", 3)
+    assert(out.where(col("source") === "A").select("doc_id").collect().toSet ==
+      bk.select("doc_id").collect().toSet)
+  }
+
   test("pca topComponent degenerates to zeros on a constant corpus") {
     import spark.implicits._
     // a single repeated vector: covariance is identically zero, the

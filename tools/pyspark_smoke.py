@@ -680,5 +680,15 @@ n = {r["source"]: r["alloc"] for r in ney}
 assert sum(n.values()) == 100 and n["B"] > n["C"] > n["A"], ney
 print("PASS neyman_allocation")
 
+from graft import sample_to_quotas
+
+sq = sample_to_quotas(
+    spark.createDataFrame([("A", i, 10 * i) for i in range(1, 11)],
+                          "source string, doc_id long, n_chars long"),
+    "source", "doc_id",
+    spark.createDataFrame([("A", 4)], "source string, alloc long")).collect()
+assert len(sq) == 4 and sorted(r["sample_rank"] for r in sq) == [1, 2, 3, 4], sq
+print("PASS sample_to_quotas")
+
 spark.stop()
 print("PASS: round-8 wave-2 + wave-3 + wave-6 + wave-7 + wave-8 + wave-9 wrappers")
