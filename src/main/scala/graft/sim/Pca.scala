@@ -59,12 +59,18 @@ object Pca {
     val upper = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
       transform(sequence(i, lit(d - 1)), j =>
         get(col("q"), i) * get(col("q"), j))))
-    val stats = corpus.select(q.as("q"))
+    val stats = corpus
+      // ragged vectors would inject nulls into the product terms and sum()
+      // would silently skip them, skewing the covariance — drop them loudly
+      // here instead (a no-op on a well-formed corpus)
+      .where(size(col(vecCol)) === d)
+      .select(q.as("q"))
       .select(posexplode(concat(col("q"), upper)).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    require(stats.nonEmpty, s"pca: no vectors of dim $d in $vecCol")
 
     val n = BigInt(stats.head._3)
     val byPos = stats.map(t => t._1 -> BigInt(t._2)).toMap
