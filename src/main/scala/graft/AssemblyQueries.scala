@@ -419,12 +419,17 @@ object AssemblyQueries {
     // weight = floor(double sqrt) (same IEEE double both engines), base
     // quota by integer division, largest-remainder (ties -> stratum asc)
     "q_neyman" ->
-      s"""WITH ${neymanCtes(1000)}
-        |SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(wt AS BIGINT) AS weight,
-        |  alloc_base, remainder,
-        |  CAST(alloc_base + CASE WHEN rk <= (SELECT deficit FROM d)
-        |                         THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM r ORDER BY source""".stripMargin,
+      s"""WITH ${neymanCtes(1000)},
+        |fin AS (
+        |  SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(wt AS BIGINT) AS weight,
+        |    alloc_base, remainder,
+        |    CAST(alloc_base + CASE WHEN rk <= (SELECT deficit FROM d)
+        |                           THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |  FROM r)
+        |SELECT *,
+        |  CAST(least(alloc, n_docs) AS BIGINT) AS drawable,
+        |  CAST(alloc - least(alloc, n_docs) AS BIGINT) AS draw_shortfall
+        |FROM fin ORDER BY source""".stripMargin,
 
     // the draw: same quota ladder at budget 200, then the reservoir-style
     // md5 rank (identical to q_reservoir_sample's key) cut at each

@@ -1110,7 +1110,8 @@ object PipelineQueries {
        |sil AS (
        |  SELECT b.cid AS cell,
        |    CASE WHEN (1.0 - s.sim) > 0.0
-       |         THEN CAST(floor(((1.0 - s.sim) - (1.0 - b.sim)) / (1.0 - s.sim) * 1000000.0 + 0.5) AS BIGINT)
+       |         THEN least(CAST(1000000 AS BIGINT),
+       |                    CAST(floor(((1.0 - s.sim) - (1.0 - b.sim)) / (1.0 - s.sim) * 1000000.0 + 0.5) AS BIGINT))
        |         ELSE CAST(0 AS BIGINT) END AS s_micro
        |  FROM (SELECT * FROM rankedsil WHERE rk = 1) b
        |  JOIN (SELECT * FROM rankedsil WHERE rk = 2) s USING (vec_id)

@@ -127,6 +127,9 @@ object Soak {
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SoakQueries)(s => SoakQueries.filter(s.contains))
     val runSemDedup = only.forall(_.contains("q_semdedup_kscaled"))
+    // fail on a typo'd ONLY list BEFORE the expensive generate/warm phases
+    require(selected.nonEmpty || runSemDedup,
+      s"SPARK_GRAFT_SOAK_ONLY matched no soak queries: ${only.get.mkString(",")}")
 
     if (!Files.exists(Paths.get(soakDir, "_DONE"))) {
       System.err.println(s"[soak] generating ${scale}x data into $soakDir ...")

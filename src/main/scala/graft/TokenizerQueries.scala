@@ -299,15 +299,17 @@ object TokenizerQueries {
          |$bpeReplay,
          |d AS (SELECT lang, source, ${duckToks()} AS toks FROM documents),
          |dw AS (SELECT lang, source, unnest(toks) AS w FROM d),
-         |lens AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_bpe,
-         |                CAST(len(w) AS BIGINT) AS n_chr FROM words$BpeMerges)
+         |lens AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_bpe FROM words$BpeMerges),
+         |j AS (SELECT dw.lang, dw.source,
+         |        CAST(len(dw.w) AS BIGINT) AS n_chr,
+         |        coalesce(lens.n_bpe, CAST(len(dw.w) AS BIGINT)) AS n_bpe
+         |      FROM dw LEFT JOIN lens USING (w))
          |SELECT lang, source,
          |  CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(n_chr) AS BIGINT) AS n_chars,
          |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
          |  CAST((sum(n_bpe) * 1000) // count(*) AS BIGINT) AS fertility_milli,
          |  CAST((sum(n_chr) * 1000) // sum(n_bpe) AS BIGINT) AS chars_per_token_milli
-         |FROM dw JOIN lens USING (w)
-         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+         |FROM j GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 }

@@ -44,14 +44,15 @@ object EmbeddingHealthExample {
     println(s"[health] vectors: $n, zero vectors: $zeros")
 
     // 2. anisotropy: variance share of the dominant direction
-    val (_, lambda, trace) = Pca.topComponentVector(emb, "embedding", dim = 64)
+    val (comp, lambda, trace) = Pca.topComponentVector(emb, "embedding", dim = 64)
     val sharePct = if (trace > 0) lambda * 100.0 / trace else 0.0
     println(f"[health] top-direction variance share: $sharePct%.2f%% " +
       s"(lambda_c=$lambda, trace_c=$trace)")
 
-    // 3. which labels load on the anisotropy axis
+    // 3. which labels load on the anisotropy axis (reuse the trained
+    // component — no second covariance job)
     println("[health] projection mass by label (top 5 by |mass|):")
-    Pca.projectProfile(emb, "label", "embedding", dim = 64)
+    Pca.projectProfileWith(emb, "label", "embedding", dim = 64, comp)
       .orderBy(col("sum_abs_p").desc).limit(5).collect()
       .foreach(r => println(s"[health]   label=${r.getLong(0)} " +
         s"n=${r.getLong(1)} sum_abs_p=${r.getLong(3)}"))

@@ -192,7 +192,49 @@ class CentroidKernel(val cids: Array[Long], val flat: Array[Double], val dim: In
     }
     val a = 1.0 - best
     val b = 1.0 - second
-    if (b > 0.0) math.floor((b - a) / b * 1000000.0 + 0.5).toLong else 0L
+    // clamp at the 1e6 ceiling: IEEE rounding can push a cosine marginally
+    // above 1.0, making a negative and s > 1 (the oracle replays the same
+    // least())
+    if (b > 0.0) math.min(1000000L, math.floor((b - a) / b * 1000000.0 + 0.5).toLong)
+    else 0L
+  }
+
+  /** Assignment AND silhouette in ONE k·dim sweep — `nearest` and
+    * `silhouetteMicro` fused (identical math for each half), halving the
+    * map-side flops of the cluster-quality scan. Returns (cell, s_micro). */
+  def assignAndSilhouette(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    var nv2 = 0.0
+    var i = 0
+    while (i < n) { val v = vec.getDouble(i); nv2 += v * v; i += 1 }
+    val nv = math.sqrt(nv2)
+    var best = Double.NegativeInfinity
+    var second = Double.NegativeInfinity
+    var bestCid = Long.MaxValue
+    var c = 0
+    while (c < cids.length) {
+      var d = 0.0
+      var j = 0
+      val m = math.min(dim, n)
+      while (j < m) { d += vec.getDouble(j) * flat(c * dim + j); j += 1 }
+      val sim = if (norms(c) > 0.0 && nv > 0.0) d / (nv * norms(c)) else 0.0
+      if (sim > best) { second = best; best = sim; bestCid = cids(c) }
+      else {
+        if (sim == best && cids(c) < bestCid) bestCid = cids(c)
+        if (sim > second) second = sim
+      }
+      c += 1
+    }
+    val s =
+      if (cids.length < 2) 0L
+      else {
+        val a = 1.0 - best
+        val b = 1.0 - second
+        if (b > 0.0) math.min(1000000L, math.floor((b - a) / b * 1000000.0 + 0.5).toLong)
+        else 0L
+      }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCid, s))
   }
 }
 
@@ -314,6 +356,31 @@ case class NearestCentroidExpr(child: Expression, kernel: CentroidKernel) extend
     copy(child = newChild)
 }
 
+/** Fused assignment + silhouette of a vector column against a fixed
+  * centroid set: ONE k·dim sweep returning struct(cell, s_micro) — the
+  * cluster-quality scan's per-row kernel (half the flops of running
+  * NearestCentroidExpr and CentroidSilhouetteExpr separately). */
+case class CentroidAssignSilhouetteExpr(child: Expression, kernel: CentroidKernel)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("s_micro", LongType, nullable = false)))
+  override def prettyName: String = "centroid_assign_silhouette"
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.assignAndSilhouette(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidKernel", kernel, "graft.functions.CentroidKernel")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.assignAndSilhouette($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidAssignSilhouetteExpr =
+    copy(child = newChild)
+}
+
 /** Micro-quantized simplified silhouette of a vector column against a fixed
   * centroid set — the cluster-quality gate's per-row kernel. Same reference-
   * object pattern as NearestCentroidExpr: one tight k·dim loop per row. */
@@ -394,6 +461,14 @@ object VectorExpressions {
     val dim = cents.head._2.length
     val kernel = new CentroidKernel(cents.map(_._1), cents.flatMap(_._2), dim)
     Bridge.column(CentroidSilhouetteExpr(Bridge.expression(vec), kernel))
+  }
+
+  /** Fused (cell, s_micro) struct — one sweep for the silhouette scan. */
+  def centroidAssignSilhouette(vec: Column, cents: Array[(Long, Array[Double])]): Column = {
+    require(cents.nonEmpty, "empty centroid set")
+    val dim = cents.head._2.length
+    val kernel = new CentroidKernel(cents.map(_._1), cents.flatMap(_._2), dim)
+    Bridge.column(CentroidAssignSilhouetteExpr(Bridge.expression(vec), kernel))
   }
 
   /** Sign-bucket of `vec` against a plane matrix (row-major planes x dim). */

@@ -190,11 +190,19 @@ object DatasetSplit {
    * get +1. All-constant strata (ΣS = 0) fall back to proportional
    * allocation by stratum size — the standard degenerate-case choice.
    *
+   * A stratum SMALLER than its quota cannot fill it — the draw
+   * ([[sampleToQuotas]]) passes such strata through whole, so the output
+   * carries `drawable = min(alloc, n_docs)` and `draw_shortfall = alloc −
+   * drawable` to make the under-fill VISIBLE (like budgetAllocation's
+   * shortfall; textbook cap-and-redistribute is iterative and the caller
+   * can re-run with the shortfall added to the budget if they want it).
+   *
    * Bounds (documented, like budgetAllocation): exactness needs
-   * n·Σx² < 10³⁸ (metric ≤ 10⁶ per row holds to ~10²⁰ rows) and the double
-   * sqrt is shared-behavior-exact at any magnitude. Scale shape: one
-   * corpus agg collapsing map-side to |strata| rows; every window runs on
-   * that tiny frame.
+   * n·Σx² < 10³⁸, i.e. at metric ≤ 10⁶ per row about n < 10¹³ rows per
+   * stratum; beyond long-sqrt range (N²·var > (2⁶³−1)²) the weight cast
+   * would saturate silently, so it raises a named error instead. Scale
+   * shape: one corpus agg collapsing map-side to |strata| rows; every
+   * window runs on that tiny frame.
    */
   def neymanAllocation(
       df: DataFrame, stratumCol: String, metricCol: String,
@@ -209,6 +217,13 @@ object DatasetSplit {
         sum(x * x).as("_sxx"))
       .withColumn("_var2",
         expr("CAST(n_docs AS DECIMAL(38,0)) * _sxx - _sx * _sx"))
+      // past (2^63-1)^2 the long cast of the sqrt saturates silently while
+      // the oracle's HUGEINT keeps the true value — fail loudly instead
+      .withColumn("_var2",
+        when(expr("_var2 > CAST('85070591730234615847396907784232501249' AS DECIMAL(38,0))"),
+          raise_error(concat(lit("neymanAllocation: variance exceeds long-sqrt range for stratum "),
+            col(stratumCol).cast("string"))).cast("decimal(38,0)"))
+          .otherwise(col("_var2")))
       .withColumn("_w", floor(sqrt(col("_var2").cast("double"))).cast("long"))
       .withColumn("_wtot", sum(col("_w")).over(whole))
       // all-constant strata: Neyman weights vanish -> proportional fallback
@@ -227,6 +242,8 @@ object DatasetSplit {
         whole.orderBy(col("remainder").desc, col(stratumCol).asc)))
       .withColumn("alloc",
         col("alloc_base") + when(col("_rk") <= col("_deficit"), 1L).otherwise(0L))
+      .withColumn("drawable", least(col("alloc"), col("n_docs")))
+      .withColumn("draw_shortfall", col("alloc") - col("drawable"))
       .drop("_sx", "_sxx", "_var2", "_w", "_wtot", "_wt", "_deficit", "_rk")
   }
 

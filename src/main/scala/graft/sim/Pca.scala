@@ -121,14 +121,27 @@ object Pca {
    */
   def projectProfile(
       corpus: DataFrame, groupCol: String, vecCol: String,
-      dim: Int, iters: Int = 8): DataFrame = {
-    val (v, _, _) = topComponentVector(corpus, vecCol, dim, iters)
+      dim: Int, iters: Int = 8): DataFrame =
+    projectProfileWith(corpus, groupCol, vecCol, dim,
+      topComponentVector(corpus, vecCol, dim, iters)._1)
+
+  /** [[projectProfile]] against a PRECOMPUTED component — callers that
+    * already trained it (e.g. to report λ/trace) skip the second full
+    * covariance job. */
+  def projectProfileWith(
+      corpus: DataFrame, groupCol: String, vecCol: String,
+      dim: Int, component: Array[Long]): DataFrame = {
+    require(component.length == dim, s"component dim ${component.length} != $dim")
     val q = transform(col(vecCol).cast("array<double>"),
       x => round(x * 1000).cast("long"))
     val proj = aggregate(
-      zip_with(q, typedLit(v.toSeq), (a, b) => a * b),
+      zip_with(q, typedLit(component.toSeq), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
     corpus
+      // same ragged-vector guard as the covariance scan: a short vector
+      // would null-pad zip_with, making p NULL (and DuckDB's list_sum
+      // would return a partial sum instead — an oracle divergence)
+      .where(size(col(vecCol)) === dim)
       .select(col(groupCol).cast("long").as("grp"), proj.as("p"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_vecs"),

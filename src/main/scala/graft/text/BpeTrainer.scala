@@ -134,15 +134,22 @@ object BpeTrainer {
    * aggregation whose partials collapse map-side to |groups| rows. Ratios
    * are milli-quantized integer division — order-independent and exact up
    * to ~9e15 tokens per group (documented bound; far past a 100 TB slice).
+   *
+   * OOV semantics: a word ABSENT from the trained table (the cross-corpus
+   * "score this slice under that vocabulary" use) counts at its character
+   * fallback — one token per character, exactly what a real BPE produces
+   * for unseen words from its base alphabet. An inner join would silently
+   * DROP the OOV words and report a deceptively low fertility for exactly
+   * the underserved slices this dashboard exists to surface.
    */
   def fertility(
       docs: DataFrame, groupCols: Seq[String], textCol: String,
       words: DataFrame): DataFrame = {
-    val lens = words.select(col("w"),
-      size(col("toks")).cast("long").as("n_bpe"),
-      length(col("w")).cast("long").as("n_chr"))
+    val lens = words.select(col("w"), size(col("toks")).cast("long").as("n_bpe"))
     docs.select(groupCols.map(col) :+ explode(TextFunctions.tokens(col(textCol))).as("w"): _*)
-      .join(lens, Seq("w"))
+      .join(lens, Seq("w"), "left")
+      .withColumn("n_chr", length(col("w")).cast("long"))
+      .withColumn("n_bpe", coalesce(col("n_bpe"), col("n_chr")))
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_chr")).as("n_chars"),
