@@ -756,6 +756,14 @@ def pca_top(corpus, vec_col, dim, iters=8):
                                         int(dim), int(iters)))
 
 
+def auc_by_group(df, group_col, label_col, score_col):
+    """Exact per-group ROC-AUC (integer Mann-Whitney rank sums, ties
+    averaged) of a score column against a binary label - the quality-gate
+    classifier evaluation. Single-class groups are dropped."""
+    m = _module(df.sparkSession, "graft.text.TextClassifiers$")
+    return _wrap(df, m.aucByGroup(df._jdf, group_col, label_col, score_col))
+
+
 def neyman_allocation(df, stratum_col, metric_col, total_target):
     """Neyman-optimal eval-set quotas per stratum (minimum-variance
     stratified allocation by N_h * S_h), largest-remainder rounded so the

@@ -99,7 +99,10 @@ object Soak {
       // one corpus agg -> |strata| rows; windows on the tiny frame only
       "q_neyman",
       // broadcast quota join + one stratum-key rank window
-      "q_neyman_sample")
+      "q_neyman_sample",
+      // NB score (vocab-bounded train + broadcast inference) + ONE
+      // group-keyed sort window + |groups|-row agg
+      "q_auc")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -39,6 +39,20 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_auc" -> ((s, dir) => {
+      // the classifier evaluation: exact per-source ROC-AUC of the NB
+      // quality score against the true label (Mann–Whitney rank sums,
+      // integer-exact with tie-averaged ranks) — does the gate actually
+      // discriminate, and uniformly across sources?
+      val docs = t(s, dir, "documents")
+        .withColumn("y", (col("lang") === "en").cast("long"))
+      val model = TextClassifiers.naiveBayesTrain(docs, "text", "y")
+      val scored = TextClassifiers.naiveBayesScore(docs, "doc_id", "text", "y", model)
+        .join(docs.select(col("doc_id"), col("source"), col("y")), Seq("doc_id"))
+      TextClassifiers.aucByGroup(scored, "source", "y", "score")
+        .orderBy(col("source"))
+    }),
+
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR (Xie et al. 2023): hashed-bigram bucket distributions for
       // target (lang=='en') vs raw (all docs); per-doc quantized
@@ -180,6 +194,54 @@ object TrainingQueries {
          |  CAST(CASE WHEN coalesce(sc.s, 0) + prior.p > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN prior
          |ORDER BY doc_id""".stripMargin,
+
+    // same NB-score CTE chain as q_nb_classifier (plus source), then the
+    // Mann–Whitney ladder: rank over (source, score asc), tie counts per
+    // (source, score), R2 = sum(2·rank + ties − 1) over positives,
+    // auc_micro = (R2 − P(P+1))·1e6 div (2·P·N) in HUGEINT
+    "q_auc" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |),
+         |toks AS (SELECT doc_id, y, unnest(${duckToks()}) AS token FROM d),
+         |model AS (
+         |  SELECT token, sum(y) AS c_pos, sum(1 - y) AS c_neg
+         |  FROM toks GROUP BY token
+         |),
+         |mb AS (SELECT token, ${qb("c_pos")} - ${qb("c_neg")} AS bits FROM model),
+         |prior AS (SELECT ${qb("sum(y)")} - ${qb("sum(1 - y)")} AS p FROM d),
+         |sc AS (
+         |  SELECT doc_id, sum(bits) AS s
+         |  FROM toks JOIN mb USING (token) GROUP BY doc_id
+         |),
+         |scored AS (
+         |  SELECT d.source, d.y,
+         |    CAST(coalesce(sc.s, 0) + prior.p AS BIGINT) AS score
+         |  FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN prior
+         |),
+         |rk AS (
+         |  SELECT source, y, score,
+         |    CAST(rank() OVER (PARTITION BY source ORDER BY score ASC) AS BIGINT) AS rnk,
+         |    CAST(count(*) OVER (PARTITION BY source, score) AS BIGINT) AS ties
+         |  FROM scored
+         |),
+         |agg AS (
+         |  SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN y = 1 THEN CAST(2 * rnk + ties - 1 AS HUGEINT)
+         |                  ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS r2
+         |  FROM rk GROUP BY source
+         |)
+         |SELECT source, n_docs, n_pos,
+         |  CAST(n_docs - n_pos AS BIGINT) AS n_neg,
+         |  CAST((r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+         |       // (CAST(2 AS HUGEINT) * n_pos * (n_docs - n_pos)) AS BIGINT) AS auc_micro
+         |FROM agg
+         |WHERE n_pos > 0 AND n_docs - n_pos > 0
+         |ORDER BY source""".stripMargin,
 
     "q_dsir_weights" ->
       s"""WITH d AS (

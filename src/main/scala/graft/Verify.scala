@@ -31,7 +31,7 @@ object Verify {
     "q_funnel", "q_retention", "q_containment",
     "q_funnel_windowed", "q_time_to_convert", "q_attribution", "q_rfm",
     "q_kcenter", "q_centrality", "q_cluster_split", "q_semantic_decontaminate",
-    "q_nb_classifier", "q_dsir_weights",
+    "q_nb_classifier", "q_dsir_weights", "q_auc",
     "q_ann_pq", "q_ann_ivfpq",
     "q_dedup_exact", "q_source_overlap", "q_leakage_split", "q_stratified_sample",
     "q_weighted_sample", "q_percentiles",

@@ -169,4 +169,46 @@ object TextClassifiers {
           coalesce(col("n_grams"), lit(0L)) * col("_norm")).as("weight"))
       .withColumn("keep", (col("weight") >= 0L).cast("long"))
   }
+
+  /**
+   * Exact per-group ROC-AUC of a score column against a binary label — the
+   * evaluation every quality-gate classifier needs before its threshold is
+   * trusted, via the Mann–Whitney rank-sum identity:
+   *
+   *   AUC = (R⁺ − P(P+1)/2) / (P·N)
+   *
+   * with R⁺ = sum of the positives' AVERAGE ranks under (score asc). Ties
+   * take the average rank of their run; since 2·avg = min_rank + max_rank
+   * = 2·rank + (ties−1), everything stays integer: the output
+   * `auc_micro = (R2 − P(P+1))·10⁶ div (2·P·N)` with R2 = Σ(2·rank+ties−1)
+   * is exact and engine-replayable (big products ride DECIMAL(38,0), so
+   * groups up to ~7·10¹⁸ rows never overflow — far past any corpus).
+   *
+   * Scale shape: ONE sort-window shuffle keyed by the group (rank + tie
+   * counts share it), then a group aggregation collapsing map-side to
+   * |groups| rows. Groups with a single class are dropped (AUC undefined).
+   */
+  def aucByGroup(
+      df: DataFrame, groupCol: String, labelCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byG = Window.partitionBy(col(groupCol))
+    val byGS = Window.partitionBy(col(groupCol), col("_sc"))
+    df.select(col(groupCol), col(labelCol).cast("long").as("_y"),
+        col(scoreCol).as("_sc"))
+      .withColumn("_rnk", rank().over(byG.orderBy(col("_sc"))).cast("long"))
+      .withColumn("_ties", count(lit(1)).over(byGS))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_y")).as("n_pos"),
+        sum(when(col("_y") === 1L, (lit(2L) * col("_rnk") + col("_ties") - 1L)
+          .cast("decimal(28,0)")).otherwise(lit(0L).cast("decimal(28,0)"))).as("_r2"))
+      .withColumn("n_neg", col("n_docs") - col("n_pos"))
+      .where(col("n_pos") > 0L && col("n_neg") > 0L)
+      .withColumn("auc_micro",
+        expr("""CAST((CAST(_r2 AS DECIMAL(38,0))
+                      - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000
+                     div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)"""))
+      .select(col(groupCol), col("n_docs"), col("n_pos"), col("n_neg"),
+        col("auc_micro"))
+  }
 }

@@ -95,6 +95,22 @@ class Wave9OpsSpec extends AnyFunSuite with SparkTestSession {
       (out.head.getLong(3) - out.head.getLong(2)).abs <= 1L)
   }
 
+  // ----------------------------------------------------------------- auc
+
+  test("aucByGroup replays Mann–Whitney with tie-averaged ranks") {
+    import spark.implicits._
+    // group g: scores 1(neg), 2(pos), 2(neg), 3(pos) ->
+    // pairwise: 3 wins + 1 tie of 4 pairs = 0.875
+    val df = Seq(
+      ("g", 0L, 1L), ("g", 1L, 2L), ("g", 0L, 2L), ("g", 1L, 3L),
+      ("h", 1L, 5L), ("h", 1L, 6L),        // single-class: dropped
+      ("p", 0L, 1L), ("p", 0L, 2L), ("p", 1L, 3L), ("p", 1L, 4L))
+      .toDF("source", "y", "score")
+    val out = graft.text.TextClassifiers.aucByGroup(df, "source", "y", "score")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out == Map("g" -> 875000L, "p" -> 1000000L), out.toString)
+  }
+
   // -------------------------------------------------------------- neyman
 
   test("neymanAllocation: quotas track N·S and sum exactly to the budget") {

@@ -690,5 +690,16 @@ sq = sample_to_quotas(
 assert len(sq) == 4 and sorted(r["sample_rank"] for r in sq) == [1, 2, 3, 4], sq
 print("PASS sample_to_quotas")
 
+from graft import auc_by_group
+
+auc = auc_by_group(
+    spark.createDataFrame(
+        [("g", 0, 1), ("g", 1, 2), ("g", 0, 2), ("g", 1, 3)],
+        "source string, y long, score long"),
+    "source", "y", "score").collect()
+# 3 wins + 1 tie of 4 pairs -> 0.875
+assert len(auc) == 1 and auc[0]["auc_micro"] == 875000, auc
+print("PASS auc_by_group")
+
 spark.stop()
 print("PASS: round-8 wave-2 + wave-3 + wave-6 + wave-7 + wave-8 + wave-9 wrappers")
