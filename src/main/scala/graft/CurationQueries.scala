@@ -242,8 +242,7 @@ object CurationQueries {
 
     "q_char_entropy" -> ((s, dir) => {
       // vocabulary-free gibberish/boilerplate signal: quantized per-doc
-      // character entropy (millibits/char, exact bit-length arithmetic) +
-      // the per-source rollup every curation dashboard actually reads.
+      // character entropy (millibits/char, exact bit-length arithmetic).
       CorpusStats.charEntropy(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),

@@ -107,6 +107,14 @@ object EventQueries {
         .orderBy(col("week"))
     }),
 
+    "q_stickiness_hll" -> ((s, dir) => {
+      // the 100 TB twin of q_stickiness: HLL register sketches replace the
+      // two exact distinct-user shuffles (<= 64 register rows per key move
+      // instead of every (week, day, user) row) — same dashboard, ±13%
+      // monitoring-grade estimates, still bit-exact replayable.
+      EventAnalytics.stickinessHll(events(s, dir), "user_id", "ts")
+    }),
+
     "q_transitions" -> ((s, dir) => {
       // first-order Markov transition matrix: adjacent event pairs per
       // user (total order via the event_id tiebreak) → pair counts +
@@ -297,6 +305,63 @@ object EventQueries {
         |SELECT week, sum_daily_actives, wau,
         |  CAST((sum_daily_actives * 1000000) // (wau * 7) AS BIGINT) AS stickiness_micro
         |FROM w ORDER BY week""".stripMargin,
+
+    "q_stickiness_hll" ->
+      """WITH base AS (
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS u
+        |  FROM events
+        |),
+        |dh AS (
+        |  SELECT week, day,
+        |    (CAST(('0x' || substring(md5(u),1,8)) AS BIGINT) % 2147483647) % 64
+        |      AS bucket,
+        |    (CAST(('0x' || substring(md5('rho:' || u),1,8)) AS BIGINT)
+        |      % 2147483647) AS v
+        |  FROM base
+        |),
+        |dr AS (
+        |  SELECT week, day, bucket,
+        |    max(CASE WHEN v = 0 THEN 32 ELSE 32 - length(bin(v)) END) AS mr
+        |  FROM dh GROUP BY 1, 2, 3
+        |),
+        |dp AS (
+        |  SELECT week, day, count(*) AS n_occupied,
+        |    CAST(sum(1::BIGINT << (32 - mr)) AS BIGINT) AS s_occ
+        |  FROM dr GROUP BY 1, 2
+        |),
+        |de AS (
+        |  SELECT week, day,
+        |    CAST(floor(0.709 * 64 * 64 * 4294967296.0 /
+        |      CAST(s_occ + (64 - n_occupied) * 4294967296 AS DOUBLE)) AS BIGINT)
+        |      AS est
+        |  FROM dp
+        |),
+        |dsum AS (
+        |  SELECT week, CAST(sum(est) AS BIGINT) AS sum_daily_actives_est
+        |  FROM de GROUP BY 1
+        |),
+        |wr AS (
+        |  SELECT week, bucket,
+        |    max(CASE WHEN v = 0 THEN 32 ELSE 32 - length(bin(v)) END) AS mr
+        |  FROM dh GROUP BY 1, 2
+        |),
+        |wp AS (
+        |  SELECT week, count(*) AS n_occupied,
+        |    CAST(sum(1::BIGINT << (32 - mr)) AS BIGINT) AS s_occ
+        |  FROM wr GROUP BY 1
+        |),
+        |we AS (
+        |  SELECT week,
+        |    CAST(floor(0.709 * 64 * 64 * 4294967296.0 /
+        |      CAST(s_occ + (64 - n_occupied) * 4294967296 AS DOUBLE)) AS BIGINT)
+        |      AS wau_est
+        |  FROM wp
+        |)
+        |SELECT d.week AS week, d.sum_daily_actives_est, w.wau_est,
+        |  CAST((d.sum_daily_actives_est * 1000000) // (w.wau_est * 7) AS BIGINT)
+        |    AS stickiness_micro_est
+        |FROM dsum d JOIN we w USING (week) ORDER BY week""".stripMargin,
 
     "q_transitions" ->
       """WITH p AS (

@@ -44,6 +44,7 @@ object Verify {
     "q_chi2_terms", "q_jaccard_join",
     "q_anomaly_days", "q_session_stats", "q_ab_lift",
     "q_blocklist", "q_moments", "q_props_profile", "q_stickiness",
+    "q_stickiness_hll",
     "q_transitions", "q_top_paths",
     "q_term_rarity", "q_decontaminate", "q_contaminated_by", "q_line_dedup", "q_window_agg",
     "q_sessionize", "q_event_sequences",

@@ -135,6 +135,18 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
       .select("a", "b").distinct()
   }
 
+  /** `candidatePairs` over a precomputed (id, sset, sig) projection — e.g.
+    * a signature table written once per corpus by `signatures()` and read
+    * back for every subsequent dedup run (the petabyte-scale path). */
+  def candidatePairsFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
+    val b = bandedFromSigs(sigs, idCol)
+    val l = b.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val r = b.select(col(idCol).as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   /** The (id, sset, sig) signature projection — 32 longs + shingle set per
     * doc, independent of document size. At petabyte scale, WRITE this to a
     * table once per corpus and feed it to `nearDuplicatesAgainst` for
@@ -145,7 +157,7 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
       .withColumn("sig", signatureFromSet(col("sset")))
 
   /** (id, band, bucket) banding of a signature projection. */
-  private def bandedFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
+  def bandedFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
     val bandCols = array((0 until bands).map { bIdx =>
       struct(
         lit(bIdx).as("band"),
@@ -203,30 +215,31 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
    * from raw text (4x scan cost otherwise — at 100 TB, the difference
    * between one corpus pass and four).
    */
-  def nearDuplicates(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame =
     // Materialize (id, sset, sig) ONCE: column pruning specializes each
     // consuming branch to different columns, so exchange reuse can't kick in
     // — persist is the correct materialization point (disk-backed; ~2 KB/doc
-    // regardless of document size). At petabyte scale, write signatures to a
-    // table instead and feed them back through candidatePairs.
-    val base = CachedProjections.swap("minhash", df
-      .select(col(idCol),
-        graft.functions.HashExpressions.shingleHashSet(col(textCol), shingleSize).as("sset"))
-      .withColumn("sig", signatureFromSet(col("sset"))))
+    // regardless of document size). SignatureStore keys the persisted
+    // projection by (corpus plan, LSH params), so every MinHash operator in
+    // the same session — pairs, star groups, components, pipeline, split —
+    // derives signatures from raw text exactly once per corpus.
+    nearDuplicatesFromSigs(SignatureStore.sigs(df, idCol, textCol, this),
+      idCol, threshold)
 
-    val bandCols = array((0 until bands).map { bIdx =>
-      struct(
-        lit(bIdx).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r => col("sig")(bIdx * rowsPerBand + r)): _*).as("bucket"))
-    }: _*)
-    val bandedBase = base.withColumn("bb", explode(bandCols))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  /** `nearDuplicates` over a PRECOMPUTED (id, sset, sig) projection — from
+    * `signatures()` with the same params, either live or read back from a
+    * signature TABLE (the petabyte-scale path: signatures are ~2 KB/doc
+    * regardless of document size, so persist them once per corpus and run
+    * every dedup recipe against the table instead of raw text). The caller
+    * owns materialization of `sigs`. */
+  def nearDuplicatesFromSigs(sigs: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val bandedBase = bandedFromSigs(sigs, idCol)
     val cands = bandedBase.select(col(idCol).as("a"), col("band"), col("bucket"))
       .join(bandedBase.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
 
-    val sets = base.select(col(idCol).as("sid"), col("sset"))
+    val sets = sigs.select(col(idCol).as("sid"), col("sset"))
     cands
       .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
       .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
@@ -258,19 +271,14 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
    * per link — iterate to a fixed point when full connected components are
    * required.
    */
-  def duplicateGroups(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val base = CachedProjections.swap("minhash_groups", df
-      .select(col(idCol),
-        graft.functions.HashExpressions.shingleHashSet(col(textCol), shingleSize).as("sset"))
-      .withColumn("sig", signatureFromSet(col("sset"))))
+  def duplicateGroups(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame =
+    duplicateGroupsFromSigs(SignatureStore.sigs(df, idCol, textCol, this),
+      idCol, threshold)
 
-    val bandCols = array((0 until bands).map { bIdx =>
-      struct(
-        lit(bIdx).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r => col("sig")(bIdx * rowsPerBand + r)): _*).as("bucket"))
-    }: _*)
-    val bandedBase = base.withColumn("bb", explode(bandCols))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  /** `duplicateGroups` over a precomputed (id, sset, sig) projection — the
+    * signature-table twin (see `nearDuplicatesFromSigs`). */
+  def duplicateGroupsFromSigs(base: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val bandedBase = bandedFromSigs(base, idCol)
 
     val bucketMin = bandedBase.groupBy(col("band"), col("bucket"))
       .agg(min(col(idCol)).as("a"))
@@ -502,6 +510,56 @@ private[dedup] object CachedProjections {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Option(live.put(key, cached)).filter(_ ne cached).foreach(_.unpersist(blocking = false))
     cached
+  }
+}
+
+/**
+ * Session-scoped cache of persisted MinHash signature projections, keyed by
+ * (canonicalized corpus plan, LSH params). CachedProjections keys by
+ * operator tag, so two OPERATORS on the same corpus (e.g. the dedup
+ * pipeline and the near-dup-safe split) each re-derived signatures from raw
+ * text; this store recognizes "same corpus, same hash family" across
+ * operators and hands back the already-persisted (id, sset, sig) frame —
+ * the expensive tokenize→shingle→md5→minhash pass runs once per corpus per
+ * session. Bounded: a 4-slot LRU; evicted entries are unpersisted (callers
+ * only ever read, so eviction mid-use just recomputes lazily).
+ *
+ * This is the in-session twin of the externalized signature TABLE
+ * (`signatures()` written to parquet, read back through the `FromSigs`
+ * entry points) — at petabyte scale prefer the table: it survives sessions
+ * and incremental runs pay only the new batch (`nearDuplicatesAgainst`).
+ */
+private[graft] object SignatureStore {
+  private case class Key(planHash: Int, numHashes: Int, bands: Int, shingle: Int)
+  private val MaxEntries = 4
+  private val live = new java.util.LinkedHashMap[Key, DataFrame](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Key, DataFrame]): Boolean = {
+      val evict = size() > MaxEntries
+      if (evict) e.getValue.unpersist(blocking = false)
+      evict
+    }
+  }
+
+  def sigs(df: DataFrame, idCol: String, textCol: String, lsh: MinHashLSH): DataFrame = {
+    val projected = df.select(col(idCol), col(textCol))
+    val key = Key(projected.queryExecution.analyzed.canonicalized.semanticHash(),
+      lsh.numHashes, lsh.bands, lsh.shingleSize)
+    synchronized {
+      val hit = live.get(key)
+      if (hit != null) hit
+      else {
+        val built = lsh.signatures(projected, idCol, textCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        live.put(key, built)
+        built
+      }
+    }
+  }
+
+  /** Test hook: drop every cached projection. */
+  private[graft] def clear(): Unit = synchronized {
+    val it = live.values().iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
   }
 }
 

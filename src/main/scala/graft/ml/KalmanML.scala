@@ -193,7 +193,10 @@ abstract class KalmanTransformer[T <: KalmanTransformer[T]](override val uid: St
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     transformSchema(dataset.schema)
-    core().transform(dataset.toDF())
+    // VectorAssembler & friends hand MLlib vectors; the core speaks arrays
+    val prepared = MLConv.vectorColsToArrays(dataset.toDF(),
+      Seq(Some($(measurementCol)), get(initialStateMeanCol), get(controlCol)).flatten)
+    core().transform(prepared)
   }
 
   override def transformSchema(schema: StructType): StructType = {

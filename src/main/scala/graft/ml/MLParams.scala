@@ -32,6 +32,24 @@ private[ml] object MLConv {
     new org.apache.spark.ml.linalg.DenseMatrix(m.numRows, m.numCols, m.values, true)
 
   def toArr(v: Vector): Array[Double] = v.toArray
+
+  /** Rewrite any MLlib VectorUDT input columns to array<double> so the
+    * plain-Scala cores (which speak arrays) accept VectorAssembler output
+    * directly — the pyspark.ml composition path. Missing columns and
+    * already-array columns pass through untouched. */
+  def vectorColsToArrays(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame =
+    cols.distinct.filter(df.schema.fieldNames.contains).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        // VectorUDT itself is private[spark]; recognize it via the UDT's
+        // user class
+        case udt: org.apache.spark.sql.types.UserDefinedType[_]
+            if classOf[Vector].isAssignableFrom(udt.userClass) =>
+          d.withColumn(c, org.apache.spark.ml.functions.vector_to_array(
+            org.apache.spark.sql.functions.col(c)))
+        case _ => d
+      }
+    }
 }
 
 /** Params shared by every transformer running on the stateful engine

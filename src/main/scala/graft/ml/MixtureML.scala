@@ -122,7 +122,7 @@ class MultivariateGaussianMixture(override val uid: String)
     val b = new graft.mixture.MultivariateGaussianMixture($(mixtureCount), $(sampleSize))
     if (isSet(initialMeans)) b.setInitialMeans($(initialMeans))
     if (isSet(initialCovariances)) b.setInitialCovariances($(initialCovariances))
-    configureMixture(b).transform(dataset.toDF())
+    configureMixture(b).transform(MLConv.vectorColsToArrays(dataset.toDF(), Seq($(sampleCol))))
   }
 
   override def transformSchema(schema: StructType): StructType = {
@@ -153,7 +153,7 @@ class PoissonMixture(override val uid: String)
     transformSchema(dataset.schema)
     val b = new graft.mixture.PoissonMixture($(mixtureCount))
     if (isSet(initialRates)) b.setInitialRates($(initialRates))
-    configureMixture(b).transform(dataset.toDF())
+    configureMixture(b).transform(MLConv.vectorColsToArrays(dataset.toDF(), Seq($(sampleCol))))
   }
 
   override def transformSchema(schema: StructType): StructType = {
@@ -184,7 +184,7 @@ class BernoulliMixture(override val uid: String)
     transformSchema(dataset.schema)
     val b = new graft.mixture.BernoulliMixture($(mixtureCount))
     if (isSet(initialProbabilities)) b.setInitialProbabilities($(initialProbabilities))
-    configureMixture(b).transform(dataset.toDF())
+    configureMixture(b).transform(MLConv.vectorColsToArrays(dataset.toDF(), Seq($(sampleCol))))
   }
 
   override def transformSchema(schema: StructType): StructType = {

@@ -89,7 +89,8 @@ class RecursiveLeastSquaresFilter(override val uid: String)
     if (isSet(watermarkDuration)) b.setWatermarkDuration($(watermarkDuration))
     b.setStateTimeoutMode($(stateTimeoutMode))
     if (isSet(stateTimeoutDuration)) b.setStateTimeoutDuration($(stateTimeoutDuration))
-    b.transform(dataset.toDF())
+    b.transform(MLConv.vectorColsToArrays(dataset.toDF(),
+      Seq(Some($(featuresCol)), get(initialEstimateCol)).flatten))
   }
 
   override def transformSchema(schema: StructType): StructType = {
@@ -136,7 +137,8 @@ class LeastMeanSquaresFilter(override val uid: String)
     if (isSet(watermarkDuration)) b.setWatermarkDuration($(watermarkDuration))
     b.setStateTimeoutMode($(stateTimeoutMode))
     if (isSet(stateTimeoutDuration)) b.setStateTimeoutDuration($(stateTimeoutDuration))
-    b.transform(dataset.toDF())
+    b.transform(MLConv.vectorColsToArrays(dataset.toDF(),
+      Seq(Some($(featuresCol)), get(initialEstimateCol)).flatten))
   }
 
   override def transformSchema(schema: StructType): StructType = {

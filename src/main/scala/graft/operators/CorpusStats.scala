@@ -297,7 +297,14 @@ object CorpusStats {
    * (Cauchy–Schwarz), so truncating division is engine-agnostic.
    */
   def moments(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
-    val x = col(valCol).cast("long")
+    // |x| >= 2^21 makes a single x^3 term exceed 2^63 and wrap silently
+    // under non-ANSI arithmetic — fail loudly (same contract as
+    // neymanAllocation's sqrt-range guard) instead of corrupting s3
+    val safeGrain = (1L << 21) - 1
+    val x = when(abs(col(valCol).cast("long")) <= safeGrain, col(valCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"moments: |$valCol| exceeds the int64-safe grain $safeGrain for group "),
+        col(groupCol).cast("string"))).cast("long"))
     df.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n"),

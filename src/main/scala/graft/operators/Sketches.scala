@@ -86,10 +86,14 @@ object Sketches {
     * per group. This is the mergeable sketch state — union register tables
     * from daily batches and re-max to sketch the union of the corpora. */
   def hllRegisters(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
-    df.select(col(groupCol),
+    hllRegistersBy(df, Seq(groupCol), itemCol)
+
+  /** Multi-column-key register table (e.g. (week, day) actives). */
+  def hllRegistersBy(df: DataFrame, groupCols: Seq[String], itemCol: String): DataFrame =
+    df.select(groupCols.map(col) ++ Seq(
         (TextFunctions.stableHash(col(itemCol)) % HllM).as("bucket"),
-        hllRho(TextFunctions.stableHash(concat(lit("rho:"), col(itemCol)))).as("rho"))
-      .groupBy(col(groupCol), col("bucket"))
+        hllRho(TextFunctions.stableHash(concat(lit("rho:"), col(itemCol)))).as("rho")): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("rho")).as("max_rho"))
 
   /**
@@ -99,14 +103,18 @@ object Sketches {
    * (occupied register j contributes 2^(32-M_j), each empty one 2^32);
    * est = floor(alpha * m^2 * 2^32 / s_scaled).
    */
-  def hllProfile(registers: DataFrame, groupCol: String): DataFrame = {
+  def hllProfile(registers: DataFrame, groupCol: String): DataFrame =
+    hllProfileBy(registers, Seq(groupCol))
+
+  /** Multi-column-key profile twin of [[hllProfile]]. */
+  def hllProfileBy(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
     val twoPow32 = 4294967296L
-    registers.groupBy(col(groupCol))
+    registers.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_occupied"),
         sum(shiftLeftCol(lit(1L), lit(32) - col("max_rho"))).as("s_occ"))
-      .select(col(groupCol), col("n_occupied"),
-        (col("s_occ") + (lit(HllM.toLong) - col("n_occupied")) * twoPow32).as("s_scaled"))
+      .select(groupCols.map(col) ++ Seq(col("n_occupied"),
+        (col("s_occ") + (lit(HllM.toLong) - col("n_occupied")) * twoPow32).as("s_scaled")): _*)
       .withColumn("est_distinct",
         floor(lit(HllAlpha * HllM * HllM * twoPow32.toDouble) /
           col("s_scaled").cast("double")).cast("long"))

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.operators.{CorpusStats, EventAnalytics}
+import graft.sim.Similarity
+
+/**
+ * Loud-failure guards added on advisor findings: silent int64 wrap in
+ * moments' power sums, NULL-everywhere lift when an A/B arm is empty, and
+ * ragged vectors scored on truncated dot products in the silhouette kernel.
+ * Each test plants the degenerate input and asserts the operator now fails
+ * (or filters) explicitly instead of corrupting output.
+ */
+class AdviceGuardsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("moments fails loudly when |x| exceeds the int64-safe cube grain") {
+    import spark.implicits._
+    val ok = Seq(("g", 2097151L), ("g", 3L)).toDF("grp", "v")
+    // boundary value passes: s3 = 2097151^3 + 27 stays under 2^63
+    val r = CorpusStats.moments(ok, "grp", "v").collect().head
+    assert(r.getAs[Long]("n") == 2L)
+
+    val bad = Seq(("g", 2097152L)).toDF("grp", "v")
+    val ex = intercept[Exception] {
+      CorpusStats.moments(bad, "grp", "v").collect()
+    }
+    assert(ex.getMessage.contains("int64-safe grain") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("int64-safe grain"))
+  }
+
+  test("abLift fails loudly when no user hashes into arm A") {
+    import spark.implicits._
+    // armPct=1: with two users the md5 buckets land in [1, 100) -> arm B
+    // only (deterministic: same bucketing as DatasetSplit). If a future
+    // testdata change puts a user in arm A this test must pick new ids.
+    val events = Seq(("u1", "view"), ("u2", "buy")).toDF("user_id", "event_type")
+    val buckets = events.select(
+      graft.operators.DatasetSplit.bucket(col("user_id")).as("b"))
+      .collect().map(_.getAs[Number]("b").intValue())
+    assume(buckets.forall(_ >= 1), "ids must all hash outside arm A for this test")
+    val ex = intercept[Exception] {
+      EventAnalytics.abLift(events, "user_id", "event_type", "buy", armPct = 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("arm A is empty") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("arm A is empty"))
+  }
+
+  test("silhouette drops ragged vectors instead of scoring truncated dots") {
+    import spark.implicits._
+    val good = (0 until 8).map(i =>
+      (i.toLong, Array(if (i % 2 == 0) 1.0 else 0.0, if (i % 2 == 0) 0.0 else 1.0)))
+    val ragged = Seq((100L, Array(1.0)), (101L, Array(1.0, 0.0, 5.0)))
+    val df = (good ++ ragged).toDF("id", "vec")
+    val out = Similarity.silhouette(df, "id", "vec", k = 2, iters = 2)
+    // only the 8 well-formed vectors are scored: cell counts sum to 8
+    val n = out.agg(sum(col("n_vecs"))).collect().head.getLong(0)
+    assert(n == 8L)
+  }
+}

@@ -40,6 +40,42 @@ class Wave5OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(whole.unionAll(halves).distinct().count() == whole.count())
   }
 
+  test("stickinessHll tracks the exact DAU/WAU dashboard within the envelope") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one week, 7 days, 600 distinct users; each user active on
+    // (uid % 7 + 1) distinct days -> known exact daily/weekly actives
+    val rows = for {
+      uid <- 0 until 600
+      d <- 0 to (uid % 7)
+    } yield (uid.toLong, new Timestamp(1700000000000L + d * 86400000L))
+    val ev = rows.toDF("user_id", "ts")
+
+    val exact = {
+      val daily = ev.select(
+          date_trunc("week", $"ts").cast("date").as("week"),
+          $"ts".cast("date").as("day"), $"user_id")
+        .distinct()
+      daily.groupBy($"week")
+        .agg(count(lit(1)).as("sda"), countDistinct($"user_id").as("wau"))
+        .collect().map(r => (r.getAs[Long]("sda"), r.getAs[Long]("wau")))
+    }
+    val approx = graft.operators.EventAnalytics
+      .stickinessHll(ev, "user_id", "ts")
+      .collect().map(r => (r.getAs[Long]("sum_daily_actives_est"),
+        r.getAs[Long]("wau_est"), r.getAs[Long]("stickiness_micro_est")))
+
+    // the fixture spans 1-2 calendar weeks depending on epoch alignment;
+    // compare summed actives and total wau across weeks
+    val (exSda, exWau) = (exact.map(_._1).sum, exact.map(_._2).sum)
+    val (apSda, apWau) = (approx.map(_._1).sum, approx.map(_._2).sum)
+    // m=64 -> ~13% sigma per estimate; 3-sigma envelope on each side
+    assert(math.abs(apSda - exSda.toDouble) / exSda < 0.4, s"$apSda vs $exSda")
+    assert(math.abs(apWau - exWau.toDouble) / exWau < 0.4, s"$apWau vs $exWau")
+    // ratio sanity: stickiness stays a valid micro-ratio in (0, 1e6]
+    approx.foreach { case (_, _, st) => assert(st > 0L && st <= 1000000L) }
+  }
+
   test("bloom decontamination has no false negatives and a sane fp rate") {
     import spark.implicits._
     val mk = (i: Int, tag: String) =>
