@@ -86,6 +86,6 @@ if __name__ == "__main__":
              .option("truncate", "false").option("numRows", "8")
              .start())
 
-    query.awaitTermination(seconds * 1000)
+    query.awaitTermination(seconds)  # pyspark: SECONDS (Scala twin takes ms)
     query.stop()
     spark.stop()

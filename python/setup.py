@@ -13,7 +13,7 @@ the Spark driver classpath). Mirrors the reference library's packaging
 """
 from setuptools import setup
 
-VERSION = "0.7.0"
+VERSION = "0.9.0"
 
 setup(
     name="graft",

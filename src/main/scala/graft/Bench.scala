@@ -179,8 +179,34 @@ object Bench {
       stdoutLine = buildLine(1, byCost.take(keep).sortBy(_._1), byCost.length - keep)
     }
     val retriedJson = retried.toSeq.sorted.map(jq).mkString("[", ",", "]")
+    // vs the PINNED baseline (BASELINE.json "pinned_wall_seconds", written
+    // by tools/pin_baseline.py from a quiet-host run): the 2x perf gate
+    // becomes mechanically checkable — each query's min / pinned min, the
+    // common-subset total ratio, and every >=1.5x suspect named. Rides in
+    // bench.json only (stdout stays inside the driver's tail capture).
+    val vsBaselineJson: String = (try {
+      import org.json4s._
+      implicit val fmts: Formats = DefaultFormats
+      val j = jackson.JsonMethods.parse(Files.readString(Paths.get("BASELINE.json")))
+      val p = j \ "pinned_wall_seconds"
+      val pinSf = (p \ "sf").extract[String]
+      if (pinSf != new java.io.File(sfDir).getName) None
+      else Some(((p \ "round").extract[Int], (p \ "queries").extract[Map[String, Double]]))
+    } catch { case _: Throwable => None }) match {
+      case Some((rnd, base)) =>
+        val common = mins.filter { case (n, _) => base.contains(n) }
+        if (common.isEmpty) ""
+        else {
+          val ratios = common.map { case (n, v) => n -> v / base(n) }
+          val totRatio = common.map(_._2).sum / common.map(c => base(c._1)).sum
+          val regress = ratios.filter(_._2 >= 1.5).sortBy(-_._2)
+            .map { case (k, v) => jq(k) + ":" + r2(v) }.mkString("{", ",", "}")
+          s""","baseline_round":$rnd,"vs_baseline_total":${r4(totRatio)},"vs_baseline_worst":${r4(ratios.map(_._2).max)},"vs_baseline_regressions":$regress"""
+        }
+      case None => ""
+    }
     val fullLine =
-      s"""{"metric":"total","value":${r4(totalMin)},"unit":"sec","stat":"min","queries":$qsMin,"errors":$errJson,"reps":$reps,"sf":${jq(sfDir)},"total_min":${r4(totalMin)},"total_median":${r4(total)},"queries_min":$qsMin,"queries_median":$qs,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended,"retried":$retriedJson}"""
+      s"""{"metric":"total","value":${r4(totalMin)},"unit":"sec","stat":"min","queries":$qsMin,"errors":$errJson,"reps":$reps,"sf":${jq(sfDir)},"total_min":${r4(totalMin)},"total_median":${r4(total)},"queries_min":$qsMin,"queries_median":$qs,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended,"retried":$retriedJson$vsBaselineJson}"""
     println(stdoutLine)
     Files.writeString(Paths.get("bench.json"), fullLine + "\n")
     Files.writeString(Paths.get("bench_raw.json"),

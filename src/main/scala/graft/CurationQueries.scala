@@ -220,12 +220,14 @@ object CurationQueries {
     "q_centrality" -> ((s, dir) => {
       // document centrality for representative selection: integer-exact
       // PageRank (5 power iterations, micro-scaled int64 arithmetic — no
-      // libm, no FP fold order) over the same kNN similarity graph
-      // q_knn_graph builds. Each iteration is one co-partitioned equi-join
-      // + one agg; ranks materialize per iteration so lineage stays O(1).
+      // libm, no FP fold order) over the kNN similarity graph. The graph
+      // uses the AUTO-sized LSH (planes from N, like q_knn_graph_auto):
+      // fixed planes=5 soaked 252x at 100x data — constant bucket count
+      // under growing N is the textbook hidden quadratic, and exactly the
+      // cliff the iterative-shape soak enrollment was meant to catch.
       val emb = t(s, dir, "embeddings")
-      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
-          k = 3, planes = 5, dim = 64)
+      val edges = Similarity.knnGraphAuto(emb, "vec_id", "embedding",
+          k = 3, dim = 64)
         .select(col("src"), col("nbr"))
       graft.sim.GraphRank.pageRankTop(emb.select(col("vec_id")), edges,
         "vec_id", "src", "nbr", iters = 5, k = 20)
@@ -864,7 +866,12 @@ object CurationQueries {
            |    CAST(150000 + 850000 * coalesce(s.s, 0) // 1000000 AS BIGINT) AS r
            |  FROM nodes n LEFT JOIN s$i s USING (vec_id))""".stripMargin
       }.mkString(",\n")
-      s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", 5, 64)} AS bucket FROM embeddings),
+      s"""WITH np AS (
+         |  SELECT GREATEST(3, CASE WHEN count(*) < 2 THEN 0
+         |                          ELSE length(bin(count(*) - 1)) - 4 END) AS planes
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, embedding, ${lshBucketDynSql("embedding", 16, 64, "np.planes")} AS bucket
+         |      FROM embeddings, np),
          |pairs AS (
          |  SELECT l.vec_id AS src, r.vec_id AS nbr,
          |         ROUND(${cosineSql("l.embedding", "r.embedding")}, 6) AS sim

@@ -193,7 +193,14 @@ object PipelineQueries {
     }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
-      // exact char-3-gram Jaccard for all pairs in a deterministic slice
+      // CALIBRATION FIXTURE, not a scale operator: the exact char-3-gram
+      // Jaccard of EVERY pair in a bounded 60-doc slice — including
+      // zero-overlap pairs, which no candidate scheme can (or should)
+      // enumerate at scale. Its role is ground truth for similarity
+      // calibration (e.g. the q_minhash_audit estimator check); the
+      // production exact τ-join is q_jaccard_join (PrefixFilterJoin), and
+      // the hot-key-safe variant is jaccardPairsCollapsed. The crossJoin
+      // is bounded by construction (60 docs → 1770 pairs at ANY sf).
       val d = t(s, dir, "documents").where(col("doc_id") < 60)
         .select(col("doc_id"),
           array_distinct(

@@ -102,7 +102,18 @@ object Soak {
       "q_neyman_sample",
       // NB score (vocab-bounded train + broadcast inference) + ONE
       // group-keyed sort window + |groups|-row agg
-      "q_auc")
+      "q_auc",
+      // round 9: the iterative/driver-loop shapes, where a scale cliff
+      // would hide from single-pass soaks — PageRank's per-iteration
+      // co-partitioned join + agg over the kNN graph (5 fixed rounds, each
+      // one action), k-center's k map-side scans + 1-row fetch per round,
+      // and real BPE training's per-merge pair-count shuffle + 1-row argmax
+      // (merge count fixed; the DISTINCT-WORD table grows sublinearly)
+      "q_centrality", "q_kcenter", "q_bpe_train",
+      // round 9: the HLL stickiness twin — register rows, not users, must
+      // move (the exact q_stickiness soaked 25.5x at 100x; this one's
+      // shuffle is bounded at 64 rows per (week[,day]) key)
+      "q_stickiness_hll")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -695,7 +695,6 @@ object PrefixFilterJoin {
       tauMilli: Long, shingle: Int = 1): DataFrame = {
     require(tauMilli > 0 && tauMilli <= 1000, "tauMilli must be in (0, 1000]")
     require(shingle >= 1, "shingle must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     // shingling runs as the native word-n-gram kernel (one pass inside
     // whole-stage codegen); the transform(sequence(...), concat_ws(get...))
     // formulation runs its lambdas interpreted per gram and re-evaluates
@@ -704,6 +703,13 @@ object PrefixFilterJoin {
     val sets = CachedProjections.swap("jaccard",
       df.select(col(idCol).as("sid"), array_distinct(elems).as("tset"))
         .where(size(col("tset")) > 0))
+    pairsFromSets(sets, tauMilli)
+  }
+
+  /** The prefix-filter join over a materialized (sid, tset) projection —
+    * shared by the raw and collapsed entry points. */
+  private def pairsFromSets(sets: DataFrame, tauMilli: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = sets.select(col("sid"), explode(col("tset")).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("sid"))
@@ -729,6 +735,43 @@ object PrefixFilterJoin {
       .where(col("jaccard_milli") >= tauMilli)
       .select(col("a"), col("b"), col("n_inter"), col("n_union"),
         col("jaccard_milli"))
+  }
+
+  /**
+   * Hot-key-safe variant: byte-identical element SETS collapse to one
+   * representative (min id) with a multiplicity BEFORE prefix indexing.
+   *
+   * `jaccardPairs` is exact, so a document duplicated 10k times makes its
+   * (10k choose 2) ≈ 50M within-clique pairs part of the CORRECT output —
+   * the quadratic blow-up is in the answer itself, not an algorithmic
+   * accident, and no candidate scheme can avoid materializing it. At 100 TB
+   * the production recipe is therefore: collapse exact copies first (they
+   * are one hash-agg — `ExactDedup`'s shape), join DISTINCT sets, and carry
+   * each side's copy count for any downstream weighting. The hot clique
+   * then costs ONE representative row; candidates are linear in distinct
+   * contents.
+   *
+   * Output: (a, b, n_inter, n_union, jaccard_milli, n_a, n_b) over
+   * representative ids; within-clique pairs (jaccard = 1000 by identity)
+   * are intentionally absent — recover them from the multiplicities.
+   */
+  def jaccardPairsCollapsed(df: DataFrame, idCol: String, textCol: String,
+      tauMilli: Long, shingle: Int = 1): DataFrame = {
+    require(tauMilli > 0 && tauMilli <= 1000, "tauMilli must be in (0, 1000]")
+    require(shingle >= 1, "shingle must be >= 1")
+    val elems = graft.functions.HashExpressions.wordNGrams(col(textCol), shingle)
+    // one hash-agg collapses exact-set cliques; sort_array canonicalizes
+    // the grouping key so element order never splits a clique
+    val reps = CachedProjections.swap("jaccard_collapsed",
+      df.select(col(idCol).as("sid"), sort_array(array_distinct(elems)).as("tset"))
+        .where(size(col("tset")) > 0)
+        .groupBy(col("tset"))
+        .agg(min(col("sid")).as("sid"), count(lit(1)).as("n_copies")))
+    val pairs = pairsFromSets(reps.select(col("sid"), col("tset")), tauMilli)
+    val mult = reps.select(col("sid"), col("n_copies"))
+    pairs
+      .join(mult.select(col("sid").as("a"), col("n_copies").as("n_a")), Seq("a"))
+      .join(mult.select(col("sid").as("b"), col("n_copies").as("n_b")), Seq("b"))
   }
 }
 

@@ -59,4 +59,62 @@ class DedupSkewSpec extends AnyFunSuite with SparkTestSession {
       assert(dt < 60.0, f"group dedup took ${dt}%.1fs — hot bucket went quadratic?")
     else info(f"group dedup wall time ${dt}%.1fs (timing assert gated behind SPARK_GRAFT_TIMING_ASSERTS)")
   }
+
+  // ------------------------------------------- prefix-filter exact join
+
+  test("collapsed jaccard join keeps candidates linear under a 10k-copy clique") {
+    import graft.dedup.PrefixFilterJoin
+    // the RAW exact join's output on a 10k clique is (10k choose 2) pairs —
+    // quadratic in the ANSWER, not the algorithm — so the skew-safe path
+    // collapses byte-identical element sets to one representative first:
+    // candidates (and output) become linear in DISTINCT contents
+    val out = PrefixFilterJoin.jaccardPairsCollapsed(
+      skewCorpus, "doc_id", "text", tauMilli = 500, shingle = 3).collect()
+    // the hot clique collapses to ONE representative: no within-clique
+    // pairs; the 500 distinct docs share no trigram shingle at tau=0.5
+    assert(out.isEmpty, s"expected no cross-content pairs, got ${out.length}")
+
+    // the representative table carries the clique multiplicity — verify by
+    // planting one near-dup partner of the hot doc (shares most trigrams)
+    import spark.implicits._
+    val partner = Seq((500000L,
+      hotText.replace("collapse", "recover"))).toDF("doc_id", "text")
+    val out2 = PrefixFilterJoin.jaccardPairsCollapsed(
+      skewCorpus.unionAll(partner), "doc_id", "text",
+      tauMilli = 500, shingle = 3).collect()
+    assert(out2.length == 1, s"expected exactly the planted pair, got ${out2.length}")
+    val r = out2.head
+    assert(r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 500000L)
+    // the hot side reports all 10k copies, the partner reports 1
+    assert(r.getAs[Long]("n_a") == 10000L && r.getAs[Long]("n_b") == 1L)
+  }
+
+  test("collapsed and raw jaccard joins agree on a duplicate-free corpus") {
+    import graft.dedup.PrefixFilterJoin
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      val tail = if (i % 4 == 0) "alpha beta gamma delta epsilon zeta"
+      else s"alpha beta gamma delta unique$i tail$i"
+      (i.toLong, s"shared prefix words here $tail")
+    }.toDF("doc_id", "text")
+    val raw = PrefixFilterJoin.jaccardPairs(docs, "doc_id", "text", 500, 3)
+      .select("a", "b", "jaccard_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val collapsed = PrefixFilterJoin.jaccardPairsCollapsed(docs, "doc_id", "text", 500, 3)
+      .select("a", "b", "jaccard_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // i % 4 == 0 docs are byte-identical => they collapse to representative
+    // id 0; normalize the raw pairs through that mapping (drop within-group
+    // pairs, re-key members to the representative, dedupe) — the result
+    // must equal the collapsed join exactly
+    val identicalIds = (0 until 40).filter(_ % 4 == 0).map(_.toLong).toSet
+    def rep(id: Long): Long = if (identicalIds.contains(id)) 0L else id
+    val rawNormalized = raw
+      .map { case (a, b, j) =>
+        (math.min(rep(a), rep(b)), math.max(rep(a), rep(b)), j) }
+      .filterNot { case (a, b, _) => a == b }
+    assert(collapsed == rawNormalized,
+      s"raw-normalized=${rawNormalized.size} collapsed=${collapsed.size}")
+    assert(collapsed.nonEmpty, "fixture must produce cross-content pairs")
+  }
 }
