@@ -7,10 +7,16 @@ returns pyspark DataFrames from `transform`. No Python-side compute — the
 JVM runs exactly the same code a Scala caller gets, so batch/streaming
 semantics and results are identical.
 
-Pattern follows the reference library's python binding layer
-(reference: python/artan/filter/recursive_least_squares_filter.py), minus the
-pyspark.ml.Params machinery the graft estimators don't use: graft setters are
-plain chained mutators, so the wrapper is a generic forwarding proxy.
+Two binding styles ship side by side:
+
+- this module: generic forwarding proxies over the plain-Scala builders
+  (chained setters, py4j argument conversion) — zero-dependency, mirrors
+  the Scala call shape exactly;
+- ``graft.ml``: pyspark.ml-NATIVE ``Params`` estimators (the reference
+  library's python contract — python/artan/filter/linear_kalman_filter.py)
+  that compose in ``pyspark.ml.Pipeline``, expose get/set introspection,
+  and JSON-persist via ``save()``/``load()``. Prefer ``graft.ml`` for
+  Pipeline workflows; the proxies remain for scripting parity.
 
 Usage (classpath must contain target/scala-2.13/classes):
 

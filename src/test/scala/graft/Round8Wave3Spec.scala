@@ -167,6 +167,36 @@ class Round8Wave3Spec extends AnyFunSuite with SparkTestSession {
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 
+  test("farthestFirst refuses the exact path past the MaxExactK cost cliff") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(1.0, 0.0))).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.sim.KCenter.farthestFirst(vecs, "id", "v",
+        k = graft.sim.KCenter.MaxExactK + 1)
+    }
+    assert(ex.getMessage.contains("farthestFirstSampled"))
+  }
+
+  test("farthestFirstSampled selects within the deterministic hash-sample") {
+    import spark.implicits._
+    // two far-apart modes, 200 vectors each: a sample of 64 must still
+    // cover both, so the 2-center pick lands one center per mode
+    val vecs = (0 until 200).map(i => (i.toLong, Seq(1.0, 0.001 * i))) ++
+      (0 until 200).map(i => (1000L + i, Seq(-1.0, 0.001 * i)))
+    val df = vecs.toDF("id", "v")
+    val got = graft.sim.KCenter
+      .farthestFirstSampled(df, "id", "v", k = 2, sampleSize = 64)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size == 2)
+    val modes = got.map(_._2 / 1000L).toSet
+    assert(modes == Set(0L, 1L), s"both modes must be covered: $got")
+    // deterministic: a second run walks the identical trajectory
+    val again = graft.sim.KCenter
+      .farthestFirstSampled(df, "id", "v", k = 2, sampleSize = 64)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == again)
+  }
+
   // --------------------------------------------------------------- moments
 
   test("moments emits exact power sums and quantized mean/variance") {
