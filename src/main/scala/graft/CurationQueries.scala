@@ -311,6 +311,32 @@ object CurationQueries {
       // sims + id tiebreaks, so the DuckDB oracle replays the trajectory.
       graft.sim.KCenter.farthestFirst(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 6)
+    }),
+
+    "q_kcenter_sampled" -> ((s, dir) => {
+      // the LARGE-k coreset path: the exact greedy walk costs k full
+      // corpus scans (farthestFirst refuses k > 512 for that reason), so
+      // production coresets select WITHIN a deterministic bottom-s-by-md5
+      // sample — one corpus scan + O(k·s) bounded-frame rounds. Sampling
+      // key is the same mergeable md5 order every split/cap operator uses,
+      // so the oracle replays both the draw and the trajectory.
+      graft.sim.KCenter.farthestFirstSampled(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 6, sampleSize = 64)
+    }),
+
+    "q_jaccard_collapsed" -> ((s, dir) => {
+      // the hot-key-safe exact τ-join: byte-identical shingle SETS collapse
+      // to one representative (+ multiplicity) BEFORE prefix indexing — a
+      // 10k-copy clique's (10k choose 2) pairs are quadratic in the RAW
+      // join's answer itself, so the scalable recipe joins distinct
+      // contents and carries copy counts. Corpus plants exact copies of
+      // every 10th doc to exercise the collapse.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text")))
+      graft.dedup.PrefixFilterJoin.jaccardPairsCollapsed(
+          corpus, "doc_id", "text", 700L, shingle = 3)
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -895,24 +921,79 @@ object CurationQueries {
     // farthest-first replay: c0 = min id; stage i carries every
     // not-yet-chosen vector's running max-sim and picks the argmin
     // (ms asc, id asc) — the exact trajectory KCenter.farthestFirst walks
-    "q_kcenter" -> {
-      val stages = (1 to 5).map { i =>
-        s"""s$i AS (
-           |  SELECT p.vec_id, p.embedding,
-           |    GREATEST(p.ms, ROUND(${cosineSql("p.embedding", s"c${i - 1}.embedding")}, 6)) AS ms
-           |  FROM s${i - 1} p, c${i - 1} WHERE p.vec_id != c${i - 1}.vec_id),
-           |c$i AS (SELECT vec_id, embedding, ms FROM s$i
-           |        ORDER BY ms ASC, vec_id ASC LIMIT 1)""".stripMargin
-      }.mkString(",\n")
-      val arms = (1 to 5).map { i =>
-        s"SELECT CAST(${i + 1} AS BIGINT) AS rank, CAST(c$i.vec_id AS BIGINT) AS vec_id, c$i.ms AS sel_sim FROM c$i"
-      }.mkString("\nUNION ALL ")
-      s"""WITH c0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
-         |s0 AS (SELECT vec_id, embedding, -1.0 AS ms FROM embeddings),
-         |$stages
-         |SELECT CAST(1 AS BIGINT) AS rank, CAST(c0.vec_id AS BIGINT) AS vec_id, 1.0 AS sel_sim FROM c0
-         |UNION ALL $arms
-         |ORDER BY rank""".stripMargin
-    }
+    "q_kcenter" -> kcenterOracleSql("embeddings"),
+
+    // same trajectory replay, but the population is the deterministic
+    // bottom-64-by-md5 sample (the farthestFirstSampled large-k path)
+    "q_kcenter_sampled" -> kcenterOracleSql(
+      """(SELECT vec_id, embedding FROM embeddings
+        | ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64)""".stripMargin),
+
+    // the collapsed exact τ-join: group byte-identical (sorted) shingle
+    // sets to their min-id representative + copy count, then the SAME
+    // prefix-filter ladder as q_jaccard_join over representatives only
+    "q_jaccard_collapsed" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 700000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |wq AS (SELECT doc_id, ${duckToks()} AS w FROM corpus),
+         |s0 AS (SELECT doc_id, list_sort(list_distinct(
+         |        list_transform(range(1, len(w) - 1),
+         |          i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+         |               || ' ' || w[CAST(i AS INTEGER)+2]))) AS tset
+         |      FROM wq WHERE len(w) >= 3),
+         |s AS (SELECT min(doc_id) AS doc_id, tset,
+         |        CAST(count(*) AS BIGINT) AS n_copies
+         |      FROM s0 GROUP BY tset),
+         |ex AS (SELECT doc_id, unnest(tset) AS tok FROM s),
+         |dfq AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
+         |rk AS (SELECT ex.doc_id, ex.tok,
+         |         row_number() OVER (PARTITION BY ex.doc_id
+         |                            ORDER BY dfq.df, ex.tok) AS rn,
+         |         count(*) OVER (PARTITION BY ex.doc_id) AS len
+         |       FROM ex JOIN dfq USING (tok)),
+         |pfx AS (SELECT doc_id, tok FROM rk
+         |        WHERE rn <= len - (700 * len + 999) // 1000 + 1),
+         |cand AS (SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+         |         FROM pfx p1 JOIN pfx p2 USING (tok)
+         |         WHERE p1.doc_id < p2.doc_id),
+         |v AS (SELECT a, b,
+         |        CAST(len(list_intersect(sa.tset, sb.tset)) AS BIGINT)
+         |          AS n_inter,
+         |        CAST(len(sa.tset) + len(sb.tset)
+         |             - len(list_intersect(sa.tset, sb.tset)) AS BIGINT)
+         |          AS n_union,
+         |        sa.n_copies AS n_a, sb.n_copies AS n_b
+         |      FROM cand JOIN s sa ON cand.a = sa.doc_id
+         |                 JOIN s sb ON cand.b = sb.doc_id)
+         |SELECT a, b, n_inter, n_union,
+         |  CAST(n_inter * 1000 // n_union AS BIGINT) AS jaccard_milli,
+         |  n_a, n_b
+         |FROM v WHERE n_inter * 1000 // n_union >= 700 ORDER BY a, b""".stripMargin
   )
+
+  /** Farthest-first trajectory replay over an arbitrary population
+    * sub-select (shared by the exact and sampled k-center oracles). */
+  private def kcenterOracleSql(src: String): String = {
+    val stages = (1 to 5).map { i =>
+      s"""s$i AS (
+         |  SELECT p.vec_id, p.embedding,
+         |    GREATEST(p.ms, ROUND(${cosineSql("p.embedding", s"c${i - 1}.embedding")}, 6)) AS ms
+         |  FROM s${i - 1} p, c${i - 1} WHERE p.vec_id != c${i - 1}.vec_id),
+         |c$i AS (SELECT vec_id, embedding, ms FROM s$i
+         |        ORDER BY ms ASC, vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val arms = (1 to 5).map { i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS rank, CAST(c$i.vec_id AS BIGINT) AS vec_id, c$i.ms AS sel_sim FROM c$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH pop AS (SELECT vec_id, embedding FROM $src),
+       |c0 AS (SELECT vec_id, embedding FROM pop ORDER BY vec_id LIMIT 1),
+       |s0 AS (SELECT vec_id, embedding, -1.0 AS ms FROM pop),
+       |$stages
+       |SELECT CAST(1 AS BIGINT) AS rank, CAST(c0.vec_id AS BIGINT) AS vec_id, 1.0 AS sel_sim FROM c0
+       |UNION ALL $arms
+       |ORDER BY rank""".stripMargin
+  }
 }

@@ -158,4 +158,55 @@ class StreamingCorpusOpsSpec extends AnyFunSuite with SparkTestSession {
     sq.stop()
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("hll registers accumulate incrementally on a stream (stickiness twin)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two micro-batches of (user, ts) activity; the register table is a
+    // pure (key, bucket) -> max(rho) aggregate, so streamed max after any
+    // micro-batch split equals the batch registers of the union — the
+    // streaming path of q_stickiness_hll (registers stream; the tiny
+    // profile/ratio read runs on the register table downstream)
+    def ev(u: Int, day: Int): (String, Timestamp) =
+      (s"user_$u", new Timestamp(1700000000000L + day * 86400000L))
+    val batch1 = (0 until 150).map(u => ev(u, u % 3))
+    val batch2 = (100 until 250).map(u => ev(u, u % 5))
+
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .select(date_trunc("week", col("ts")).cast("date").as("week"),
+        col("ts").cast("date").as("day"), col("user").as("_u"))
+
+    val all = (batch1 ++ batch2).toDF("user", "ts")
+    val batchRegs = Sketches
+      .hllRegistersBy(prep(all), Seq("week", "day"), "_u")
+      .as[(java.sql.Date, java.sql.Date, Long, Int)].collect().toSet
+
+    val stream = MemoryStream[(String, Timestamp)]
+    val sq = Sketches
+      .hllRegistersBy(prep(stream.toDS().toDF("user", "ts")), Seq("week", "day"), "_u")
+      .writeStream.format("memory").queryName("hll_parity")
+      .outputMode("complete").start()
+    stream.addData(batch1)
+    sq.processAllAvailable()
+    stream.addData(batch2)
+    sq.processAllAvailable()
+    val streamed = spark.table("hll_parity")
+      .as[(java.sql.Date, java.sql.Date, Long, Int)].collect().toSet
+    sq.stop()
+    assert(streamed == batchRegs)
+
+    // the downstream profile over the streamed register table matches the
+    // one-call batch estimate exactly
+    val estBatch = Sketches.hllProfileBy(
+        Sketches.hllRegistersBy(prep(all), Seq("week", "day"), "_u"),
+        Seq("week", "day"))
+      .select(col("day"), col("est_distinct"))
+      .as[(java.sql.Date, Long)].collect().toSet
+    val estStream = Sketches.hllProfileBy(
+        spark.table("hll_parity"), Seq("week", "day"))
+      .select(col("day"), col("est_distinct"))
+      .as[(java.sql.Date, Long)].collect().toSet
+    assert(estStream == estBatch)
+  }
 }
