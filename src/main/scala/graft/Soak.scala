@@ -113,7 +113,12 @@ object Soak {
       // round 9: the HLL stickiness twin — register rows, not users, must
       // move (the exact q_stickiness soaked 25.5x at 100x; this one's
       // shuffle is bounded at 64 rows per (week[,day]) key)
-      "q_stickiness_hll")
+      "q_stickiness_hll",
+      // round 9: the scale-path variants — the sampled coreset must be
+      // one-scan-then-constant (the draw is the only corpus-sized work),
+      // and the collapsed tau-join's extra hash-agg must not change the
+      // prefix ladder's linear-candidates shape
+      "q_kcenter_sampled", "q_jaccard_collapsed")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
