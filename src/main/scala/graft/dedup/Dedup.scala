@@ -304,25 +304,55 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
    * near-dup PAIR graph: `duplicateGroups` closes cliques in one round but
    * chain-shaped sets (a~b~c with a!~c) keep one canonical per link; this
    * iterates min-label propagation to a fixed point so every component gets
-   * exactly one canonical (its minimum id). Pair generation has the usual
-   * all-pairs candidate cost — for corpora with massive exact-dup cliques
-   * run `ExactDedup` first (or start from `duplicateGroups`).
+   * exactly one canonical (its minimum id).
+   *
+   * HOT-CLIQUE GUARD (round 10): pair candidates are the all-pairs bucket
+   * self-join, inherently quadratic in bucket size — a document duplicated
+   * 10k times used to put 10k rows into the same bucket of EVERY band and
+   * emit ~8 × 50M joined rows. Identical shingle SETS are Jaccard-1
+   * duplicates by identity, so each distinct non-empty set now collapses to
+   * its min-id representative (one window over the signature projection —
+   * `ExactDedup`'s shape) BEFORE candidate generation; candidates are then
+   * linear in DISTINCT contents, and the component label joins back through
+   * the representative mapping. The collapse is LOSSLESS for component
+   * semantics: within-group connectivity IS the collapse, and a verified
+   * pair (member, x) exists iff (rep, x) verifies, because their sets are
+   * equal. Empty sets (docs shorter than one shingle) never verify a pair
+   * (jaccard ≡ 0), so they stay singletons and are NOT collapsed.
    */
   def nearDuplicateComponents(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       maxIters: Int = 20): DataFrame = {
-    // persist the tiny verified-pair list so the LSH query computes once
-    // (it is consumed by the symmetrized CC edges AND the linked-id seed)
-    val pairs = CachedProjections.swap("cc_pairs",
-      nearDuplicates(df, idCol, textCol, threshold).select(col("a"), col("b")))
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1] — the exact-set collapse merges identical sets, which verify at exactly 1.0")
+    import org.apache.spark.sql.expressions.Window
+    val sigs = SignatureStore.sigs(df, idCol, textCol, this)
+    // (id, rep): min id over the doc's canonicalized shingle set; empty
+    // sets keep themselves. ONE shuffle on the sorted-set key. Eager
+    // localCheckpoint (not persist): the CC loop's per-iteration plans
+    // nest their inputs ~3× per round, so the inputs must be lineage
+    // LEAVES or planning cost (and plan-string memory) goes exponential.
+    val repMap = sigs.select(col(idCol).as("_mid"),
+        when(size(col("sset")) === 0, col(idCol))
+          .otherwise(min(col(idCol)).over(Window.partitionBy(sort_array(col("sset")))))
+          .as("_rep"))
+      .localCheckpoint()
+    val repSigs = sigs.join(
+      repMap.where(col("_mid") === col("_rep")).select(col("_mid").as(idCol)), Seq(idCol))
+    // the tiny verified-pair list computes once and becomes a leaf (it is
+    // consumed by the symmetrized CC edges AND the linked-id seed)
+    val pairs = nearDuplicatesFromSigs(repSigs, idCol, threshold)
+      .select(col("a"), col("b")).localCheckpoint()
     // iterate CC over the linked subgraph only (see Dedup.pipeline): nodes
     // without a near-dup pair can never change label
     val linkedIds = pairs.select(col("a").as("id"))
       .unionAll(pairs.select(col("b").as("id"))).distinct()
     val labels = Dedup.connectedComponents(linkedIds, pairs, maxIters)
-    val allIds = df.select(col(idCol))
-    allIds.join(labels, allIds(idCol) === labels("id"), "left")
-      .select(col(idCol), coalesce(col("label"), col(idCol)).as("canonical_id"))
+    // expand: id → representative → component label (reps are group minima,
+    // so the component min over reps IS the min over all member ids)
+    repMap.join(labels, repMap("_rep") === labels("id"), "left")
+      .select(col("_mid").as(idCol),
+        coalesce(col("label"), col("_rep")).as("canonical_id"))
   }
 }
 
@@ -530,7 +560,14 @@ private[dedup] object CachedProjections {
  * and incremental runs pay only the new batch (`nearDuplicatesAgainst`).
  */
 private[graft] object SignatureStore {
-  private case class Key(planHash: Int, numHashes: Int, bands: Int, shingle: Int)
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  /** The FULL canonicalized plan is part of the key (round 10; r9 advice):
+    * keying by the 32-bit semanticHash alone meant a hash collision between
+    * two different corpus plans silently returned the other corpus's
+    * signatures. Plan nodes are case classes, so equality is structural —
+    * a collision now falls through to a rebuild instead of a wrong answer. */
+  private case class Key(plan: LogicalPlan, numHashes: Int, bands: Int, shingle: Int)
   private val MaxEntries = 4
   private val live = new java.util.LinkedHashMap[Key, DataFrame](8, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[Key, DataFrame]): Boolean = {
@@ -539,15 +576,29 @@ private[graft] object SignatureStore {
       evict
     }
   }
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong
+  private val missCount = new java.util.concurrent.atomic.AtomicLong
 
   def sigs(df: DataFrame, idCol: String, textCol: String, lsh: MinHashLSH): DataFrame = {
     val projected = df.select(col(idCol), col(textCol))
-    val key = Key(projected.queryExecution.analyzed.canonicalized.semanticHash(),
+    val key = Key(projected.queryExecution.analyzed.canonicalized,
       lsh.numHashes, lsh.bands, lsh.shingleSize)
     synchronized {
+      // entries bound to a stopped SparkSession are unusable (their cached
+      // blocks died with the context) — drop them before lookup so a new
+      // session never receives a dead frame
+      val it = live.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.sparkSession.sparkContext.isStopped) {
+          try e.getValue.unpersist(blocking = false) catch { case _: Throwable => () }
+          it.remove()
+        }
+      }
       val hit = live.get(key)
-      if (hit != null) hit
+      if (hit != null) { hitCount.incrementAndGet(); hit }
       else {
+        missCount.incrementAndGet()
         val built = lsh.signatures(projected, idCol, textCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         live.put(key, built)
@@ -556,10 +607,18 @@ private[graft] object SignatureStore {
     }
   }
 
+  /** (hits, misses) since the last reset — the witness that two operators
+    * on the same corpus derive signatures from raw text exactly once. */
+  private[graft] def stats: (Long, Long) = (hitCount.get, missCount.get)
+  private[graft] def resetStats(): Unit = { hitCount.set(0L); missCount.set(0L) }
+
   /** Test hook: drop every cached projection. */
   private[graft] def clear(): Unit = synchronized {
     val it = live.values().iterator()
-    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+    while (it.hasNext) {
+      try it.next().unpersist(blocking = false) catch { case _: Throwable => () }
+      it.remove()
+    }
   }
 }
 

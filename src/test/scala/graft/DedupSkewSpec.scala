@@ -60,6 +60,62 @@ class DedupSkewSpec extends AnyFunSuite with SparkTestSession {
     else info(f"group dedup wall time ${dt}%.1fs (timing assert gated behind SPARK_GRAFT_TIMING_ASSERTS)")
   }
 
+  // ------------------------- full-CC components / near-dup-safe split
+
+  test("nearDuplicateComponents keeps candidates linear under a 10k-copy clique") {
+    val lsh = new MinHashLSH(32, 8, 3)
+    // structural linearity proof, mirroring the star-candidate test:
+    // replicate the round-10 exact-set collapse over the public signature
+    // projection, then count all-pairs candidates over REPRESENTATIVES —
+    // the clique contributes one row, so candidates stay ~linear (the
+    // uncollapsed path emits ~8 x 50M joined rows here)
+    import org.apache.spark.sql.expressions.Window
+    val sigs = lsh.signatures(skewCorpus, "doc_id", "text")
+    val reps = sigs
+      .withColumn("_rep", min(col("doc_id")).over(Window.partitionBy(sort_array(col("sset")))))
+      .where(col("doc_id") === col("_rep"))
+    val b = lsh.bandedFromSigs(reps, "doc_id")
+    val nCands = b.select(col("doc_id").as("a"), col("band"), col("bucket"))
+      .join(b.select(col("doc_id").as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct().count()
+    assert(nCands < 20000L, s"candidates=$nCands — collapse did not defuse the clique")
+  }
+
+  test("10k-clique components: exact canonicals, near-dup partner joins the clique") {
+    import spark.implicits._
+    val lsh = new MinHashLSH(32, 8, 3)
+    // plant ONE near-dup partner of the hot doc: the component must span
+    // the whole clique AND the partner (connectivity through the rep)
+    val partner = Seq((500000L, hotText.replace("collapse", "recover")))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val comp = lsh.nearDuplicateComponents(
+      skewCorpus.unionAll(partner), "doc_id", "text", 0.4).collect()
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(comp.length == 10501)
+    val byId = comp.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every clique copy AND the planted partner canonicalize to id 0
+    assert((0 until 10000).forall(i => byId(i.toLong) == 0L), "clique not fully labeled")
+    assert(byId(500000L) == 0L, "near-dup partner must join the clique component")
+    // distinct docs stay their own canonical
+    assert((0 until 500).forall(i => byId(100000L + i) == 100000L + i))
+    if (sys.env.contains("SPARK_GRAFT_TIMING_ASSERTS"))
+      assert(dt < 60.0, f"components took ${dt}%.1fs — hot clique went quadratic?")
+    else info(f"components wall time ${dt}%.1fs (timing assert gated behind SPARK_GRAFT_TIMING_ASSERTS)")
+  }
+
+  test("nearDupSafeSplit on the cliqued corpus: one split per component, completes") {
+    val split = graft.operators.DatasetSplit
+      .nearDupSafeSplit(skewCorpus, "doc_id", "text", 0.4)
+    val agg = split.groupBy("canonical_id")
+      .agg(countDistinct(col("split")).as("k"), count(lit(1)).as("n"))
+    // the whole clique lands in ONE split bucket; no component straddles
+    val bad = agg.where(col("k") > 1).count()
+    assert(bad == 0L, s"$bad components straddle the split boundary")
+    assert(agg.where(col("canonical_id") === 0L).select("n").head().getLong(0) == 10000L)
+  }
+
   // ------------------------------------------- prefix-filter exact join
 
   test("collapsed jaccard join keeps candidates linear under a 10k-copy clique") {

@@ -81,6 +81,7 @@ class SignatureTableSpec extends AnyFunSuite with SparkTestSession {
 
   test("pipeline and nearDupSafeSplit agree on groups via the shared store") {
     SignatureStore.clear()
+    SignatureStore.resetStats()
     val c = corpus
     // both entry points run off the shared signature projection (the
     // bench-sharing win); their group structures differ by design (star
@@ -98,6 +99,28 @@ class SignatureTableSpec extends AnyFunSuite with SparkTestSession {
       .agg(countDistinct(col("split")).as("k"))
       .where(col("k") > 1).count()
     assert(leaky == 0L)
+    // the cross-operator saving, PROVEN (round 10; r8 task 5 adjudication):
+    // both operators above ran on the same corpus plan + hash family, so
+    // the tokenize→shingle→minhash pass must have executed exactly once —
+    // one miss (whoever came first), every later access a hit
+    val (hits, misses) = SignatureStore.stats
+    assert(misses == 1L, s"signatures derived from raw text $misses times — expected once")
+    assert(hits >= 1L, s"second operator never hit the shared store (hits=$hits)")
+    SignatureStore.clear()
+  }
+
+  test("SignatureStore survives a semanticHash collision by plan equality") {
+    // can't force a real 32-bit collision deterministically, but the store
+    // must key on the PLAN, not its hash: two plans that differ only in a
+    // filter constant are the closest controllable proxy — equal-looking,
+    // unequal structurally — and must never share an entry
+    SignatureStore.clear()
+    val lsh = new MinHashLSH(32, 8, 3)
+    val c = corpus
+    val a = SignatureStore.sigs(c.where(col("doc_id") < 500), "doc_id", "text", lsh)
+    val b = SignatureStore.sigs(c.where(col("doc_id") < 501), "doc_id", "text", lsh)
+    assert(!(a eq b), "different corpus plans must not share a cache entry")
+    assert(a.count() == 60L && b.count() == 60L) // both frames usable
     SignatureStore.clear()
   }
 }
