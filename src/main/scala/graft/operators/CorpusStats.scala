@@ -289,12 +289,16 @@ object CorpusStats {
    * per-group sort for exact order statistics). Skew/kurtosis derive from
    * s1..s4 downstream.
    *
-   * Integer-exact: s1..s3 stay in int64 (bound: n·max(x)³ < 9.2e18 — at
-   * max(x)=1e3 that is 9e9 rows per group); s4 and the variance numerator
-   * accumulate in DECIMAL(38,0) and are emitted quantized (`s4_q6 = s4 div
-   * 1e6`, `var_micro = (n·s2 − s1²)·1e6 div n²`) so every output column is
-   * a BIGINT any engine replays exactly. Non-negative by construction
-   * (Cauchy–Schwarz), so truncating division is engine-agnostic.
+   * Integer-exact: s1..s2 stay in int64 (bound: n·max(x)² < 9.2e18 — at the
+   * 2²¹−1 grain that is ≥ 2.1e6 rows per group, and far more at realistic
+   * grains); s3, s4 and the variance numerator accumulate in DECIMAL(38,0)
+   * — a SINGLE x³ term near the grain is already ~2⁶³, so two rows would
+   * silently wrap an int64 SUM (round-10 advice fix) — and are emitted as
+   * range-checked BIGINT (`s3`, loud error past int64) or quantized
+   * (`s4_q6 = s4 div 1e6`, `var_micro = (n·s2 − s1²)·1e6 div n²`) so every
+   * output column is a BIGINT any engine replays exactly. var_micro is
+   * non-negative by construction (Cauchy–Schwarz), so truncating division
+   * is engine-agnostic.
    */
   def moments(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     // |x| >= 2^21 makes a single x^3 term exceed 2^63 and wrap silently
@@ -305,14 +309,21 @@ object CorpusStats {
       .otherwise(raise_error(concat(
         lit(s"moments: |$valCol| exceeds the int64-safe grain $safeGrain for group "),
         col(groupCol).cast("string"))).cast("long"))
+    val int64Max = lit("9223372036854775807").cast("decimal(38,0)")
     df.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n"),
         sum(x).as("s1"),
         sum(x * x).as("s2"),
-        sum(x * x * x).as("s3"),
+        sum(x.cast("decimal(38,0)") * x * x).as("_s3d"),
         sum(x.cast("decimal(38,0)") * x * x * x).as("_s4d"))
-      .select(col(groupCol), col("n"), col("s1"), col("s2"), col("s3"),
+      .select(col(groupCol), col("n"), col("s1"), col("s2"),
+        // the sum itself can exceed int64 even though each term fits the
+        // grain — emit loudly instead of a silent NULL/wrap on the cast
+        when(abs(col("_s3d")) > int64Max,
+          raise_error(concat(lit("moments: sum(x^3) exceeds int64 for group "),
+            col(groupCol).cast("string"))).cast("long"))
+          .otherwise(col("_s3d").cast("long")).as("s3"),
         expr("CAST(_s4d div 1000000 AS BIGINT)").as("s4_q6"),
         expr("CAST(CAST(s1 AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
           .as("mean_micro"),

@@ -147,11 +147,13 @@ object EventAnalytics {
    * so "first conversion", "first touch" and "last touch" are exact
    * `min_by`/`max_by` picks — no window-function tie luck.
    *
-   * PRECONDITION: `tsCol >= '1970-01-01'` and `idCol >= 0`. The zero-padded
-   * string key renders negative values as `-123...`, which sorts before
-   * every `0`-padded positive AND inverts order among the negatives
-   * themselves — pre-epoch timestamps or negative ids silently mis-order.
-   * Shift such data (e.g. `ts + INTERVAL n years`) before calling.
+   * PRECONDITION (ENFORCED, round 10): `tsCol >= '1970-01-01'` and
+   * `idCol >= 0`. The zero-padded string key renders negative values as
+   * `-123...`, which sorts before every `0`-padded positive AND inverts
+   * order among the negatives themselves — pre-epoch timestamps or negative
+   * ids would silently mis-order, so they raise a loud error instead (same
+   * contract as moments' grain guard). Shift such data (e.g. `ts + INTERVAL
+   * n years`) before calling.
    *
    * Scale shape: ONE exchange on the user key — the per-user first
    * conversion rides an unordered window over that partitioning, the
@@ -162,8 +164,15 @@ object EventAnalytics {
    */
   def attribution(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, idCol: String, convType: String): DataFrame = {
+    val tsMicros = unix_micros(col(tsCol))
+    // enforce the order-key precondition loudly: a negative rendered into
+    // the zero-padded key would silently mis-order first/last touches
+    val guardedTs = when(tsMicros >= 0L && col(idCol).cast("long") >= 0L, tsMicros)
+      .otherwise(raise_error(concat(
+        lit("attribution: order key needs ts >= 1970-01-01 and id >= 0; got ts="),
+        col(tsCol).cast("string"), lit(" id="), col(idCol).cast("string"))).cast("long"))
     val ord = concat(
-      lpad(unix_micros(col(tsCol)).cast("string"), 20, "0"),
+      lpad(guardedTs.cast("string"), 20, "0"),
       lpad(col(idCol).cast("string"), 20, "0"))
     val w = Window.partitionBy(col(userCol))
     val touches = events

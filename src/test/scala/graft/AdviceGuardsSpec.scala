@@ -32,6 +32,58 @@ class AdviceGuardsSpec extends AnyFunSuite with SparkTestSession {
       ex.getCause != null && ex.getCause.getMessage.contains("int64-safe grain"))
   }
 
+  test("moments fails loudly when the s3 SUM wraps int64 across rows") {
+    import spark.implicits._
+    // each term fits the grain (2097151^3 ≈ 9.22e18 < 2^63) but TWO of them
+    // sum past int64 — the round-9 advice hole: the per-term guard passed
+    // while the sum silently wrapped. Now s3 accumulates in DECIMAL(38,0)
+    // and the BIGINT emission range-checks.
+    val bad = Seq(("g", 2097151L), ("g", 2097151L)).toDF("grp", "v")
+    val ex = intercept[Exception] {
+      CorpusStats.moments(bad, "grp", "v").collect()
+    }
+    assert(ex.getMessage.contains("sum(x^3) exceeds int64") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("sum(x^3) exceeds int64"))
+    // negative twin: two large-negative rows must also trip the range check
+    val badNeg = Seq(("g", -2097151L), ("g", -2097151L)).toDF("grp", "v")
+    val ex2 = intercept[Exception] {
+      CorpusStats.moments(badNeg, "grp", "v").collect()
+    }
+    assert(ex2.getMessage.contains("sum(x^3) exceeds int64") ||
+      ex2.getCause != null && ex2.getCause.getMessage.contains("sum(x^3) exceeds int64"))
+  }
+
+  test("attribution fails loudly on pre-epoch timestamps or negative ids") {
+    import spark.implicits._
+    val ok = Seq(
+      ("u1", "view", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      ("u1", "buy", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val r = EventAnalytics.attribution(ok, "user_id", "event_type", "ts", "event_id", "buy")
+      .collect()
+    assert(r.length == 1 && r.head.getAs[String]("event_type") == "view")
+
+    val preEpoch = Seq(
+      ("u1", "view", java.sql.Timestamp.valueOf("1969-06-01 10:00:00"), 1L),
+      ("u1", "buy", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val ex = intercept[Exception] {
+      EventAnalytics.attribution(preEpoch, "user_id", "event_type", "ts", "event_id", "buy").collect()
+    }
+    assert(ex.getMessage.contains("order key needs") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("order key needs"))
+
+    val negId = Seq(
+      ("u1", "view", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), -1L),
+      ("u1", "buy", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val ex2 = intercept[Exception] {
+      EventAnalytics.attribution(negId, "user_id", "event_type", "ts", "event_id", "buy").collect()
+    }
+    assert(ex2.getMessage.contains("order key needs") ||
+      ex2.getCause != null && ex2.getCause.getMessage.contains("order key needs"))
+  }
+
   test("abLift fails loudly when no user hashes into arm A") {
     import spark.implicits._
     // armPct=1: with two users the md5 buckets land in [1, 100) -> arm B
