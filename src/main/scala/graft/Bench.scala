@@ -184,26 +184,58 @@ object Bench {
     // becomes mechanically checkable — each query's min / pinned min, the
     // common-subset total ratio, and every >=1.5x suspect named. Rides in
     // bench.json only (stdout stays inside the driver's tail capture).
-    val vsBaselineJson: String = (try {
-      import org.json4s._
-      implicit val fmts: Formats = DefaultFormats
-      val j = jackson.JsonMethods.parse(Files.readString(Paths.get("BASELINE.json")))
-      val p = j \ "pinned_wall_seconds"
-      val pinSf = (p \ "sf").extract[String]
-      if (pinSf != new java.io.File(sfDir).getName) None
-      else Some(((p \ "round").extract[Int], (p \ "queries").extract[Map[String, Double]]))
-    } catch { case _: Throwable => None }) match {
-      case Some((rnd, base)) =>
-        val common = mins.filter { case (n, _) => base.contains(n) }
-        if (common.isEmpty) ""
+    // An empty string here used to mean ANY of: no baseline pinned, file
+    // unreadable, schema drift, sf mismatch — so a broken gate read as a
+    // pass (round-9 advice). Every non-comparison now emits an explicit
+    // "vs_baseline":"unavailable:<reason>" marker instead, and only
+    // expected parse/IO failures are swallowed into it; gate tooling
+    // (tools/baseline_gate.py) fails loudly on the marker.
+    val vsBaselineJson: String = {
+      sealed trait Cmp
+      case class Ok(round: Int, base: Map[String, Double]) extends Cmp
+      case class Unavailable(reason: String) extends Cmp
+      val cmp: Cmp = try {
+        import org.json4s._
+        implicit val fmts: Formats = DefaultFormats
+        if (!Files.exists(Paths.get("BASELINE.json"))) Unavailable("no-baseline-file")
         else {
-          val ratios = common.map { case (n, v) => n -> v / base(n) }
-          val totRatio = common.map(_._2).sum / common.map(c => base(c._1)).sum
-          val regress = ratios.filter(_._2 >= 1.5).sortBy(-_._2)
-            .map { case (k, v) => jq(k) + ":" + r2(v) }.mkString("{", ",", "}")
-          s""","baseline_round":$rnd,"vs_baseline_total":${r4(totRatio)},"vs_baseline_worst":${r4(ratios.map(_._2).max)},"vs_baseline_regressions":$regress"""
+          val j = jackson.JsonMethods.parse(Files.readString(Paths.get("BASELINE.json")))
+          j \ "pinned_wall_seconds" match {
+            case JNothing => Unavailable("no-pinned_wall_seconds")
+            case p =>
+              val pinSf = (p \ "sf").extractOpt[String]
+              if (!pinSf.contains(new java.io.File(sfDir).getName))
+                Unavailable(s"sf-mismatch:pin=${pinSf.getOrElse("?")}")
+              else ((p \ "round").extractOpt[Int], (p \ "queries").extractOpt[Map[String, Double]]) match {
+                case (Some(rnd), Some(base)) if base.nonEmpty => Ok(rnd, base)
+                case _ => Unavailable("pin-schema-drift")
+              }
+          }
         }
-      case None => ""
+      } catch {
+        case _: java.io.IOException => Unavailable("baseline-io-error")
+        case e if e.getClass.getName.startsWith("com.fasterxml.jackson") ||
+          e.getClass.getName.startsWith("org.json4s") => Unavailable("baseline-parse-error")
+        // anything else is a bug in this comparison, not a missing pin —
+        // name the class so it can't masquerade as "no baseline pinned"
+        // (bench must still print its JSON line, so don't propagate)
+        case scala.util.control.NonFatal(e) => Unavailable("unexpected:" + e.getClass.getSimpleName)
+      }
+      cmp match {
+        case Ok(rnd, base) =>
+          val common = mins.filter { case (n, _) => base.contains(n) }
+          if (common.isEmpty) s""","vs_baseline":${jq("unavailable:no-common-queries")}"""
+          else {
+            val ratios = common.map { case (n, v) => n -> v / base(n) }
+            val totRatio = common.map(_._2).sum / common.map(c => base(c._1)).sum
+            val regress = ratios.filter(_._2 >= 1.5).sortBy(-_._2)
+              .map { case (k, v) => jq(k) + ":" + r2(v) }.mkString("{", ",", "}")
+            s""","baseline_round":$rnd,"vs_baseline_total":${r4(totRatio)},"vs_baseline_worst":${r4(ratios.map(_._2).max)},"vs_baseline_regressions":$regress"""
+          }
+        case Unavailable(reason) =>
+          System.err.println(s"[bench] vs-baseline comparison unavailable: $reason")
+          s""","vs_baseline":${jq("unavailable:" + reason)}"""
+      }
     }
     val fullLine =
       s"""{"metric":"total","value":${r4(totalMin)},"unit":"sec","stat":"min","queries":$qsMin,"errors":$errJson,"reps":$reps,"sf":${jq(sfDir)},"total_min":${r4(totalMin)},"total_median":${r4(total)},"queries_min":$qsMin,"queries_median":$qs,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended,"retried":$retriedJson$vsBaselineJson}"""
