@@ -307,7 +307,7 @@ object EventQueries {
         |FROM w ORDER BY week""".stripMargin,
 
     "q_stickiness_hll" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
         |    CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS u
         |  FROM events
@@ -330,12 +330,19 @@ object EventQueries {
         |    CAST(sum(1::BIGINT << (32 - mr)) AS BIGINT) AS s_occ
         |  FROM dr GROUP BY 1, 2
         |),
-        |de AS (
-        |  SELECT week, day,
+        |de0 AS (
+        |  SELECT week, day, n_occupied,
         |    CAST(floor(0.709 * 64 * 64 * 4294967296.0 /
         |      CAST(s_occ + (64 - n_occupied) * 4294967296 AS DOUBLE)) AS BIGINT)
-        |      AS est
+        |      AS raw_est
         |  FROM dp
+        |),
+        |de AS (
+        |  SELECT week, day,
+        |    CASE WHEN n_occupied < 64 AND raw_est <= ${graft.operators.Sketches.HllSmallRangeCutoff}
+        |         THEN (${graft.operators.Sketches.hllLinearTableSql})[CAST(64 - n_occupied AS INT)]
+        |         ELSE raw_est END AS est
+        |  FROM de0
         |),
         |dsum AS (
         |  SELECT week, CAST(sum(est) AS BIGINT) AS sum_daily_actives_est
@@ -351,12 +358,19 @@ object EventQueries {
         |    CAST(sum(1::BIGINT << (32 - mr)) AS BIGINT) AS s_occ
         |  FROM wr GROUP BY 1
         |),
-        |we AS (
-        |  SELECT week,
+        |we0 AS (
+        |  SELECT week, n_occupied,
         |    CAST(floor(0.709 * 64 * 64 * 4294967296.0 /
         |      CAST(s_occ + (64 - n_occupied) * 4294967296 AS DOUBLE)) AS BIGINT)
-        |      AS wau_est
+        |      AS raw_est
         |  FROM wp
+        |),
+        |we AS (
+        |  SELECT week,
+        |    CASE WHEN n_occupied < 64 AND raw_est <= ${graft.operators.Sketches.HllSmallRangeCutoff}
+        |         THEN (${graft.operators.Sketches.hllLinearTableSql})[CAST(64 - n_occupied AS INT)]
+        |         ELSE raw_est END AS wau_est
+        |  FROM we0
         |)
         |SELECT d.week AS week, d.sum_daily_actives_est, w.wau_est,
         |  CAST((d.sum_daily_actives_est * 1000000) // (w.wau_est * 7) AS BIGINT)

@@ -1782,7 +1782,8 @@ object PipelineQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // HLL: replay bucket/rho salted hashes, per-register max, the 2^32-
-    // scaled harmonic sum in BIGINT, and the single IEEE-double division
+    // scaled harmonic sum in BIGINT, the single IEEE-double division, and
+    // the linear-counting small-range branch via the SAME integer table
     "q_hll" ->
       s"""WITH h AS (
          |  SELECT source,
@@ -1799,13 +1800,20 @@ object PipelineQueries {
          |  SELECT source, CAST(count(*) AS BIGINT) AS n_occupied,
          |    CAST(sum(1::BIGINT << (32 - mr)) AS BIGINT) AS s_occ
          |  FROM r GROUP BY 1
+         |),
+         |e AS (
+         |  SELECT source, n_occupied,
+         |    CAST(s_occ + (64 - n_occupied) * 4294967296 AS BIGINT) AS s_scaled,
+         |    CAST(floor(0.709 * 64 * 64 * 4294967296.0 /
+         |         CAST(s_occ + (64 - n_occupied) * 4294967296 AS DOUBLE)) AS BIGINT)
+         |      AS raw_est
+         |  FROM p
          |)
-         |SELECT source, n_occupied,
-         |  CAST(s_occ + (64 - n_occupied) * 4294967296 AS BIGINT) AS s_scaled,
-         |  CAST(floor(0.709 * 64 * 64 * 4294967296.0 /
-         |       CAST(s_occ + (64 - n_occupied) * 4294967296 AS DOUBLE)) AS BIGINT)
-         |    AS est_distinct
-         |FROM p ORDER BY source""".stripMargin,
+         |SELECT source, n_occupied, s_scaled,
+         |  CASE WHEN n_occupied < 64 AND raw_est <= ${Sketches.HllSmallRangeCutoff}
+         |       THEN (${Sketches.hllLinearTableSql})[CAST(64 - n_occupied AS INT)]
+         |       ELSE raw_est END AS est_distinct
+         |FROM e ORDER BY source""".stripMargin,
 
     // Bloom decontamination: replay the k=3 salted positions of every
     // distinct train gram against the eval position set — a gram is

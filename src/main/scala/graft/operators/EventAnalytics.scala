@@ -391,9 +391,12 @@ object EventAnalytics {
    *
    * Error envelope: ±1.04/√64 ≈ 13% per estimate at the default register
    * count (monitoring-grade; see `Sketches.HllM` to trade memory for
-   * precision). All register arithmetic is integer/bit-exact, so the
-   * estimate replays bit-for-bit in any engine; determinism is NOT
-   * sacrificed for approximation.
+   * precision), and it holds down to SMALL counts too: raw estimates in
+   * HLL's biased small-range regime (≤ 2.5·m) switch to linear counting
+   * over the empty registers (`Sketches.HllLinearTable`), so a sparse day
+   * with 1 distinct user estimates 1, not ~45. All register arithmetic is
+   * integer/bit-exact, so the estimate replays bit-for-bit in any engine;
+   * determinism is NOT sacrificed for approximation.
    *
    * Output: (week, sum_daily_actives_est, wau_est, stickiness_micro_est).
    */

@@ -76,6 +76,22 @@ object Sketches {
   /** alpha_64 from Flajolet et al. 2007, Fig. 3. */
   val HllAlpha = 0.709
 
+  /** Raw estimates at or below 2.5·m sit in HLL's biased small-range
+    * regime (1 distinct user would estimate ~45 at m=64); below it the
+    * standard correction is linear counting over the EMPTY registers. */
+  val HllSmallRangeCutoff: Long = (2.5 * HllM).toLong
+
+  /** Linear-counting lookup: `HllLinearTable(V-1) = round(m·ln(m/V))` for
+    * V = 1..m empty registers. Precomputed to 64 integer literals so the
+    * small-range branch stays bit-exact and engine-replayable (the oracle
+    * SQL embeds the SAME table via [[hllLinearTableSql]] — no runtime
+    * `ln` on either side). */
+  val HllLinearTable: Array[Long] =
+    (1 to HllM).map(v => Math.round(HllM * Math.log(HllM.toDouble / v))).toArray
+
+  /** The table as a SQL list literal, for oracle replay. */
+  def hllLinearTableSql: String = HllLinearTable.mkString("[", ", ", "]")
+
   /** rho: position of the first 1-bit in the 31-bit salted hash, in [1, 32]
     * (the all-zero hash maps to 32). bin() drops leading zeros in Spark and
     * DuckDB alike, so 32 - length(bin(v)) is the same integer in both. */
@@ -101,7 +117,15 @@ object Sketches {
    * (groupCol, n_occupied, s_scaled, est_distinct). `s_scaled` is the
    * harmonic denominator scaled by 2^32 so it stays an exact BIGINT
    * (occupied register j contributes 2^(32-M_j), each empty one 2^32);
-   * est = floor(alpha * m^2 * 2^32 / s_scaled).
+   * raw est = floor(alpha * m^2 * 2^32 / s_scaled).
+   *
+   * Small-range correction (round 10; r9 advice): a raw estimate at or
+   * below 2.5·m with at least one empty register switches to linear
+   * counting — `est = round(m·ln(m/V))` with V = empty registers — via the
+   * precomputed integer table [[HllLinearTable]], so a (group) with ONE
+   * distinct item estimates 1, not ~45, and the ±1.04/√m envelope holds
+   * down to small cardinalities. Bit-exact: the table is 64 integer
+   * literals replayed identically by the oracle.
    */
   def hllProfile(registers: DataFrame, groupCol: String): DataFrame =
     hllProfileBy(registers, Seq(groupCol))
@@ -115,9 +139,14 @@ object Sketches {
         sum(shiftLeftCol(lit(1L), lit(32) - col("max_rho"))).as("s_occ"))
       .select(groupCols.map(col) ++ Seq(col("n_occupied"),
         (col("s_occ") + (lit(HllM.toLong) - col("n_occupied")) * twoPow32).as("s_scaled")): _*)
-      .withColumn("est_distinct",
+      .withColumn("_raw",
         floor(lit(HllAlpha * HllM * HllM * twoPow32.toDouble) /
           col("s_scaled").cast("double")).cast("long"))
+      .withColumn("est_distinct",
+        when(col("n_occupied") < HllM && col("_raw") <= HllSmallRangeCutoff,
+          element_at(lit(HllLinearTable), (lit(HllM) - col("n_occupied")).cast("int")))
+          .otherwise(col("_raw")))
+      .drop("_raw")
   }
 
   /** One-call convenience: registers + profile. */

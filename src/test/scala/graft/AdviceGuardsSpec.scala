@@ -102,6 +102,25 @@ class AdviceGuardsSpec extends AnyFunSuite with SparkTestSession {
       ex.getCause != null && ex.getCause.getMessage.contains("arm A is empty"))
   }
 
+  test("HLL small-range linear counting: sparse keys estimate exactly, not ~45") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    // 1 distinct item: the raw harmonic estimate at m=64 is ~45 (the
+    // documented small-range bias); the linear-counting branch must say 1
+    val one = Seq(("g", "only-user")).toDF("grp", "item")
+    val est1 = Sketches.hllDistinct(one, "grp", "item")
+      .collect().head.getAs[Long]("est_distinct")
+    assert(est1 == 1L, s"1 distinct estimated $est1")
+    // 10 distinct items: linear counting corrects bucket collisions too
+    // (k items in j<k buckets -> round(64*ln(64/(64-j))) recovers ~k)
+    val few = (0 until 10).map(i => ("g", s"user$i")).toDF("grp", "item")
+    val est10 = Sketches.hllDistinct(few, "grp", "item")
+      .collect().head.getAs[Long]("est_distinct")
+    assert(math.abs(est10 - 10L) <= 2L, s"10 distinct estimated $est10")
+    // the table itself is the bit-exact contract both engines replay
+    assert(Sketches.HllLinearTable.length == 64 && Sketches.HllLinearTable(63) == 0L)
+  }
+
   test("silhouette drops ragged vectors instead of scoring truncated dots") {
     import spark.implicits._
     val good = (0 until 8).map(i =>
