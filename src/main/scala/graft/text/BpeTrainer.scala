@@ -123,6 +123,37 @@ object BpeTrainer {
   }
 
   /**
+   * STREAMING twin of [[segmentCounts]] — the per-batch token-count
+   * admission metric a streaming ingest gate needs. The trained merge
+   * table (k rows, the bounded tokenizer artifact) rides as expression
+   * literals — the NB-classifier broadcast pattern — and each document's
+   * words replay the k merges as the same greedy fold the trainer used, so
+   * the whole operator is a PURE PER-ROW PROJECTION: zero state, no
+   * stream-static join, no aggregation — append-mode safe by construction
+   * and identical on a batch frame.
+   *
+   * Contract vs the batch twin: for words SEEN at train time the count
+   * equals the word-table join (same merges, same fold, applied per
+   * occurrence instead of per distinct word); UNSEEN words count at their
+   * char-fold-through-the-merges length — what real BPE inference emits
+   * for OOV words — whereas `segmentCounts`' inner join drops them, and a
+   * zero-token document yields an (id, 0, 0) row here instead of being
+   * absent. Cost trade: the fold runs per word OCCURRENCE (not amortized
+   * over distinct words) — right for a micro-batch admission gate, wrong
+   * for a corpus-wide backfill (use `segmentCounts` there).
+   */
+  def segmentCountsMapSide(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val perWord = transform(toks, w =>
+      size(merges.foldLeft(chars(w))((t, m) => applyMerge(t, m.left, m.right))).cast("long"))
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_words"),
+      aggregate(perWord, lit(0L), (a, v) => a + v).as("n_bpe_tokens"))
+  }
+
+  /**
    * Tokenizer-fit dashboard: per-group fertility (BPE tokens per word) and
    * compression (characters per BPE token) under a trained word table —
    * the numbers a tokenizer evaluation reports per language/source slice

@@ -209,4 +209,48 @@ class StreamingCorpusOpsSpec extends AnyFunSuite with SparkTestSession {
       .as[(java.sql.Date, Long)].collect().toSet
     assert(estStream == estBatch)
   }
+
+  test("BPE apply batch ≡ stream: merge table broadcast, pure projection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.BpeTrainer
+    val corpus = Seq(
+      (1L, "the lowest newer lower west western er ne"),
+      (2L, "newest lowest widest wider low new est"),
+      (3L, "ester tester wetter letter newer lower"),
+      (4L, "west vest rest nest jest best chest")).toDF("doc_id", "text")
+    // TRAIN batch-side: the merge table is the bounded tokenizer artifact
+    val (merges, words) = BpeTrainer.train(corpus, "text", nMerges = 4, minPairCount = 2L)
+    assert(merges.nonEmpty)
+    // batch reference: the word-table join form (q_bpe_segment's shape)
+    val viaJoin = BpeTrainer.segmentCounts(corpus, "doc_id", "text", words)
+      .as[(Long, Long, Long)].collect().toSet
+    // map-side twin on the SAME batch frame must agree row for row (all
+    // words were seen at train time, no empty docs in the fixture)
+    val viaMap = BpeTrainer
+      .segmentCountsMapSide(corpus, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaMap == viaJoin, s"map=$viaMap join=$viaJoin")
+    // stream the same docs in two micro-batches: a pure projection needs
+    // no state and emits identical per-doc rows in append mode
+    val stream = MemoryStream[(Long, String)]
+    val sq = BpeTrainer
+      .segmentCountsMapSide(stream.toDS().toDF("doc_id", "text"), "doc_id", "text", merges)
+      .writeStream.format("memory").queryName("bpe_apply_parity")
+      .outputMode("append").start()
+    val rows = corpus.as[(Long, String)].collect()
+    stream.addData(rows.take(2).toSeq)
+    sq.processAllAvailable()
+    stream.addData(rows.drop(2).toSeq)
+    sq.processAllAvailable()
+    val streamed = spark.table("bpe_apply_parity")
+      .as[(Long, Long, Long)].collect().toSet
+    sq.stop()
+    assert(streamed == viaJoin, s"stream=$streamed batch=$viaJoin")
+    // OOV contract: unseen words count at their char-fold length
+    val oov = BpeTrainer.segmentCountsMapSide(
+      Seq((9L, "zzz qqq")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().head
+    assert(oov == ((9L, 2L, 6L)), s"oov=$oov")
+  }
 }
