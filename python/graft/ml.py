@@ -15,9 +15,16 @@ Param names mirror the Scala side (``graft/ml/KalmanML.scala``,
 ``graft.ml.<ClassName>`` naming means a ``Pipeline`` saved from Python (or
 Scala) loads back on either side without any translation table.
 
-The nonlinear filters (EKF/UKF/CKF) take Scala function params and are not
-wrapped: lambdas cannot cross py4j (the reference draws the same line — its
-python package wraps the linear family only).
+The nonlinear filters (EKF/UKF/CKF) ARE wrapped — beyond the reference,
+whose python package stops at the linear family because its measurement
+functions are Scala lambdas and lambdas cannot cross py4j. Here the common
+nonlinear measurement models are NAMED families (``measurementFunctionFamily
+= "square" | "exp"``): ``h(x) = g(H·x)`` elementwise, with the per-row data
+riding in the measurement model matrix H — the exact structure of the
+reference's EKF/UKFRateSourceGLMLog examples ("exp" is their GLM log link).
+A plain string crosses py4j and JSON-persists, so the EKF's analytic
+jacobian comes with the family for free (graft/ml/KalmanML.scala
+MeasurementFamilies).
 
 Usage::
 
@@ -467,6 +474,149 @@ class LinearKalmanSmoother(_GraftTransformer, KalmanFilterParams):
         return self.getOrDefault(self.fixedLag)
 
 
+class _NamedFamilyParams(Params):
+    """The named-measurement-family param shared by the nonlinear filters."""
+
+    measurementFunctionFamily = Param(
+        Params._dummy(), "measurementFunctionFamily",
+        "named measurement function family g in h(x) = g(H*x): "
+        "'square' (quadratic link) or 'exp' (GLM log link)",
+        typeConverter=TypeConverters.toString)
+
+    def setMeasurementFunctionFamily(self, value):
+        """Set the named measurement family: 'square' or 'exp'."""
+        return self._set(measurementFunctionFamily=value)
+
+    def getMeasurementFunctionFamily(self):
+        return self.getOrDefault(self.measurementFunctionFamily)
+
+
+class ExtendedKalmanFilter(_GraftTransformer, KalmanFilterParams,
+                           _NamedFamilyParams):
+    """Extended Kalman filter Pipeline stage with a NAMED measurement
+    family: ``h(x) = g(H·x)`` with g = 'square' or 'exp' (the GLM log link
+    of the reference's EKFRateSourceGLMLog example); the analytic jacobian
+    is derived from the family on the Scala side. Per-row data rides in
+    ``measurementModelCol``. The reference's python package has no EKF at
+    all (its lambda API cannot cross py4j) — this is an overtake, not a
+    port."""
+
+    _java_class = "graft.ml.ExtendedKalmanFilter"
+
+    def __init__(self, stateSize=None, measurementSize=None):
+        super(ExtendedKalmanFilter, self).__init__()
+        if stateSize is not None:
+            self.setStateSize(stateSize)
+        if measurementSize is not None:
+            self.setMeasurementSize(measurementSize)
+
+
+class UnscentedKalmanFilter(_GraftTransformer, KalmanFilterParams,
+                            _NamedFamilyParams):
+    """Unscented Kalman filter Pipeline stage with named measurement
+    families ('square' / 'exp') and the full sigma-point surface (merwe /
+    julier) plus RAUKF adaptive process noise. Reference parity point:
+    UKFRateSourceGLMLog.scala — from python."""
+
+    _java_class = "graft.ml.UnscentedKalmanFilter"
+
+    sigmaPoints = Param(
+        Params._dummy(), "sigmaPoints",
+        "sigma point algorithm: merwe or julier",
+        typeConverter=TypeConverters.toString)
+
+    merweAlpha = Param(Params._dummy(), "merweAlpha", "merwe alpha",
+                       typeConverter=TypeConverters.toFloat)
+
+    merweBeta = Param(Params._dummy(), "merweBeta", "merwe beta",
+                      typeConverter=TypeConverters.toFloat)
+
+    merweKappa = Param(Params._dummy(), "merweKappa", "merwe kappa",
+                       typeConverter=TypeConverters.toFloat)
+
+    julierKappa = Param(Params._dummy(), "julierKappa", "julier kappa",
+                        typeConverter=TypeConverters.toFloat)
+
+    adaptiveProcessNoise = Param(
+        Params._dummy(), "adaptiveProcessNoise",
+        "enable RAUKF adaptive process noise",
+        typeConverter=TypeConverters.toBoolean)
+
+    adaptiveProcessNoiseThreshold = Param(
+        Params._dummy(), "adaptiveProcessNoiseThreshold",
+        "squared-mahalanobis residual threshold activating noise adaptation",
+        typeConverter=TypeConverters.toFloat)
+
+    adaptiveProcessNoiseLambda = Param(
+        Params._dummy(), "adaptiveProcessNoiseLambda",
+        "stability weight floor for noise updates",
+        typeConverter=TypeConverters.toFloat)
+
+    adaptiveProcessNoiseAlpha = Param(
+        Params._dummy(), "adaptiveProcessNoiseAlpha",
+        "threshold scale in the adaptation weight",
+        typeConverter=TypeConverters.toFloat)
+
+    def __init__(self, stateSize=None, measurementSize=None):
+        super(UnscentedKalmanFilter, self).__init__()
+        if stateSize is not None:
+            self.setStateSize(stateSize)
+        if measurementSize is not None:
+            self.setMeasurementSize(measurementSize)
+
+    def setSigmaPoints(self, value):
+        """Set the sigma point algorithm: 'merwe' or 'julier'."""
+        return self._set(sigmaPoints=value)
+
+    def setMerweAlpha(self, value):
+        """Set merwe alpha."""
+        return self._set(merweAlpha=value)
+
+    def setMerweBeta(self, value):
+        """Set merwe beta."""
+        return self._set(merweBeta=value)
+
+    def setMerweKappa(self, value):
+        """Set merwe kappa."""
+        return self._set(merweKappa=value)
+
+    def setJulierKappa(self, value):
+        """Set julier kappa."""
+        return self._set(julierKappa=value)
+
+    def setEnableAdaptiveProcessNoise(self):
+        """Enable RAUKF adaptive process noise."""
+        return self._set(adaptiveProcessNoise=True)
+
+    def setAdaptiveProcessNoiseThreshold(self, value):
+        """Set the adaptation activation threshold."""
+        return self._set(adaptiveProcessNoiseThreshold=value)
+
+    def setAdaptiveProcessNoiseLambda(self, value):
+        """Set the stability weight floor."""
+        return self._set(adaptiveProcessNoiseLambda=value)
+
+    def setAdaptiveProcessNoiseAlpha(self, value):
+        """Set the threshold scale."""
+        return self._set(adaptiveProcessNoiseAlpha=value)
+
+
+class CubatureKalmanFilter(_GraftTransformer, KalmanFilterParams,
+                           _NamedFamilyParams):
+    """Cubature Kalman filter Pipeline stage with named measurement
+    families ('square' / 'exp'). Like the EKF/UKF, an overtake over the
+    reference's python surface."""
+
+    _java_class = "graft.ml.CubatureKalmanFilter"
+
+    def __init__(self, stateSize=None, measurementSize=None):
+        super(CubatureKalmanFilter, self).__init__()
+        if stateSize is not None:
+            self.setStateSize(stateSize)
+        if measurementSize is not None:
+            self.setMeasurementSize(measurementSize)
+
+
 # --------------------------------------------------------------------------
 # Online regression
 
@@ -798,6 +948,7 @@ class BernoulliMixture(_GraftTransformer, MixtureParams):
 
 __all__ = [
     "LinearKalmanFilter", "LinearKalmanSmoother",
+    "ExtendedKalmanFilter", "UnscentedKalmanFilter", "CubatureKalmanFilter",
     "RecursiveLeastSquaresFilter", "LeastMeanSquaresFilter",
     "MultivariateGaussianMixture", "PoissonMixture", "BernoulliMixture",
 ]

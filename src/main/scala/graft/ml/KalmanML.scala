@@ -269,6 +269,58 @@ private[ml] trait NonlinearFunctionParams extends Params {
   final val measurementFunction: Param[StateFn] =
     new Param[StateFn](this, "measurementFunction", "measurement function h(x, H)")
   def setMeasurementFunction(value: StateFn): this.type = set(measurementFunction, value)
+
+  /**
+   * NAMED measurement family — the py4j-crossable (and JSON-persistable)
+   * alternative to the lambda param: `h(x) = g(H·x)` applied elementwise,
+   * with `g` chosen by name and the per-row data riding in the measurement
+   * model matrix H (`measurementModelCol`), exactly how the reference's GLM
+   * examples structure their models (its Scala lambda API can never cross
+   * py4j, so its python package simply has no EKF/UKF — a named family
+   * closes that gap from the python side).
+   *
+   *  - "square": g(u) = u²   — e.g. tracking a latent level observed
+   *    through a squared link (jacobian rows: 2·(Hx)_i · H_i).
+   *  - "exp":    g(u) = e^u  — the GLM log link of the reference's
+   *    EKF/UKFRateSourceGLMLog examples (jacobian rows: e^{(Hx)_i} · H_i).
+   *
+   * An explicitly set `measurementFunction`/jacobian wins over the family.
+   */
+  final val measurementFunctionFamily: Param[String] = new Param[String](this,
+    "measurementFunctionFamily",
+    "named measurement function family g in h(x) = g(H*x): square | exp",
+    ParamValidators.inArray(Array("square", "exp")))
+  def setMeasurementFunctionFamily(value: String): this.type =
+    set(measurementFunctionFamily, value)
+}
+
+/** The named families' functions and exact jacobians over the resolved
+  * per-row measurement model H. */
+private[ml] object MeasurementFamilies {
+  def fn(family: String): (Array[Double], DMat) => Array[Double] = family match {
+    case "square" => (st, h) => h.multiply(st).map(u => u * u)
+    case "exp"    => (st, h) => h.multiply(st).map(math.exp)
+  }
+
+  def jacobian(family: String): (Array[Double], DMat) => DMat = family match {
+    case "square" => (st, h) => scaleRows(h, h.multiply(st).map(2.0 * _))
+    case "exp"    => (st, h) => scaleRows(h, h.multiply(st).map(math.exp))
+  }
+
+  /** J_ij = s_i · H_ij — the chain rule for elementwise g(H·x). */
+  private def scaleRows(h: DMat, s: Array[Double]): DMat = {
+    val out = new Array[Double](h.values.length)
+    var i = 0
+    while (i < h.numRows) {
+      var j = 0
+      while (j < h.numCols) {
+        out(i * h.numCols + j) = s(i) * h.values(i * h.numCols + j)
+        j += 1
+      }
+      i += 1
+    }
+    DMat(h.numRows, h.numCols, out)
+  }
 }
 
 /** Extended Kalman filter as an ML Pipeline stage. */
@@ -306,6 +358,13 @@ class ExtendedKalmanFilter(override val uid: String)
     get(measurementFunction).foreach(f.setMeasurementFunction)
     get(measurementStateJacobian).foreach(f.setMeasurementStateJacobian)
     get(measurementNoiseJacobian).foreach(f.setMeasurementNoiseJacobian)
+    // named family fills whatever the lambdas left unset (EKF needs the
+    // exact jacobian too — the family supplies it analytically)
+    get(measurementFunctionFamily).foreach { fam =>
+      if (!isSet(measurementFunction)) f.setMeasurementFunction(MeasurementFamilies.fn(fam))
+      if (!isSet(measurementStateJacobian))
+        f.setMeasurementStateJacobian(MeasurementFamilies.jacobian(fam))
+    }
     configure(f)
   }
 }
@@ -381,6 +440,9 @@ class UnscentedKalmanFilter(override val uid: String)
     }
     get(processFunction).foreach(f.setProcessFunction)
     get(measurementFunction).foreach(f.setMeasurementFunction)
+    get(measurementFunctionFamily).foreach { fam =>
+      if (!isSet(measurementFunction)) f.setMeasurementFunction(MeasurementFamilies.fn(fam))
+    }
     configure(f)
   }
 }
@@ -402,6 +464,9 @@ class CubatureKalmanFilter(override val uid: String)
     val f = new graft.filter.CubatureKalmanFilter($(stateSize), $(measurementSize))
     get(processFunction).foreach(f.setProcessFunction)
     get(measurementFunction).foreach(f.setMeasurementFunction)
+    get(measurementFunctionFamily).foreach { fam =>
+      if (!isSet(measurementFunction)) f.setMeasurementFunction(MeasurementFamilies.fn(fam))
+    }
     configure(f)
   }
 }

@@ -117,6 +117,68 @@ class MLPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(a.sameElements(b))
   }
 
+  test("named measurement families equal the lambda twins exactly") {
+    import spark.implicits._
+    // data rides in H = [1, x] per row (the GLM structure); y observed
+    // through the named link
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 12) yield {
+      val x = 0.2 * i
+      val u = 1.0 + 0.5 * x
+      (k, ts(i), Array(u * u + 0.1 * ((i * 7 % 5) - 2)), x)
+    }
+    val df = rows.toDF("key", "t", "meas", "x")
+      .withColumn("hmat", struct(lit(1).as("numRows"), lit(2).as("numCols"),
+        array(lit(1.0), col("x")).as("values")))
+
+    def ekf(setup: ml.ExtendedKalmanFilter => ml.ExtendedKalmanFilter) = setup(
+      new ml.ExtendedKalmanFilter(2, 1)
+        .setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+        .setMeasurementModelCol("hmat")
+        .setInitialStateMean(Vectors.dense(0.5, 0.0))
+        .setInitialStateCovariance(Matrices.dense(2, 2, Array(10.0, 0.0, 0.0, 10.0)))
+        .setProcessNoise(Matrices.dense(2, 2, Array(0.0, 0.0, 0.0, 0.0)))
+        .setMeasurementNoise(Matrices.dense(1, 1, Array(5.0))))
+      .transform(df).select("key", "stateIndex", "stateMean")
+      .orderBy("key", "stateIndex").collect().map(_.toString)
+
+    // "square": g(u) = u² — family output must be byte-identical to the
+    // hand-written lambda + analytic jacobian (q_ekf's model)
+    val viaFamily = ekf(_.setMeasurementFunctionFamily("square"))
+    val viaLambda = ekf(_
+      .setMeasurementFunction((st, h) => {
+        val u = st(0) * h.values(0) + st(1) * h.values(1); Array(u * u)
+      })
+      .setMeasurementStateJacobian((st, h) => {
+        val u = st(0) * h.values(0) + st(1) * h.values(1)
+        DMat(1, 2, Array(2.0 * u * h.values(0), 2.0 * u * h.values(1)))
+      }))
+    assert(viaFamily.sameElements(viaLambda), "square family != lambda twin")
+
+    // "exp": the GLM log link — UKF twin (sigma points see only h)
+    def ukf(setup: ml.UnscentedKalmanFilter => ml.UnscentedKalmanFilter) = setup(
+      new ml.UnscentedKalmanFilter(2, 1)
+        .setStateKeyCol("key").setEventTimeCol("t").setMeasurementCol("meas")
+        .setMeasurementModelCol("hmat")
+        .setMerweAlpha(0.6).setMerweBeta(2.0).setMerweKappa(0.5)
+        .setInitialStateMean(Vectors.dense(0.0, 0.0))
+        .setInitialStateCovariance(Matrices.dense(2, 2, Array(5.0, 0.0, 0.0, 5.0)))
+        .setProcessNoise(Matrices.dense(2, 2, Array(0.0, 0.0, 0.0, 0.0)))
+        .setMeasurementNoise(Matrices.dense(1, 1, Array(5.0))))
+      .transform(df).select("key", "stateIndex", "stateMean")
+      .orderBy("key", "stateIndex").collect().map(_.toString)
+
+    val ukfFamily = ukf(_.setMeasurementFunctionFamily("exp"))
+    val ukfLambda = ukf(_.setMeasurementFunction((st, h) =>
+      Array(math.exp(st(0) * h.values(0) + st(1) * h.values(1)))))
+    assert(ukfFamily.sameElements(ukfLambda), "exp family != lambda twin")
+
+    // the family is a plain string param: it must JSON-persist (the lambda
+    // params never could) — the py4j-crossing contract
+    val loaded = roundTrip(new ml.UnscentedKalmanFilter(2, 1)
+      .setMeasurementCol("meas").setMeasurementFunctionFamily("exp"))
+    assert(loaded.getOrDefault(loaded.measurementFunctionFamily) == "exp")
+  }
+
   test("transformSchema matches the actual transform output schema") {
     val df = measurements
     val stage = new ml.LinearKalmanFilter(1, 1)

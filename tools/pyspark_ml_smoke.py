@@ -30,10 +30,11 @@ from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.linalg import Matrices, Vectors
 from pyspark.sql import SparkSession, functions as F
 
-from graft.ml import (BernoulliMixture, LeastMeanSquaresFilter,
+from graft.ml import (BernoulliMixture, CubatureKalmanFilter,
+                      ExtendedKalmanFilter, LeastMeanSquaresFilter,
                       LinearKalmanFilter, LinearKalmanSmoother,
                       MultivariateGaussianMixture, PoissonMixture,
-                      RecursiveLeastSquaresFilter)
+                      RecursiveLeastSquaresFilter, UnscentedKalmanFilter)
 
 spark = (SparkSession.builder.master("local[4]")
          .config("spark.driver.extraClassPath", os.path.abspath(CLASSES))
@@ -196,6 +197,79 @@ assert pois.getMixtureCount() == 2
 bern = BernoulliMixture(2).setStateKeyCol("key").setSampleCol("sample")
 assert bern.getMixtureCount() == 2
 print("PASS mixtures: Poisson/Bernoulli param plumbing")
+
+# ------------------------------------------------- nonlinear filters (named
+# measurement families — the overtake: the reference's python package has no
+# EKF/UKF because its lambda API cannot cross py4j; a named family can)
+
+# the reference's UKFRateSourceGLMLog model: y = exp(a*x + b) + w
+a_true, b_true = 0.2, 0.7
+random.seed(11)
+glm_rows = []
+for i in range(120):
+    x = 0.1 * i
+    y = pow(2.718281828459045, a_true * x + b_true) + random.gauss(0.0, 1.0)
+    glm_rows.append(("k", i, [y], x))
+glm_df = (spark.createDataFrame(
+    glm_rows, "key string, idx int, meas array<double>, x double")
+    .select("key",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("idx") * 60).alias("ts"),
+            "meas",
+            F.struct(F.lit(1).alias("numRows"), F.lit(2).alias("numCols"),
+                     F.array(F.col("x"), F.lit(1.0)).alias("values")).alias("hmat")))
+
+ukf = (UnscentedKalmanFilter(2, 1)
+       .setStateKeyCol("key").setEventTimeCol("ts")
+       .setMeasurementCol("meas").setMeasurementModelCol("hmat")
+       .setMeasurementFunctionFamily("exp")
+       .setSigmaPoints("merwe")
+       .setMerweAlpha(0.9).setMerweBeta(2.0).setMerweKappa(1.0)
+       .setInitialStateMean(Vectors.dense([0.0, 0.0]))
+       .setInitialStateCovariance(Matrices.dense(2, 2, [10.0, 0.0, 0.0, 10.0]))
+       .setProcessNoise(Matrices.dense(2, 2, [0.0, 0.0, 0.0, 0.0]))
+       .setMeasurementNoise(Matrices.dense(1, 1, [10.0])))
+assert ukf.getMeasurementFunctionFamily() == "exp"
+coef = (ukf.transform(glm_df)
+        .agg(F.max_by("stateMean", "stateIndex").alias("st")).collect()[0].st)
+assert abs(coef[0] - a_true) < 0.05 and abs(coef[1] - b_true) < 0.35, coef
+print("PASS UKF GLM-log from python: a,b =", [round(c, 3) for c in coef],
+      "(true 0.2, 0.7; family='exp' — MLPipelineSpec pins family == Scala lambda twin)")
+
+p5 = os.path.join(workdir, "ukf")
+ukf.write().overwrite().save(p5)
+ukf2 = UnscentedKalmanFilter.load(p5)
+assert ukf2.getMeasurementFunctionFamily() == "exp"
+coef2 = (ukf2.transform(glm_df)
+         .agg(F.max_by("stateMean", "stateIndex").alias("st")).collect()[0].st)
+assert list(coef2) == list(coef), (coef2, coef)
+print("PASS UKF persistence: the named family JSON-persists and reproduces")
+
+ekf = (ExtendedKalmanFilter(2, 1)
+       .setStateKeyCol("key").setEventTimeCol("ts")
+       .setMeasurementCol("meas").setMeasurementModelCol("hmat")
+       .setMeasurementFunctionFamily("exp")
+       .setInitialStateMean(Vectors.dense([0.0, 0.0]))
+       .setInitialStateCovariance(Matrices.dense(2, 2, [10.0, 0.0, 0.0, 10.0]))
+       .setProcessNoise(Matrices.dense(2, 2, [0.0, 0.0, 0.0, 0.0]))
+       .setMeasurementNoise(Matrices.dense(1, 1, [10.0])))
+ecoef = (ekf.transform(glm_df)
+         .agg(F.max_by("stateMean", "stateIndex").alias("st")).collect()[0].st)
+assert abs(ecoef[0] - a_true) < 0.05 and abs(ecoef[1] - b_true) < 0.35, ecoef
+print("PASS EKF GLM-log from python: a,b =", [round(c, 3) for c in ecoef],
+      "(analytic jacobian derived from the family Scala-side)")
+
+ckf = (CubatureKalmanFilter(2, 1)
+       .setStateKeyCol("key").setEventTimeCol("ts")
+       .setMeasurementCol("meas").setMeasurementModelCol("hmat")
+       .setMeasurementFunctionFamily("exp")
+       .setInitialStateMean(Vectors.dense([0.0, 0.0]))
+       .setInitialStateCovariance(Matrices.dense(2, 2, [10.0, 0.0, 0.0, 10.0]))
+       .setProcessNoise(Matrices.dense(2, 2, [0.0, 0.0, 0.0, 0.0]))
+       .setMeasurementNoise(Matrices.dense(1, 1, [10.0])))
+ccoef = (ckf.transform(glm_df)
+         .agg(F.max_by("stateMean", "stateIndex").alias("st")).collect()[0].st)
+assert abs(ccoef[0] - a_true) < 0.05 and abs(ccoef[1] - b_true) < 0.35, ccoef
+print("PASS CKF GLM-log from python: a,b =", [round(c, 3) for c in ccoef])
 
 shutil.rmtree(workdir, ignore_errors=True)
 print("ALL ML SMOKE TESTS PASSED")
