@@ -123,9 +123,18 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALE", "10").toInt
+    // Planted-clique stress (round 10): SPARK_GRAFT_SOAK_CLIQUE=N appends N
+    // byte-identical copies of one base document to the scaled corpus. The
+    // regular soak corpora are clique-FREE by construction (per-copy token
+    // suffixing), so the dedup family's hot-key guards rested on unit specs
+    // alone; this mode proves them at scale — a defused clique keeps ratios
+    // comparable to the clique-free run, an undefused one goes quadratic.
+    val clique = sys.env.getOrElse("SPARK_GRAFT_SOAK_CLIQUE", "0").toInt
     // scale-suffixed default: the _DONE marker is per-directory, so a shared
-    // dir would silently serve 10x data to a scale-100 run (round-6 bite)
-    val soakDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", s"target/soak/scale$scale")
+    // dir would silently serve 10x data to a scale-100 run (round-6 bite);
+    // clique corpora get their own suffix for the same reason
+    val soakDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR",
+      if (clique > 0) s"target/soak/scale${scale}c$clique" else s"target/soak/scale$scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
@@ -151,9 +160,10 @@ object Soak {
       s"SPARK_GRAFT_SOAK_ONLY matched no soak queries: ${only.get.mkString(",")}")
 
     if (!Files.exists(Paths.get(soakDir, "_DONE"))) {
-      System.err.println(s"[soak] generating ${scale}x data into $soakDir ...")
-      generate(spark, baseDir, soakDir, scale)
-      Files.writeString(Paths.get(soakDir, "_DONE"), scale.toString)
+      System.err.println(s"[soak] generating ${scale}x data into $soakDir" +
+        (if (clique > 0) s" with a planted $clique-copy clique ..." else " ..."))
+      generate(spark, baseDir, soakDir, scale, clique)
+      Files.writeString(Paths.get(soakDir, "_DONE"), s"$scale c$clique")
     }
 
     // Execute each query's OWN optimized plan — .count() lets Catalyst
@@ -229,8 +239,9 @@ object Soak {
       s""""$n":{"base_s":$bs,"base_rows":$br,"soak_s":$ss,"soak_rows":$sr,"ratio":$r}"""
     }.mkString("{", ",", "}")
     val worst = rows.map(_._6).max
+    val cliqueJson = if (clique > 0) s""","clique":$clique""" else ""
     val line =
-      s"""{"metric":"soak_worst_ratio","value":$worst,"unit":"x","scale":$scale,"reps":$reps,"stat":"min","queries":$qjson,"base":"$baseDir","loadavg_start":"$load0","loadavg_end":"$loadavg"}"""
+      s"""{"metric":"soak_worst_ratio","value":$worst,"unit":"x","scale":$scale$cliqueJson,"reps":$reps,"stat":"min","queries":$qjson,"base":"$baseDir","loadavg_start":"$load0","loadavg_end":"$loadavg"}"""
     println(line)
     Files.writeString(Paths.get("soak.json"), line + "\n")
     spark.stop()
@@ -242,7 +253,8 @@ object Soak {
     * per-copy deterministic nudge (distinct vectors, same geometry); events
     * get fresh user keys per copy (model-parallel scaling: MORE series, not
     * longer ones — the reference's scaling axis). */
-  private def generate(spark: SparkSession, baseDir: String, outDir: String, scale: Int): Unit = {
+  private def generate(spark: SparkSession, baseDir: String, outDir: String,
+      scale: Int, clique: Int = 0): Unit = {
     val off = 10000000L
 
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
@@ -254,7 +266,7 @@ object Soak {
     }
 
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    write(copies(docs) { (d, c) =>
+    val scaledDocs = copies(docs) { (d, c) =>
       if (c == 0) d
       else d.select(
         (col("doc_id") + c * off).as("doc_id"),
@@ -262,7 +274,22 @@ object Soak {
         regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1x$c").as("text"),
         col("lang"), col("source"),
         length(regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1x$c")).cast("long").as("n_chars"))
-    }, "documents")
+    }
+    // planted clique: N byte-identical copies of one long base doc, ids in
+    // a reserved range far above every copy offset. NB the near-dup corpus
+    // construction (PipelineQueries.nearDupCorpus) also truncates each doc,
+    // so the dedup queries see TWO N-cliques linked into one 2N component —
+    // a strictly harder stress than N identical rows.
+    write(
+      if (clique <= 0) scaledDocs
+      else {
+        val base = docs.where(col("n_chars") > 400).orderBy(col("doc_id")).limit(1)
+        val planted = base.crossJoin(
+            spark.range(clique).select((col("id") + 900000000L).as("_cid")))
+          .select(col("_cid").as("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+        scaledDocs.unionAll(planted)
+      }, "documents")
 
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     write(copies(emb) { (e, c) =>
