@@ -100,6 +100,30 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "q_dedup_curve" -> ((s, dir) => {
+      // dedup-TUNING dashboard: exact-jaccard decile histogram of every
+      // banded candidate pair + cumulative pairs at-or-above each decile —
+      // "what does τ = 0.x keep/cost" measured, not guessed. Skew-safe:
+      // identical sets collapse to reps; clique pairs re-enter by exact
+      // C(n,2)/n_a·n_b arithmetic (equals the uncollapsed histogram).
+      val corpus = nearDupCorpus(s, dir)
+      new MinHashLSH(32, 8, 3).thresholdCurve(corpus, "doc_id", "text")
+    }),
+
+    "q_lsh_recall" -> ((s, dir) => {
+      // banding-recall calibration: measured LSH hit rate per exact-jaccard
+      // decile vs brute-force ground truth on a deterministic bounded slice
+      // (base ids < 15000 with id % 37 == 0, plus their truncated copies, so
+      // the slice carries real near-dup pairs and its size is CAPPED at
+      // ~406 base docs at ANY sf — the ground truth is all-pairs by nature,
+      // so the slice, not the corpus, must bound it) — the empirical
+      // S-curve that sizes (bands, rowsPerBand) against the actual corpus.
+      val baseId = pmod(col("doc_id"), lit(100000L))
+      val slice = nearDupCorpus(s, dir)
+        .where(baseId < 15000L && pmod(baseId, lit(37)) === 0)
+      new MinHashLSH(32, 8, 3).recallCurve(slice, "doc_id", "text", 100L)
+    }),
+
     "q_dedup_keep_longest" -> ((s, dir) => {
       // retention policy: keep the longest member of each near-dup group
       val corpus = nearDupCorpus(s, dir)
@@ -749,6 +773,86 @@ object PipelineQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Replays q_dedup_curve UNCOLLAPSED: banded candidates over every
+    * non-empty-set doc → integer jaccard decile → histogram + reverse
+    * cumulative. The Spark side collapses identical sets and re-enters
+    * clique pairs by exact arithmetic — value-equality of the two forms IS
+    * the proof the collapse is lossless. */
+  private def dedupCurveOracle: String =
+    s"""WITH corpus AS (
+       |$nearDupCorpusSql
+       |),
+       |allsets AS (
+       |  SELECT doc_id, ${duckShingleSet()} AS sset FROM corpus
+       |),
+       |sets AS (SELECT * FROM allsets WHERE len(sset) > 0),
+       |sigs AS (
+       |  SELECT doc_id, sset, $minhashSigSql AS sig FROM sets
+       |),
+       |bands AS (
+       |  $minhashBandSelects
+       |),
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |),
+       |j AS (
+       |  SELECT CAST((CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) * 1000
+       |    // (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))))
+       |    // 100 * 100 AS BIGINT) AS bucket_lo_milli
+       |  FROM cands JOIN sets sa ON cands.a = sa.doc_id JOIN sets sb ON cands.b = sb.doc_id
+       |),
+       |h AS (SELECT bucket_lo_milli, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1)
+       |SELECT bucket_lo_milli, n_pairs,
+       |  CAST(sum(n_pairs) OVER (ORDER BY bucket_lo_milli DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_pairs_at_or_above
+       |FROM h ORDER BY bucket_lo_milli""".stripMargin
+
+  /** Replays q_lsh_recall: brute-force jaccard ground truth on the
+    * deterministic slice vs banded candidate membership, per decile. */
+  private def lshRecallOracle: String =
+    s"""WITH corpus0 AS (
+       |$nearDupCorpusSql
+       |),
+       |corpus AS (SELECT * FROM corpus0
+       |           WHERE (doc_id % 100000) < 15000 AND (doc_id % 100000) % 37 = 0),
+       |allsets AS (
+       |  SELECT doc_id, ${duckShingleSet()} AS sset FROM corpus
+       |),
+       |sets AS (SELECT * FROM allsets WHERE len(sset) > 0),
+       |sigs AS (
+       |  SELECT doc_id, sset, $minhashSigSql AS sig FROM sets
+       |),
+       |bands AS (
+       |  $minhashBandSelects
+       |),
+       |cands AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |),
+       |truth0 AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b,
+       |    CAST(CAST(len(list_intersect(l.sset, r.sset)) AS BIGINT) * 1000
+       |      // (len(l.sset) + len(r.sset) - len(list_intersect(l.sset, r.sset)))
+       |      AS BIGINT) AS jm
+       |  FROM sets l JOIN sets r ON l.doc_id < r.doc_id
+       |),
+       |truth AS (
+       |  SELECT a, b, CAST(jm // 100 * 100 AS BIGINT) AS bucket_lo_milli
+       |  FROM truth0 WHERE jm >= 100
+       |),
+       |g AS (
+       |  SELECT t.bucket_lo_milli,
+       |    CAST(count(*) AS BIGINT) AS n_true_pairs,
+       |    CAST(sum(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh_found
+       |  FROM truth t LEFT JOIN cands c ON t.a = c.a AND t.b = c.b
+       |  GROUP BY 1
+       |)
+       |SELECT bucket_lo_milli, n_true_pairs, n_lsh_found,
+       |  CAST(n_lsh_found * 1000 // n_true_pairs AS BIGINT) AS recall_milli
+       |FROM g ORDER BY bucket_lo_milli""".stripMargin
+
   /** Shared CTE prefix replaying duplicateGroups: signatures/bands as in
     * minhashOracle, bucket-min star candidates, exact-Jaccard verify,
     * then `grp` = (doc_id, canonical_id). */
@@ -1212,6 +1316,8 @@ object PipelineQueries {
          |FROM corpus GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
 
     "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_curve" -> dedupCurveOracle,
+    "q_lsh_recall" -> lshRecallOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_minhash_groups" -> minhashGroupsOracle,
     "q_dedup_incremental" -> incrementalDedupOracle,

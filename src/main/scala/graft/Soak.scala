@@ -118,7 +118,12 @@ object Soak {
       // one-scan-then-constant (the draw is the only corpus-sized work),
       // and the collapsed tau-join's extra hash-agg must not change the
       // prefix ladder's linear-candidates shape
-      "q_kcenter_sampled", "q_jaccard_collapsed")
+      "q_kcenter_sampled", "q_jaccard_collapsed",
+      // round 10: the tuning histogram — rep-collapsed candidates + pair
+      // multiplicity arithmetic must keep it linear like the pipeline
+      // (q_lsh_recall is NOT soaked: its ground truth is all-pairs on a
+      // deterministically CAPPED slice, constant-size by construction)
+      "q_dedup_curve")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

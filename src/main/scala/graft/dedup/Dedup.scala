@@ -249,6 +249,107 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
   }
 
   /**
+   * Dedup-TUNING dashboard: the exact-Jaccard decile histogram of every
+   * banded candidate pair, with the cumulative pair count at-or-above each
+   * decile — "what does a τ of 0.x cost/keep" read directly off the
+   * corpus instead of guessed from banding theory. Output (≤ 11 rows):
+   * (bucket_lo_milli, n_pairs, n_pairs_at_or_above), bucket = decile of
+   * the integer jaccard_milli (1000 = the exact-duplicate bucket).
+   *
+   * Skew shape: candidates are the all-pairs bucket self-join over
+   * REPRESENTATIVES — identical shingle sets collapse first (the
+   * nearDuplicateComponents guard) and re-enter the histogram by exact
+   * pair arithmetic: a clique of n identical docs contributes C(n,2)
+   * pairs at 1000, and a rep pair (a, b) contributes n_a·n_b pairs at its
+   * bucket (identical sets ⇒ identical signatures ⇒ identical banding, so
+   * the collapsed accounting equals the uncollapsed histogram EXACTLY,
+   * not approximately). Docs with empty shingle sets drop out (their
+   * jaccard is undefined).
+   */
+  def thresholdCurve(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    thresholdCurveFromSigs(SignatureStore.sigs(df, idCol, textCol, this), idCol)
+
+  /** `thresholdCurve` over a precomputed (id, sset, sig) projection. */
+  def thresholdCurveFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = CachedProjections.swap("curve_sigs",
+      sigs.where(size(col("sset")) > 0)
+        .withColumn("_rep",
+          min(col(idCol)).over(Window.partitionBy(sort_array(col("sset"))))))
+    val mult = keyed.groupBy(col("_rep")).agg(count(lit(1)).as("n_copies"))
+    val repSigs = keyed.where(col(idCol) === col("_rep"))
+      .select(col(idCol), col("sset"), col("sig"))
+    val bandedBase = bandedFromSigs(repSigs, idCol)
+    val cands = bandedBase.select(col(idCol).as("a"), col("band"), col("bucket"))
+      .join(bandedBase.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sets = repSigs.select(col(idCol).as("sid"), col("sset"))
+    val crossPairs = cands
+      .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
+      .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("n_union",
+        size(col("set_a")).cast("long") + size(col("set_b")) - col("n_inter"))
+      .withColumn("bucket_lo_milli",
+        expr("CAST((n_inter * 1000 div n_union) div 100 * 100 AS BIGINT)"))
+      .join(mult.select(col("_rep").as("a"), col("n_copies").as("n_a")), Seq("a"))
+      .join(mult.select(col("_rep").as("b"), col("n_copies").as("n_b")), Seq("b"))
+      .groupBy(col("bucket_lo_milli"))
+      .agg(sum(col("n_a") * col("n_b")).as("n_pairs"))
+    // within-clique pairs: C(n,2) byte-identical pairs at exactly 1000
+    val cliquePairs = mult.where(col("n_copies") > 1)
+      .agg(coalesce(sum(expr("CAST(n_copies * (n_copies - 1) div 2 AS BIGINT)")), lit(0L))
+        .as("n_pairs"))
+      .select(lit(1000L).as("bucket_lo_milli"), col("n_pairs"))
+      .where(col("n_pairs") > 0)
+    val hist = crossPairs.unionAll(cliquePairs)
+      .groupBy(col("bucket_lo_milli")).agg(sum(col("n_pairs")).as("n_pairs"))
+    hist.withColumn("n_pairs_at_or_above",
+        sum(col("n_pairs")).over(
+          Window.orderBy(col("bucket_lo_milli").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket_lo_milli"))
+  }
+
+  /**
+   * Banding RECALL calibration: the measured probability that banded LSH
+   * surfaces a pair, by exact-Jaccard decile — the empirical S-curve that
+   * theory (1 − (1 − s^r)^b) only predicts. Ground truth is the
+   * brute-force all-pairs jaccard over a BOUNDED slice (the caller's
+   * responsibility — same contract as the 60-doc calibration fixture);
+   * found = the pair shares ≥ 1 band bucket. Output per decile ≥
+   * `tauMilliFloor`: (bucket_lo_milli, n_true_pairs, n_lsh_found,
+   * recall_milli). Use it to size (bands, rowsPerBand) against a measured
+   * corpus instead of folklore.
+   */
+  def recallCurve(df: DataFrame, idCol: String, textCol: String,
+      tauMilliFloor: Long = 100L): DataFrame = {
+    require(tauMilliFloor >= 0 && tauMilliFloor <= 1000)
+    val sigs = CachedProjections.swap("recall_sigs",
+      signatures(df, idCol, textCol).where(size(col("sset")) > 0))
+    val sets = sigs.select(col(idCol).as("sid"), col("sset"))
+    val truth = sets.select(col("sid").as("a"), col("sset").as("set_a"))
+      .join(sets.select(col("sid").as("b"), col("sset").as("set_b")),
+        col("a") < col("b")) // bounded-slice cross join by contract
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("n_union",
+        size(col("set_a")).cast("long") + size(col("set_b")) - col("n_inter"))
+      .withColumn("jaccard_milli", expr("CAST(n_inter * 1000 div n_union AS BIGINT)"))
+      .where(col("jaccard_milli") >= tauMilliFloor)
+      .select(col("a"), col("b"),
+        expr("CAST(jaccard_milli div 100 * 100 AS BIGINT)").as("bucket_lo_milli"))
+    val cands = candidatePairsFromSigs(sigs, idCol).withColumn("_found", lit(1L))
+    truth.join(cands, Seq("a", "b"), "left")
+      .groupBy(col("bucket_lo_milli"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        coalesce(sum(col("_found")), lit(0L)).as("n_lsh_found"))
+      .withColumn("recall_milli",
+        expr("CAST(n_lsh_found * 1000 div n_true_pairs AS BIGINT)"))
+      .orderBy(col("bucket_lo_milli"))
+  }
+
+  /**
    * Skew-safe near-duplicate GROUP assignment — the hot-key-proof dedup
    * shape for 100 TB corpora.
    *

@@ -116,6 +116,33 @@ class DedupSkewSpec extends AnyFunSuite with SparkTestSession {
     assert(agg.where(col("canonical_id") === 0L).select("n").head().getLong(0) == 10000L)
   }
 
+  test("thresholdCurve reports the 10k clique's C(n,2) pairs from linear candidates") {
+    val lsh = new MinHashLSH(32, 8, 3)
+    val rows = lsh.thresholdCurve(skewCorpus, "doc_id", "text").collect()
+    val byBucket = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 10k byte-identical docs = 49,995,000 exact-duplicate pairs, COUNTED
+    // by multiplicity arithmetic — never materialized as candidate rows
+    assert(byBucket(1000L) == 49995000L, s"clique bucket wrong: $byBucket")
+    // the reverse cumulative at the lowest bucket equals the total
+    val total = rows.map(_.getLong(1)).sum
+    assert(rows.minBy(_.getLong(0)).getLong(2) == total)
+  }
+
+  test("recallCurve: identical docs are always found; invariants hold") {
+    import spark.implicits._
+    val same = (0 until 30).map(i =>
+      (i.toLong, "a stable paragraph of shared text repeated verbatim in every copy of this fixture"))
+    val distinct = (0 until 20).map(i =>
+      (1000L + i, s"totally unrelated$i content$i tokens$i here$i nothing$i shared$i at$i all$i"))
+    val df = (same ++ distinct).toDF("doc_id", "text")
+    val out = new MinHashLSH(32, 8, 3).recallCurve(df, "doc_id", "text", 100L).collect()
+    val m = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // identical sets: C(30,2) truth pairs at bucket 1000, all banded
+    // (identical signatures share every bucket) -> recall exactly 1000
+    assert(m(1000L) == ((435L, 435L, 1000L)), s"got $m")
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)), "found > true")
+  }
+
   // ------------------------------------------- prefix-filter exact join
 
   test("collapsed jaccard join keeps candidates linear under a 10k-copy clique") {
