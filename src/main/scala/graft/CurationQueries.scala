@@ -282,6 +282,22 @@ object CurationQueries {
         t(s, dir, "documents"), "doc_id", "text", 16)
     }),
 
+    "q_selfbleu" -> ((s, dir) => {
+      // synthetic-data diversity probe (the Self-BLEU shape): per doc, the
+      // MAX word-4-gram containment vs any OTHER doc in a deterministically
+      // CAPPED slice (ids < 15000 ∧ ≡0 mod 23 — ground truth is all-pairs
+      // by nature, so the slice, never the corpus, bounds the work; same
+      // contract as q_lsh_recall). Decile histogram of that max: mass at
+      // high overlap = mode collapse / templated generations — the check a
+      // synthetic-data pipeline runs before training on its own output.
+      // The slice comes from the near-dup corpus (originals + truncated
+      // copies) so the histogram exercises the full overlap range.
+      val baseId = pmod(col("doc_id"), lit(100000L))
+      val docs = PipelineQueries.nearDupCorpus(s, dir)
+        .where(baseId < 15000L && pmod(baseId, lit(23)) === 0)
+      CorpusStats.selfOverlapHistogram(docs, "doc_id", "text", 4)
+    }),
+
     "q_chi2_terms" -> ((s, dir) => {
       // per-source chi-square discriminative vocabulary: top-10 terms whose
       // document presence most separates the source from the rest of the
@@ -771,6 +787,30 @@ object CurationQueries {
     // filtering has no false negatives, so the verified pair set equals the
     // brute-force tau-join — the CTE ladder just keeps DuckDB off the
     // all-pairs cross product
+    "q_selfbleu" ->
+      s"""WITH corpus0 AS (
+         |${PipelineQueries.nearDupCorpusSql}
+         |),
+         |corpus AS (
+         |  SELECT * FROM corpus0
+         |  WHERE (doc_id % 100000) < 15000 AND (doc_id % 100000) % 23 = 0),
+         |d AS (SELECT doc_id, ${duckToks()} AS w FROM corpus),
+         |g AS (SELECT doc_id, list_distinct(
+         |        list_transform(range(1, len(w) - 2),
+         |          i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+         |               || ' ' || w[CAST(i AS INTEGER)+2]
+         |               || ' ' || w[CAST(i AS INTEGER)+3])) AS gs
+         |      FROM d WHERE len(w) >= 4),
+         |p AS (
+         |  SELECT l.doc_id AS a,
+         |    CAST(CAST(len(list_intersect(l.gs, r.gs)) AS BIGINT) * 1000
+         |      // len(l.gs) AS BIGINT) AS ov
+         |  FROM g l JOIN g r ON l.doc_id != r.doc_id),
+         |m AS (SELECT a, max(ov) AS max_ov FROM p GROUP BY a)
+         |SELECT CAST(max_ov // 100 * 100 AS BIGINT) AS bucket_lo_milli,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_jaccard_join" ->
       s"""WITH wq AS (SELECT doc_id, ${duckToks()} AS w FROM documents),
          |s AS (SELECT doc_id, list_distinct(

@@ -115,6 +115,15 @@ object EventQueries {
       EventAnalytics.stickinessHll(events(s, dir), "user_id", "ts")
     }),
 
+    "q_burstiness" -> ((s, dir) => {
+      // per-user inter-arrival Fano factor (variance/mean of the gap
+      // distribution, milli-quantized): the bot/automation triage signal —
+      // metronomic schedulers << 1000, Poisson-ish humans ~1000, crawl-
+      // and-sleep automation >> 1000. One user-key exchange (lag window +
+      // per-user agg share it); integer-exact (sqrt-free by design).
+      EventAnalytics.burstiness(events(s, dir), "user_id", "ts")
+    }),
+
     "q_transitions" -> ((s, dir) => {
       // first-order Markov transition matrix: adjacent event pairs per
       // user (total order via the event_id tiebreak) → pair counts +
@@ -477,6 +486,28 @@ object EventQueries {
         |  CAST(mad AS BIGINT) AS mad,
         |  CAST(dev * 1000 // greatest(mad, 1) AS BIGINT) AS score_milli
         |FROM m2 ORDER BY event_type, day""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |g0 AS (
+        |  SELECT user_id,
+        |    (tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu))
+        |      // 1000000 AS g
+        |  FROM e),
+        |g AS (SELECT user_id, g FROM g0 WHERE g IS NOT NULL),
+        |a AS (
+        |  SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS sum_gap_sec,
+        |    sum(CAST(g AS HUGEINT) * g) AS s2
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, n_gaps, sum_gap_sec,
+        |  CASE WHEN sum_gap_sec = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((CAST(n_gaps AS HUGEINT) * s2 -
+        |                  CAST(sum_gap_sec AS HUGEINT) * sum_gap_sec) * 1000
+        |             // (CAST(n_gaps AS HUGEINT) * sum_gap_sec) AS BIGINT)
+        |  END AS fano_milli
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "q_session_stats" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),

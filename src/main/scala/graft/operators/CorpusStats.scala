@@ -585,6 +585,35 @@ object CorpusStats {
       .orderBy(col(groupCol), col("chi2_milli").desc, col("term"))
   }
 
+  /**
+   * Synthetic-data diversity probe (the Self-BLEU shape): per doc, the MAX
+   * word-n-gram containment against any OTHER doc in `df`, folded into a
+   * decile histogram (bucket_lo_milli, n_docs). Mass at high overlap =
+   * mode collapse / templated generations — the check a synthetic-data
+   * pipeline runs before training on its own output.
+   *
+   * CONTRACT: `df` must be a BOUNDED slice — ground truth is all-pairs by
+   * nature (the self-join below is a cross join), so the caller caps the
+   * slice (deterministic id filter), never feeds the corpus. Docs with
+   * fewer than `n` words have no n-grams and drop out.
+   */
+  def selfOverlapHistogram(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4): DataFrame = {
+    require(n >= 1)
+    val gsets = df.select(col(idCol),
+        array_distinct(graft.functions.HashExpressions.wordNGrams(col(textCol), n)).as("gs"))
+      .where(size(col("gs")) > 0)
+    gsets.select(col(idCol).as("a"), col("gs").as("ga"))
+      .join(gsets.select(col(idCol).as("b"), col("gs").as("gb")),
+        col("a") =!= col("b")) // bounded-slice cross join by contract
+      .select(col("a"),
+        expr("CAST(size(array_intersect(ga, gb)) * 1000 div size(ga) AS BIGINT)").as("ov"))
+      .groupBy(col("a")).agg(max(col("ov")).as("max_ov"))
+      .groupBy(expr("CAST(max_ov div 100 * 100 AS BIGINT)").as("bucket_lo_milli"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket_lo_milli"))
+  }
+
   def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     df.select(col(idCol),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("words"),

@@ -381,6 +381,48 @@ object EventAnalytics {
   }
 
   /**
+   * Per-user inter-arrival BURSTINESS — the bot/automation signal next to
+   * the session dashboard: consecutive-event gaps (whole seconds) profiled
+   * as the integer-exact FANO FACTOR of the gap distribution
+   * (variance-to-mean, milli-quantized). Poisson arrivals sit at ~1000;
+   * schedulers and scrapers run metronomic (≪ 1000); bursty crawl-and-
+   * sleep automation runs ≫ 1000. sqrt-free ON PURPOSE: the coefficient
+   * of variation needs a square root whose last-ulp behavior differs
+   * across engines, while the Fano factor is a pure integer ratio every
+   * engine replays exactly.
+   *
+   * Output, one row per user with ≥ 2 events: (userCol, n_gaps,
+   * sum_gap_sec, fano_milli) with fano = (n·Σg² − (Σg)²)·1000 div (n·Σg);
+   * users whose events all share one instant (Σg = 0) emit 0. Equal-ts
+   * ties are harmless: the gap MULTISET is invariant under tie order
+   * (ties contribute zero gaps wherever they land).
+   *
+   * Scale shape: ONE exchange on the user key — the lag window and the
+   * per-user aggregation share its partitioning; Σg² accumulates in
+   * DECIMAL(38,0) (month-long gaps square to ~7e12; 1e5 of them approach
+   * int64, and the n·Σg² product would silently wrap it).
+   */
+  def burstiness(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_tsu"))
+    events.select(col(userCol), unix_micros(col(tsCol)).as("_tsu"))
+      .withColumn("_prev", lag(col("_tsu"), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .withColumn("_g", expr("CAST((_tsu - _prev) div 1000000 AS BIGINT)"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_g")).as("sum_gap_sec"),
+        sum(col("_g").cast("decimal(38,0)") * col("_g")).as("_s2"))
+      .select(col(userCol), col("n_gaps"), col("sum_gap_sec"),
+        when(col("sum_gap_sec") === 0L, lit(0L))
+          .otherwise(expr(
+            """CAST((CAST(n_gaps AS DECIMAL(38,0)) * _s2 -
+              |       CAST(sum_gap_sec AS DECIMAL(38,0)) * sum_gap_sec) * 1000
+              |  div (CAST(n_gaps AS DECIMAL(38,0)) * sum_gap_sec) AS BIGINT)""".stripMargin))
+          .as("fano_milli"))
+      .orderBy(col(userCol))
+  }
+
+  /**
    * APPROXIMATE weekly DAU/WAU stickiness via HyperLogLog registers — the
    * 100 TB twin of the exact query. The exact form pays two full
    * distinct-user shuffles (every (week, day, user) row moves — measured
