@@ -121,9 +121,11 @@ object Soak {
       "q_kcenter_sampled", "q_jaccard_collapsed",
       // round 10: the tuning histogram — rep-collapsed candidates + pair
       // multiplicity arithmetic must keep it linear like the pipeline
-      // (q_lsh_recall is NOT soaked: its ground truth is all-pairs on a
-      // deterministically CAPPED slice, constant-size by construction)
-      "q_dedup_curve")
+      // (q_lsh_recall and q_selfbleu are NOT soaked: their ground truth is
+      // all-pairs on deterministically CAPPED slices, constant-size by
+      // construction) — and the one-exchange burstiness profile (the copy
+      // generator adds USERS, so the user-key window must scale linearly)
+      "q_dedup_curve", "q_burstiness")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -140,6 +140,55 @@ object EventStreams {
   }
 
   /**
+   * Burstiness profile as a stream: per user per micro-batch, the RUNNING
+   * (n_gaps, sum_gap_sec, fano_milli) over all inter-arrival gaps so far —
+   * the live bot/automation triage next to the batch twin
+   * (`EventAnalytics.burstiness`). Power sums are mergeable, so state is
+   * FOUR numbers per user (last event micros, n, Σg, Σg² as BigInt — the
+   * same overflow headroom the batch twin's DECIMAL(38,0) provides), never
+   * event history. In-batch rows sort by event-time micros before the fold
+   * (ties contribute zero gaps wherever they land, so tie order never
+   * matters); cross-batch, event-time-ordered delivery per user (the
+   * watermarked shape, as in retentionCells) makes the carried last
+   * timestamp the true predecessor. In update mode the LATEST row per user
+   * equals the batch operator over everything fed so far, including the
+   * fano arithmetic bit for bit (BigInt division = the oracle's HUGEINT
+   * floor on the non-negative numerator).
+   */
+  def burstinessProfile(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    implicit val rowEnc = Encoders.row(df.schema)
+    implicit val strEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[(Long, Long, Long, BigInt)]
+    implicit val outEnc = Encoders.tuple(
+      Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    df.groupByKey((r: Row) => String.valueOf(r.getAs[Any](userCol)))
+      .flatMapGroupsWithState[(Long, Long, Long, BigInt), (String, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[Row], state: GroupState[(Long, Long, Long, BigInt)]) =>
+          val tsus = rows.map(r => micros(r.getAs[Timestamp](tsCol))).toVector.sorted
+          var (last, n, s1, s2) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, BigInt(0)))
+          tsus.foreach { t =>
+            if (last != Long.MinValue) {
+              val g = (t - last) / 1000000L
+              n += 1; s1 += g; s2 += BigInt(g) * g
+            }
+            last = t
+          }
+          state.update((last, n, s1, s2))
+          if (n == 0) Iterator.empty
+          else {
+            val fano =
+              if (s1 == 0L) 0L
+              else ((BigInt(n) * s2 - BigInt(s1) * s1) * 1000 / (BigInt(n) * s1)).toLong
+            Iterator((user, n, s1, fano))
+          }
+      }
+      .toDF(userCol, "n_gaps", "sum_gap_sec", "fano_milli")
+  }
+
+  /**
    * Transition pairs as a stream: per user, each arriving event emits one
    * (from_type, to_type) adjacency against its predecessor under (ts, id)
    * order — the exact pair set q_transitions aggregates. In-batch rows are

@@ -52,6 +52,37 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestSession {
       s"got ${r.mkString(",")}")
   }
 
+  test("burstiness: batch ≡ stream across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      ("u1", ts(0)), ("u1", ts(10)), ("u1", ts(20)), ("u1", ts(500)),
+      ("u2", ts(3)), ("u2", ts(3)), ("u2", ts(3)),   // all-zero gaps
+      ("u3", ts(7)))                                  // singleton: absent
+    val batch = EventAnalytics.burstiness(
+        rows.toDF("user_id", "ts"), "user_id", "ts")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // split mid-u1 so the carried last-timestamp state crosses a batch
+    val (b1, b2) = rows.splitAt(3)
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val sq = graft.operators.EventStreams.burstinessProfile(
+        stream.toDS().toDF("user_id", "ts"), "user_id", "ts")
+      .writeStream.format("memory").queryName("burst_parity")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1); sq.processAllAvailable()
+      stream.addData(b2); sq.processAllAvailable()
+      val got = spark.table("burst_parity")
+        .withColumn("_n", monotonically_increasing_id())
+        .orderBy(col("_n").desc)
+        .select("user_id", "n_gaps", "sum_gap_sec", "fano_milli")
+        .as[(String, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (_, v) => v.head }.toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally sq.stop()
+  }
+
   test("selfOverlapHistogram: identical docs at 1000, disjoint docs at 0") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
