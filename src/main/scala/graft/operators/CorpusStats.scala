@@ -628,4 +628,77 @@ object CorpusStats {
     // no orderBy: a global sort on a pure projection would be the only
     // shuffle in the plan, and it keeps the operator streamable (append)
   }
+
+  /**
+   * Per-document MARGINAL NOVELTY: how much of each document's distinct
+   * token-n-gram set appears nowhere earlier in the corpus (earlier = any
+   * document with a smaller id). The curation signal behind "what does this
+   * source actually add": bulk-duplicated and boilerplate-heavy docs score
+   * near 0, genuinely new content near 1000. The doc-id order stands in for
+   * ingest order, so the profile is the marginal-utility curve of the
+   * corpus as it was assembled (RefinedWeb-style dedup-priority ranking).
+   *
+   * Output: (id, n_grams, n_novel, novelty_milli) where a gram is novel iff
+   * this doc is its globally FIRST holder (min id over all docs containing
+   * it); novelty_milli = n_novel*1000 div n_grams, 0 for sub-n-token docs.
+   *
+   * Scale shape: one shingle pass + a gram-keyed min aggregation + a join
+   * back on the gram key — the line-dedup plan shape; shuffle volume is
+   * bounded by the distinct-gram table, never quadratic, and the min-id
+   * aggregation is map-side partial. All integers.
+   */
+  def noveltyProfile(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode_outer(graft.functions.HashExpressions.shingleHashSet(col(textCol), n)).as("g"))
+    val firstHolder = grams.where(col("g").isNotNull)
+      .groupBy(col("g")).agg(min(col(idCol)).as("first_id"))
+    grams.join(firstHolder, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("g")).as("n_grams"), // explode_outer null for short docs -> 0
+        sum(when(col("first_id") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_milli",
+        when(col("n_grams") > 0, expr("CAST(n_novel * 1000 div n_grams AS BIGINT)"))
+          .otherwise(lit(0L)))
+  }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov distance between every pair of groups'
+   * distributions of an integer-valued column — the distribution-shift
+   * monitor for corpus composition (doc-length drift between sources or
+   * snapshots; the CDF-shape complement of the token-frequency drift of
+   * `corpusDrift`). Integer-exact: at each observed value v the CDF gap is
+   * compared as |cnt_a(<=v)*n_b - cnt_b(<=v)*n_a| (cross-multiplied, no
+   * rationals), and ks_milli = max_gap*1000 div (n_a*n_b).
+   *
+   * Scale shape: ONE shuffle keyed by (group, value) builds the histogram;
+   * everything after runs on the bounded profile table (|groups| × |distinct
+   * values| rows — quantize unbounded domains first, cf. the log2 bucket
+   * operators). The pairwise stage is |groups|²-bounded — a dashboard over
+   * sources/snapshots, not over documents.
+   */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val grid = counts.select(col("v")).distinct()
+    // CDF of every group at every observed value (dense grid so pairwise
+    // alignment is a plain equi-join).
+    val cdf = totals.crossJoin(grid)
+      .join(counts, Seq("g", "v"), "left")
+      .withColumn("cum", sum(coalesce(col("c"), lit(0L)))
+        .over(Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("g"), col("n"), col("v"), col("cum"))
+    val a = cdf.select(col("g").as("group_a"), col("n").as("n_a"),
+      col("v"), col("cum").as("cum_a"))
+    val b = cdf.select(col("g").as("group_b"), col("n").as("n_b"),
+      col("v"), col("cum").as("cum_b"))
+    a.join(b, Seq("v")).where(col("group_a") < col("group_b"))
+      .withColumn("gap", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .groupBy(col("group_a"), col("group_b"), col("n_a"), col("n_b"))
+      .agg(max(col("gap")).as("max_gap"))
+      .withColumn("ks_milli", expr("CAST(max_gap * 1000 div (n_a * n_b) AS BIGINT)"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"), col("ks_milli"))
+  }
 }

@@ -459,4 +459,40 @@ object EventAnalytics {
         expr("CAST(sum_daily_actives_est * 1000000 div (wau_est * 7) AS BIGINT)"))
       .orderBy(col("week"))
   }
+
+  /**
+   * Hour-of-week SEASONALITY profile per event type: for each (type, day-of-
+   * week) cell, total events, the peak hour of day (ties → smallest hour)
+   * with its count, and the cell's share of the type's weekly volume in
+   * milli. The capacity-planning / anomaly-baseline dashboard: dow/hour
+   * shapes are what daily-anomaly scores (cf. `dailyAnomalies`) get judged
+   * against, and a flat profile on human-attributed traffic is itself a bot
+   * signal (cf. `burstiness` for the per-user view).
+   *
+   * dow is 0=Sunday..6 (Spark's dayofweek-1 == DuckDB/Postgres dow), hour
+   * 0..23 in session time. Scale shape: one hash-agg keyed by (type, dow,
+   * hour) — at most |types|·168 rows after map-side partial aggregation —
+   * then in-bounded-table folds: the peak is max(struct(count, 23-hour))
+   * (no second shuffle; the agg re-keys within the same 168-row group), the
+   * weekly share a 7-row window. Pure integer arithmetic.
+   */
+  def seasonality(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHour = events.select(col(typeCol).as("event_type"),
+        (dayofweek(col(tsCol)) - 1).cast("long").as("dow"),
+        hour(col(tsCol)).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    byHour
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("c")).as("n_events"),
+        max(struct(col("c").as("c"), (lit(23L) - col("hr")).as("nh"))).as("pk"))
+      .withColumn("peak_hour", lit(23L) - col("pk.nh"))
+      .withColumn("peak_n", col("pk.c"))
+      .withColumn("share_milli",
+        expr("CAST(n_events * 1000 div (sum(n_events) OVER (PARTITION BY event_type)) AS BIGINT)"))
+      .select(col("event_type"), col("dow"), col("n_events"),
+        col("peak_hour"), col("peak_n"), col("share_milli"))
+      .orderBy(col("event_type"), col("dow"))
+  }
 }
