@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, EventAnalytics, Retrieval}
+import graft.operators.{CorpusStats, EventAnalytics, FuzzyJoin, Retrieval}
 import graft.sim.Similarity
 
 /**
@@ -74,7 +74,45 @@ object RetrievalQueries {
     }),
 
     "q_seasonality" -> ((s, dir) =>
-      EventAnalytics.seasonality(Tables.events(s, dir), "event_type", "ts"))
+      EventAnalytics.seasonality(Tables.events(s, dir), "event_type", "ts")),
+
+    "q_rank_eval" -> ((s, dir) => {
+      // retrieval EVALUATION: how far apart are the lexical and vector views
+      // of the same corpus — overlap@50, first-hit MRR of the vector list
+      // against the lexical top-10, Kendall tau on the common ids.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qt = Retrieval.topDfTerms(docs, "text", QTerms, QMinLen, QMaxDfDiv, QGram)
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text", qt, RrfListK, QGram)
+      val q = emb.where(col("vec_id") === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val vec = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "qid", "qv", k = RrfListK)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Retrieval.rankAgreement(lex, vec, "doc_id", k = RrfListK, headK = 10)
+    }),
+
+    "q_percentiles_hist" -> ((s, dir) => {
+      // the 100 TB twin of q_percentiles: histogram order statistics —
+      // one (group,value) hash-agg instead of a per-group full sort; the
+      // oracle replays the EXACT rank-selection form, so the green row IS
+      // the hist ≡ exact proof on a quantized domain.
+      CorpusStats.percentilesHist(t(s, dir, "documents"), "lang", "n_chars",
+        Seq(10, 25, 50, 75, 90))
+    }),
+
+    "q_fuzzy_join" -> ((s, dir) => {
+      // blocked edit-distance entity resolution over canonicalized 32-char
+      // prefixes, pigeonhole 4-piece blocking, df-capped blocks, exact
+      // levenshtein verify; corpus enriched with planted 1-substitution
+      // mutants (doc_id+400000) so the fixture exercises dist 1 matches.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mut = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(lit("z"), expr("substring(text, 2)")).as("text"))
+      FuzzyJoin.editDistancePairs(docs.unionByName(mut), "doc_id", "text",
+          prefixLen = 32, maxDist = 3, maxBlock = 64)
+        .orderBy(col("a"), col("b"))
+    })
   )
 
   // ==================================================================== oracle
@@ -123,6 +161,23 @@ object RetrievalQueries {
        |  SELECT *, row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS rk FROM bm
        |)""".stripMargin
 
+  /** Shared rank-list CTEs: `lex` (BM25 top-RrfListK as (doc_id, rank_lex))
+    * and `vec` (cosine-vs-vec-7 top-RrfListK as (doc_id, rank_vec)). */
+  private def rankListCtes: String =
+    s"""$bm25Ctes,
+       |lex AS (SELECT doc_id, CAST(rk AS BIGINT) AS rank_lex FROM bmr WHERE rk <= $RrfListK),
+       |cs AS (
+       |  SELECT e.vec_id AS doc_id, ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) AS sim
+       |  FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+       |  WHERE e.vec_id != 7
+       |),
+       |vr AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS rank_vec
+       |  FROM cs
+       |),
+       |vec AS (SELECT doc_id, rank_vec FROM vr WHERE rank_vec <= $RrfListK)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q_bm25" ->
@@ -131,19 +186,7 @@ object RetrievalQueries {
          |FROM bmr WHERE rk <= $Bm25K ORDER BY rank""".stripMargin,
 
     "q_rrf" ->
-      s"""WITH $bm25Ctes,
-         |lex AS (SELECT doc_id, CAST(rk AS BIGINT) AS rank_lex FROM bmr WHERE rk <= $RrfListK),
-         |cs AS (
-         |  SELECT e.vec_id AS doc_id, ROUND(${cosineSql("e.embedding", "q.embedding")}, 6) AS sim
-         |  FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
-         |  WHERE e.vec_id != 7
-         |),
-         |vr AS (
-         |  SELECT doc_id,
-         |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS rank_vec
-         |  FROM cs
-         |),
-         |vec AS (SELECT doc_id, rank_vec FROM vr WHERE rank_vec <= $RrfListK),
+      s"""WITH $rankListCtes,
          |fused AS (
          |  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
          |    coalesce(lex.rank_lex, 0) AS rank_lex,
@@ -199,6 +242,75 @@ object RetrievalQueries {
         |SELECT group_a, group_b, n_a, n_b,
         |  CAST(max_gap * 1000 // (n_a * n_b) AS BIGINT) AS ks_milli
         |FROM p ORDER BY group_a, group_b""".stripMargin,
+
+    "q_rank_eval" ->
+      s"""WITH $rankListCtes,
+         |common AS (
+         |  SELECT l.doc_id, l.rank_lex AS ra, v.rank_vec AS rb
+         |  FROM lex l JOIN vec v ON l.doc_id = v.doc_id
+         |),
+         |pairs AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN (x.ra < y.ra) = (x.rb < y.rb) THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+         |    CAST(sum(CASE WHEN (x.ra < y.ra) = (x.rb < y.rb) THEN 0 ELSE 1 END) AS BIGINT) AS n_disc
+         |  FROM common x JOIN common y ON x.doc_id < y.doc_id
+         |),
+         |fh AS (SELECT min(rb) AS fh FROM common WHERE ra <= 10),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM common)
+         |SELECT n_common,
+         |  CAST(n_common * 1000 // $RrfListK AS BIGINT) AS overlap_milli,
+         |  CAST(coalesce(fh, 0) AS BIGINT) AS first_hit_rank,
+         |  CAST(coalesce(1000000 // fh, 0) AS BIGINT) AS mrr_micro,
+         |  CAST(coalesce(n_conc, 0) AS BIGINT) AS n_conc,
+         |  CAST(coalesce(n_disc, 0) AS BIGINT) AS n_disc,
+         |  CAST(CASE WHEN coalesce(n_conc, 0) + coalesce(n_disc, 0) = 0 THEN 0
+         |       ELSE (CASE WHEN n_conc >= n_disc THEN 1 ELSE -1 END)
+         |            * (abs(n_conc - n_disc) * 1000 // (n_conc + n_disc)) END AS BIGINT) AS tau_milli
+         |FROM cnt CROSS JOIN fh CROSS JOIN pairs""".stripMargin,
+
+    // the EXACT rank-selection replay (percentile_disc semantics) — NOT the
+    // histogram form — so the green row doubles as the hist ≡ exact proof
+    "q_percentiles_hist" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |qs AS (SELECT unnest([10, 25, 50, 75, 90]) AS q)
+        |SELECT lang, CAST(q AS BIGINT) AS q, n_chars
+        |FROM ranked CROSS JOIN qs
+        |WHERE rk - 1 = ((n - 1) * q) // 100
+        |ORDER BY lang, q""".stripMargin,
+
+    "q_fuzzy_join" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 400000, 'z' || substring(text, 2) FROM documents WHERE doc_id % 7 = 0
+         |),
+         |canon AS (
+         |  SELECT doc_id, substring(array_to_string(${duckToks()}, ' '), 1, 32) AS prefix
+         |  FROM corpus
+         |),
+         |reps AS (SELECT prefix, min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n
+         |         FROM canon GROUP BY 1),
+         |blocked AS (
+         |  SELECT rep, n, prefix, t.i AS pi, substring(prefix, t.i * 8 + 1, 8) AS piece
+         |  FROM reps CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+         |),
+         |anchored AS (SELECT * FROM blocked WHERE length(piece) = 8),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY pi, piece) AS bn FROM anchored)
+         |  WHERE bn <= 64
+         |),
+         |cand AS (
+         |  SELECT DISTINCT l.rep AS a, r.rep AS b, l.n AS n_a, r.n AS n_b,
+         |    l.prefix AS pa, r.prefix AS pb
+         |  FROM capped l JOIN capped r ON l.pi = r.pi AND l.piece = r.piece AND l.rep < r.rep
+         |)
+         |SELECT a, b, n_a, n_b, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(pa, pb) <= 3 ORDER BY a, b""".stripMargin,
 
     "q_seasonality" ->
       """WITH h AS (

@@ -85,6 +85,40 @@ object CorpusStats {
   }
 
   /**
+   * HISTOGRAM order statistics — the 100 TB twin of [[percentilesDisc]] for
+   * integer/quantized value domains. The exact form ranks every row inside
+   * its group (a per-group sort of the full corpus); this form needs ONE
+   * hash aggregation keyed by (group, value) — map-side partial, shuffle
+   * bounded by |groups| × |distinct values| — and every window after that
+   * runs on the bounded profile table. For a quantized domain the answer is
+   * still EXACT, not approximate: percentile_disc at rank r (0-based,
+   * r = (n-1)*q div 100) returns the value whose cumulative count first
+   * reaches r+1, which is precisely the histogram lookup
+   * (cum - c <= r < cum). Unbounded real domains quantize first (the log2
+   * bucket operators); the trade is resolution, never determinism.
+   * Output schema matches [[percentilesDisc]] exactly, so a green oracle
+   * row against the EXACT replay doubles as the hist ≡ exact proof.
+   */
+  def percentilesHist(
+      df: DataFrame, groupCol: String, valueCol: String, qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 100))
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_c"))
+    val cdf = counts
+      .withColumn("_cum", sum(col("_c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col(groupCol))))
+    cdf.select(col(groupCol), col(valueCol), col("_c"), col("_cum"), col("_n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("_r", expr("(_n - 1) * q div 100"))
+      .where(col("_cum") - col("_c") <= col("_r") && col("_r") < col("_cum"))
+      .select(col(groupCol), col("q").cast("long").as("q"), col(valueCol))
+      .orderBy(col(groupCol), col("q"))
+  }
+
+  /**
    * Quantized TF-IDF with per-document top-k terms: idf is the integer
    * floor(log2(n_docs / doc_freq)) — length(bin(n div df)) - 1, the same
    * libm-free bit-length arithmetic as [[surprisal]] — and the score is

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/**
+ * Blocked edit-distance self-join — entity resolution / fuzzy record
+ * matching over a text column: find id pairs whose canonicalized prefixes
+ * are within a small Levenshtein distance, without an all-pairs pass.
+ *
+ * Pipeline (each stage a bounded, replayable step):
+ *   1. canonicalize: tokens re-joined by single spaces (the q_text_normalize
+ *      canonical form), truncated to a fixed `prefixLen` window;
+ *   2. COLLAPSE identical prefixes to min-id representatives (one hash-agg
+ *      — the jaccardPairsCollapsed trick, so exact-dup cliques cost one rep
+ *      each and candidates stay linear under hot keys);
+ *   3. block by the PIGEONHOLE pieces: the prefix is split into
+ *      `maxDist + 1` contiguous pieces; any two strings within `maxDist`
+ *      SUBSTITUTIONS share at least one untouched piece at the same
+ *      ordinal (the classic partition-into-d+1 exact-match filter from
+ *      approximate string matching), so candidate generation is equi-joins
+ *      on (ordinal, piece). Insertions/deletions shift later pieces and are
+ *      matched best-effort (caught when all edits land after an early
+ *      piece) — the standard ER recall/scale trade, and deterministic, so
+ *      the oracle replays the same blocks.
+ *   4. df-cap the blocks: blocks holding more than `maxBlock` reps are
+ *      dropped (boilerplate openings otherwise go quadratic — the same
+ *      df-capped fan-out guard as the containment index);
+ *   5. verify candidates with exact levenshtein(prefix_a, prefix_b) <=
+ *      maxDist (integer DP, engine-independent).
+ *
+ * Output: (a, b, n_a, n_b, dist) per surviving representative pair, with
+ * the collapsed multiplicities carried so consumers can expand groups.
+ */
+object FuzzyJoin {
+
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 32, maxDist: Int = 3, maxBlock: Int = 64): DataFrame = {
+    require(prefixLen >= (maxDist + 1) && maxDist >= 1 && maxBlock >= 2)
+    val pieces = maxDist + 1
+    val pieceLen = prefixLen / pieces // prefix truncated to pieces*pieceLen
+    val canon = df.select(col(idCol).as("_id"),
+        substring(array_join(TextFunctions.tokens(col(textCol)), " "), 1, pieces * pieceLen)
+          .as("prefix"))
+    val reps = canon.groupBy(col("prefix"))
+      .agg(min(col("_id")).as("rep"), count(lit(1)).as("n"))
+    val blocked = reps.select(col("rep"), col("n"), col("prefix"),
+        explode(array((0 until pieces).map(i =>
+          struct(lit(i).as("pi"),
+            substring(col("prefix"), i * pieceLen + 1, pieceLen).as("piece"))): _*)).as("b"))
+      .select(col("rep"), col("n"), col("prefix"), col("b.pi").as("pi"), col("b.piece").as("piece"))
+      .where(length(col("piece")) === pieceLen) // short-doc tails can't anchor a block
+    // df-cap: hot blocks (shared boilerplate openings) are dropped entirely
+    val capped = blocked
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("pi"), col("piece"))))
+      .where(col("bn") <= maxBlock)
+    val l = capped.select(col("pi"), col("piece"), col("rep").as("a"),
+      col("n").as("n_a"), col("prefix").as("pa"))
+    val r = capped.select(col("pi"), col("piece"), col("rep").as("b"),
+      col("n").as("n_b"), col("prefix").as("pb"))
+    l.join(r, Seq("pi", "piece")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("pa"), col("pb"))
+      .distinct() // a pair can share several untouched pieces
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("dist"))
+  }
+}

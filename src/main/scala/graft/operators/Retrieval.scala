@@ -156,4 +156,50 @@ object Retrieval {
         coalesce(col("rank_vec"), lit(0L)).cast("long").as("rank_vec"),
         col("rrf_milli"))
   }
+
+  /**
+   * Ranking-AGREEMENT metrics between two bounded top-k lists over the same
+   * id space — the evaluation half of hybrid retrieval (how far apart are
+   * the lexical and vector views?), and generally a rank-correlation
+   * operator for any two rankings (e.g. quality score vs. centrality).
+   * One row out:
+   *   n_common      ids in both lists
+   *   overlap_milli n_common*1000 div k
+   *   first_hit_rank min b-rank among a's top-`headK` ids (0 = no hit)
+   *   mrr_micro     1000000 div first_hit_rank (0 = no hit)
+   *   n_conc/n_disc concordant/discordant common-id pairs
+   *   tau_milli     sign-split Kendall tau: ±((|C-D|)*1000 div (C+D))
+   * The tau quotient is computed on the NON-NEGATIVE |C-D| and re-signed so
+   * the rounding rule is engine-independent (integer division of negatives
+   * truncates toward zero in Spark but floors in DuckDB/Python).
+   * Both inputs are top-k lists, so every stage is k-bounded (the pair
+   * enumeration is <= C(k,2) rows on a broadcast-sized frame).
+   */
+  def rankAgreement(a: DataFrame, b: DataFrame, idCol: String,
+                    k: Int, headK: Int = 10): DataFrame = {
+    val common = a.select(col(idCol), col("rank").as("rank_a"))
+      .join(b.select(col(idCol), col("rank").as("rank_b")), Seq(idCol))
+    val x = common.select(col(idCol).as("_i"), col("rank_a").as("ra1"), col("rank_b").as("rb1"))
+    val y = common.select(col(idCol).as("_j"), col("rank_a").as("ra2"), col("rank_b").as("rb2"))
+    val pairs = x.join(y, col("_i") < col("_j"))
+      .select(((col("ra1") < col("ra2")) === (col("rb1") < col("rb2"))).as("conc"))
+      .agg(sum(when(col("conc"), 1L).otherwise(0L)).as("n_conc"),
+        sum(when(col("conc"), 0L).otherwise(1L)).as("n_disc"))
+    val firstHit = common.where(col("rank_a") <= headK)
+      .agg(min(col("rank_b")).as("fh"))
+    val counts = common.agg(count(lit(1)).as("n_common"))
+    counts.crossJoin(firstHit).crossJoin(pairs)
+      .select(
+        col("n_common"),
+        expr(s"CAST(n_common * 1000 div $k AS BIGINT)").as("overlap_milli"),
+        coalesce(col("fh"), lit(0L)).as("first_hit_rank"),
+        coalesce(expr("CAST(1000000 div fh AS BIGINT)"), lit(0L)).as("mrr_micro"),
+        coalesce(col("n_conc"), lit(0L)).as("n_conc"),
+        coalesce(col("n_disc"), lit(0L)).as("n_disc"),
+        when(coalesce(col("n_conc"), lit(0L)) + coalesce(col("n_disc"), lit(0L)) === 0L, lit(0L))
+          .otherwise(
+            when(col("n_conc") >= col("n_disc"), lit(1L)).otherwise(lit(-1L)) *
+            expr("CAST(abs(n_conc - n_disc) * 1000 div (n_conc + n_disc) AS BIGINT)"))
+          .as("tau_milli"))
+  }
 }

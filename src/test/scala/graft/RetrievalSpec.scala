@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.filter.SparkTestSession
-import graft.operators.{CorpusStats, EventAnalytics, Retrieval}
+import graft.operators.{CorpusStats, EventAnalytics, FuzzyJoin, Retrieval}
 
 /**
  * Round-10 wave-B fixtures: BM25 milli-unit scoring, reciprocal-rank
@@ -112,6 +112,73 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
     val df = (Seq(1L, 2L).map(("lo", _)) ++ Seq(9L, 10L).map(("hi", _))).toDF("src", "v")
     val r = CorpusStats.ksDrift(df, "src", "v").collect().head
     assert(r.getLong(4) == 1000L, s"got ${r.mkString(",")}")
+  }
+
+  test("rankAgreement: hand-computed overlap, MRR, and Kendall tau") {
+    import spark.implicits._
+    // a: ids 1..4 ranked 1..4; b: ids 3,1,5,2 ranked 1..4 (common: 1,2,3)
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("id", "rank")
+    val b = Seq((3L, 1L), (1L, 2L), (5L, 3L), (2L, 4L)).toDF("id", "rank")
+    // common pairs (ra, rb): id1=(1,2) id2=(2,4) id3=(3,1)
+    // (1,2)vs(2,4) conc; (1,2)vs(3,1) disc; (2,4)vs(3,1) disc -> C=1 D=2
+    // tau = -((|1-2|*1000) div 3) = -333
+    // first hit: all common ra<=10 -> min rb = 1 -> mrr 1000000
+    val r = Retrieval.rankAgreement(a, b, "id", k = 4, headK = 10).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((3L, 750L, 1L, 1000000L, 1L, 2L, -333L)), s"got ${r.mkString(",")}")
+  }
+
+  test("rankAgreement: disjoint lists are all zeros") {
+    import spark.implicits._
+    val a = Seq((1L, 1L)).toDF("id", "rank")
+    val b = Seq((2L, 1L)).toDF("id", "rank")
+    val r = Retrieval.rankAgreement(a, b, "id", k = 1).collect().head
+    assert((0 until 7).map(r.getLong) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L),
+      s"got ${r.mkString(",")}")
+  }
+
+  test("percentilesHist ≡ percentilesDisc on a quantized domain with ties") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(10L) ++ Seq.fill(5)(20L) ++ Seq(30L, 40L)).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("grp", "v", "id")
+    val qs = Seq(0, 10, 25, 50, 75, 90, 100)
+    val hist = CorpusStats.percentilesHist(df, "grp", "v", qs)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    val exact = CorpusStats.percentilesDisc(df, "grp", "v", "id", qs)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(hist == exact, s"hist=$hist exact=$exact")
+    // n=10: rank r=(9*q) div 100 -> q50 rank 4 -> value 20; q100 rank 9 -> 40
+    assert(hist.toMap.apply(50L) == 20L && hist.toMap.apply(100L) == 40L)
+  }
+
+  test("fuzzy join: substitution pigeonhole catches, cliques collapse, cap drops hot blocks") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta"  // canon prefix = first 32 chars
+    val docs = Seq(
+      (1L, base), (2L, base),                       // exact dupes -> one rep, n=2
+      (3L, "alphX beta gamma delta epsilon zeta"),  // 1 substitution inside piece 0
+      (4L, "completely different text body here")
+    ).toDF("doc_id", "text")
+    val out = FuzzyJoin.editDistancePairs(docs, "doc_id", "text",
+        prefixLen = 32, maxDist = 3, maxBlock = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // reps: prefix(base)->rep 1 (n=2); doc3 rep 3 (n=1); doc4 rep 4 (n=1)
+    // doc1 vs doc3: substitution at char 5 -> pieces 1..3 identical -> candidate,
+    // lev("alpha be...","alphx be...") = 1
+    assert(out.toSeq == Seq((1L, 3L, 2L, 1L, 1L)), s"got ${out.mkString(";")}")
+  }
+
+  test("fuzzy join: block cap suppresses a boilerplate clique of distinct prefixes") {
+    import spark.implicits._
+    // 5 docs with DISTINCT prefixes (digit inside piece 2) whose shared
+    // pieces 0/1/3 all hold 5 reps > maxBlock=4 -> every anchoring block is
+    // dropped and no candidates survive, even though each pair is lev 1
+    val docs = (0 until 5).map(i => (i.toLong, s"shared head text fork$i tail words"))
+      .toDF("doc_id", "text")
+    val out = FuzzyJoin.editDistancePairs(docs, "doc_id", "text",
+      prefixLen = 32, maxDist = 3, maxBlock = 4)
+    assert(out.count() == 0L)
   }
 
   test("seasonality: peak hour, tie to smallest hour, weekly share") {
