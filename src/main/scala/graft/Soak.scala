@@ -125,7 +125,20 @@ object Soak {
       // all-pairs on deterministically CAPPED slices, constant-size by
       // construction) — and the one-exchange burstiness profile (the copy
       // generator adds USERS, so the user-key window must scale linearly)
-      "q_dedup_curve", "q_burstiness")
+      "q_dedup_curve", "q_burstiness",
+      // round-10 waves B/C: BM25 (the (doc,term) tf shuffle grows linearly;
+      // the query-term broadcast and TakeOrdered stay constant), novelty
+      // (gram-keyed min agg + join back — the line-dedup shape), KS drift
+      // (ONE (group,value) shuffle; the |groups|²-bounded pair stage runs
+      // on the profile table), seasonality (≤|types|·168 agg rows at any
+      // event count), the histogram percentiles twin (the whole point:
+      // hash-agg, not per-group sort), and the blocked fuzzy join (collapse
+      // + pigeonhole blocks + df-cap must keep candidates linear under the
+      // copy generator's exact-clique structure)
+      // (q_rrf / q_rank_eval are NOT soaked: every stage is k-bounded by
+      // construction — there is nothing corpus-sized to scale)
+      "q_bm25", "q_novelty", "q_ks_drift", "q_seasonality",
+      "q_percentiles_hist", "q_fuzzy_join")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

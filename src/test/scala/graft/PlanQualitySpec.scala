@@ -318,4 +318,46 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     val aggExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(aggExchanges <= 1, s"expected one agg exchange:\n${p.take(3000)}")
   }
+
+  test("bm25: broadcast query-term semi-join, TakeOrdered top-k, rank window on k rows") {
+    val p = plan("q_bm25")
+    // the 3-term query set and the term df table broadcast to the tf table
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    // the corpus-sized top-k is per-partition heaps, not a global sort
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("fuzzy join: block-key equi-join only, collapse agg upstream, no cartesian") {
+    val p = plan("q_fuzzy_join")
+    assert(p.contains("hashpartitioning(prefix"), p.take(4000)) // the collapse agg
+    assert(p.contains("hashpartitioning(pi"), p.take(4000))     // the block-key cap window
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("novelty: gram-keyed min agg joined back on the gram key, doc-keyed profile agg") {
+    val p = plan("q_novelty")
+    assert(p.contains("hashpartitioning(g#") || p.contains("hashpartitioning(g,"), p.take(3000))
+    assert(p.contains("hashpartitioning(doc_id"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("histogram percentiles: ONE base-data exchange keyed (lang, n_chars), no base sort") {
+    val p = plan("q_percentiles_hist")
+    assert(p.contains("hashpartitioning(lang"), p.take(3000))
+    // the base corpus must reach the profile table through a hash agg, not
+    // a per-group row_number sort (that is q_percentiles' exact plan)
+    assert(!p.contains("row_number"), p.take(3000))
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(schema.contains("lang") && schema.contains("n_chars") && !schema.contains("text"), schema)
+  }
+
+  test("seasonality: base events collapse to (type,dow,hr) before any window") {
+    val p = plan("q_seasonality")
+    assert(p.contains("hashpartitioning(event_type#") ||
+      p.contains("hashpartitioning(event_type,"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    // windows run strictly on the 168-rows-per-type profile, after the agg
+    assert(p.contains("partial_count"), p.take(3000))
+  }
 }
