@@ -476,13 +476,29 @@ object EventAnalytics {
    * (no second shuffle; the agg re-keys within the same 168-row group), the
    * weekly share a 7-row window. Pure integer arithmetic.
    */
-  def seasonality(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byHour = events.select(col(typeCol).as("event_type"),
+  def seasonality(events: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    seasonalityFromCells(seasonalityCells(events, typeCol, tsCol))
+
+  /**
+   * The heavy half of [[seasonality]], STREAMING-SAFE by construction: the
+   * (event_type, dow, hour) cell counts are a plain hash aggregation, so
+   * the same code runs on a readStream (update/complete mode) with state
+   * bounded at one count per occupied cell — ≤ |types|·168 rows no matter
+   * how many events flow. The peak/share fold ([[seasonalityFromCells]])
+   * then runs over the materialized cell table; batch ≡ stream because
+   * count is a commutative fold (StreamingEventParitySpec crosses a
+   * micro-batch boundary mid-cell to prove it).
+   */
+  def seasonalityCells(events: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    events.select(col(typeCol).as("event_type"),
         (dayofweek(col(tsCol)) - 1).cast("long").as("dow"),
         hour(col(tsCol)).cast("long").as("hr"))
       .groupBy(col("event_type"), col("dow"), col("hr"))
       .agg(count(lit(1)).as("c"))
+
+  /** The bounded-profile fold of [[seasonality]]: peak hour, counts, weekly
+    * share from a (event_type, dow, hr, c) cell table. */
+  def seasonalityFromCells(byHour: DataFrame): DataFrame = {
     byHour
       .groupBy(col("event_type"), col("dow"))
       .agg(sum(col("c")).as("n_events"),

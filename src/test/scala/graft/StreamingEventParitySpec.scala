@@ -250,4 +250,41 @@ class StreamingEventParitySpec extends AnyFunSuite with SparkTestSession {
       assert(got == batch, s"stream $got vs batch $batch")
     } finally sq.stop()
   }
+
+  test("seasonality: streaming cell counts ≡ batch across a mid-cell micro-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EventAnalytics
+
+    // two types, several hours; the same (click, dow, 22) cell receives
+    // events in BOTH micro-batches, so the running count must fold
+    val evRows = Seq(
+      ("click", ts(0)), ("click", ts(5)), ("click", ts(65)),   // hr 22 x2, 23...
+      ("view", ts(2)), ("click", ts(7)), ("view", ts(70))
+    )
+    val batchDf = evRows.toDF("event_type", "ts")
+    val batchCells = EventAnalytics.seasonalityCells(batchDf, "event_type", "ts")
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    val batchProfile = EventAnalytics.seasonality(batchDf, "event_type", "ts")
+      .collect().map(_.toSeq).toSeq
+
+    val (b1, b2) = evRows.splitAt(3) // the click/hr-22 cell spans the split
+    val stream = MemoryStream[(String, Timestamp)]
+    val sq = EventAnalytics.seasonalityCells(
+        stream.toDS().toDF("event_type", "ts"), "event_type", "ts")
+      .writeStream.format("memory").queryName("seasonality_parity")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1); sq.processAllAvailable()
+      stream.addData(b2); sq.processAllAvailable()
+      val streamCells = spark.table("seasonality_parity")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      assert(streamCells == batchCells, s"stream $streamCells vs batch $batchCells")
+      // and the profile fold over the STREAMED cells equals the batch profile
+      val streamProfile = EventAnalytics.seasonalityFromCells(
+          spark.table("seasonality_parity"))
+        .collect().map(_.toSeq).toSeq
+      assert(streamProfile == batchProfile, s"stream $streamProfile vs batch $batchProfile")
+    } finally sq.stop()
+  }
 }
