@@ -68,6 +68,17 @@ object RetrievalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_novelty_incremental" -> ((s, dir) => {
+      // ingest-time novelty: batch (doc_id % 3 == 0) scored against the
+      // history gram TABLE built from the already-admitted corpus — no
+      // rescan of admitted text, the incremental-dedup store shape.
+      val docs = t(s, dir, "documents")
+      val history = CorpusStats.gramTable(docs.where(col("doc_id") % 3 =!= 0), "text", n = 5)
+      CorpusStats.noveltyAgainst(docs.where(col("doc_id") % 3 === 0), history,
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_ks_drift" -> ((s, dir) => {
       CorpusStats.ksDrift(t(s, dir, "documents"), "source", "n_chars")
         .orderBy(col("group_a"), col("group_b"))
@@ -220,6 +231,27 @@ object RetrievalQueries {
          |       THEN nov.n_novel * 1000 // nov.n_grams ELSE 0 END AS BIGINT) AS novelty_milli
          |FROM documents d LEFT JOIN nov ON d.doc_id = nov.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_novelty_incremental" ->
+      s"""WITH hist AS (
+         |  SELECT DISTINCT unnest(${duckShingleSet("text", 5)}) AS g
+         |  FROM documents WHERE doc_id % 3 != 0
+         |),
+         |b AS (SELECT doc_id, ${duckShingleSet("text", 5)} AS gs
+         |      FROM documents WHERE doc_id % 3 = 0),
+         |g AS (SELECT doc_id, unnest(gs) AS g FROM b),
+         |sc AS (
+         |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN h.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM g LEFT JOIN hist h ON g.g = h.g GROUP BY 1
+         |)
+         |SELECT b.doc_id,
+         |  CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(sc.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CAST(CASE WHEN coalesce(sc.n_grams, 0) > 0
+         |       THEN sc.n_novel * 1000 // sc.n_grams ELSE 0 END AS BIGINT) AS novelty_milli
+         |FROM b LEFT JOIN sc ON b.doc_id = sc.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "q_ks_drift" ->
       """WITH c AS (

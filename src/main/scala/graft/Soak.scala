@@ -138,7 +138,11 @@ object Soak {
       // (q_rrf / q_rank_eval are NOT soaked: every stage is k-bounded by
       // construction — there is nothing corpus-sized to scale)
       "q_bm25", "q_novelty", "q_ks_drift", "q_seasonality",
-      "q_percentiles_hist", "q_fuzzy_join")
+      "q_percentiles_hist", "q_fuzzy_join",
+      // ingest novelty: the history gram table grows with the corpus, so
+      // the gram-keyed left join is the scaling stage (the batch side is a
+      // fixed third of docs under the copy generator)
+      "q_novelty_incremental")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

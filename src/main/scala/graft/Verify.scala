@@ -44,7 +44,7 @@ object Verify {
     "q_chi2_terms", "q_jaccard_join", "q_jaccard_collapsed", "q_kcenter_sampled",
     "q_lsh_recall", "q_dedup_curve", "q_selfbleu", "q_burstiness",
     "q_seasonality", "q_ks_drift", "q_novelty", "q_rrf", "q_bm25",
-    "q_percentiles_hist", "q_rank_eval", "q_fuzzy_join",
+    "q_percentiles_hist", "q_rank_eval", "q_fuzzy_join", "q_novelty_incremental",
     "q_anomaly_days", "q_session_stats", "q_ab_lift",
     "q_blocklist", "q_moments", "q_props_profile", "q_stickiness",
     "q_stickiness_hll",

@@ -695,6 +695,39 @@ object CorpusStats {
           .otherwise(lit(0L)))
   }
 
+  /** Distinct hashed token-n-gram table of a corpus — the persistable
+    * HISTORY side of [[noveltyAgainst]] (one `g` column; append each
+    * admitted batch's grams, the signature-TABLE pattern of incremental
+    * dedup). */
+  def gramTable(df: DataFrame, textCol: String, n: Int = 5): DataFrame =
+    df.select(explode(graft.functions.HashExpressions.shingleHashSet(col(textCol), n)).as("g"))
+      .distinct()
+
+  /**
+   * INCREMENTAL novelty — the production form of [[noveltyProfile]] for a
+   * batched/streaming ingest: score each incoming document's distinct
+   * token-n-grams against the accumulated history gram table
+   * ([[gramTable]]); a gram is novel iff history does not hold it. The scan
+   * touches only the new batch's text; history rides as a gram-keyed left
+   * join (broadcast when the store is small, shuffle-on-g when not), so
+   * admission decisions never rescan admitted text — the same store-table
+   * shape as incremental MinHash dedup, at gram rather than doc grain.
+   * Output: (id, n_grams, n_novel, novelty_milli), like the batch profile.
+   */
+  def noveltyAgainst(batch: DataFrame, historyGrams: DataFrame,
+                     idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val grams = batch.select(col(idCol),
+      explode_outer(graft.functions.HashExpressions.shingleHashSet(col(textCol), n)).as("g"))
+    val hist = historyGrams.select(col("g")).distinct().withColumn("_seen", lit(1L))
+    grams.join(hist, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("g")).as("n_grams"),
+        sum(when(col("g").isNotNull && col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_milli",
+        when(col("n_grams") > 0, expr("CAST(n_novel * 1000 div n_grams AS BIGINT)"))
+          .otherwise(lit(0L)))
+  }
+
   /**
    * Two-sample Kolmogorov–Smirnov distance between every pair of groups'
    * distributions of an integer-valued column — the distribution-shift

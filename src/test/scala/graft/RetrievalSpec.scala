@@ -95,6 +95,24 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
     assert(out(3L) == ((0L, 0L, 0L)), s"d3=${out(3L)}")
   }
 
+  test("noveltyAgainst: history grams suppress novelty; unseen docs score 1000") {
+    import spark.implicits._
+    val history = CorpusStats.gramTable(
+      Seq((0L, "a b c d e f")).toDF("doc_id", "text"), "text", n = 5)
+    val batch = Seq(
+      (10L, "a b c d e f"),       // both grams in history -> 0
+      (11L, "p q r s t u"),       // nothing in history -> 1000
+      (12L, "a b c d e zz"),      // "a b c d e" seen, "b c d e zz" new -> 500
+      (13L, "too short")          // no grams
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.noveltyAgainst(batch, history, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(10L) == ((2L, 0L, 0L)), s"d10=${out(10L)}")
+    assert(out(11L) == ((2L, 2L, 1000L)), s"d11=${out(11L)}")
+    assert(out(12L) == ((2L, 1L, 500L)), s"d12=${out(12L)}")
+    assert(out(13L) == ((0L, 0L, 0L)), s"d13=${out(13L)}")
+  }
+
   test("ksDrift: hand-computed KS, identical distributions are 0") {
     import spark.implicits._
     val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++ Seq(3L, 4L, 5L, 6L).map(("b", _)) ++
