@@ -242,6 +242,14 @@ object CurationQueries {
         minCount = 5L, k = 40)
     }),
 
+    "q_skipgram" -> ((s, dir) => {
+      // windowed (±2) co-occurrence lift — the skip-gram/GloVe counting
+      // statistic: canonical unordered pairs from a PURE MAP-SIDE nested
+      // transform (no per-doc self-join), then the q_pmi count-table plan.
+      CorpusStats.skipgramLift(t(s, dir, "documents"), "doc_id", "text",
+        window = 2, minCount = 5L, k = 30)
+    }),
+
     "q_char_entropy" -> ((s, dir) => {
       // vocabulary-free gibberish/boilerplate signal: quantized per-doc
       // character entropy (millibits/char, exact bit-length arithmetic).
@@ -718,6 +726,30 @@ object CurationQueries {
          |JOIN uni u2 ON string_split(b.g, ' ')[2] = u2.tok
          |CROSS JOIN tot
          |ORDER BY lift_micro DESC, bigram LIMIT 40""".stripMargin,
+
+    "q_skipgram" ->
+      s"""WITH tk AS (SELECT doc_id, ${duckToks()} AS tk FROM documents),
+         |toks AS (SELECT unnest(tk) AS tok FROM tk),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY tok),
+         |grams AS (
+         |  SELECT unnest(flatten(list_transform(range(len(tk) - 1),
+         |    i -> list_transform(range(i + 1, least(i + 2, len(tk) - 1) + 1),
+         |      j -> concat(least(tk[i+1], tk[j+1]), ' ', greatest(tk[i+1], tk[j+1]))))))
+         |    AS g
+         |  FROM tk WHERE len(tk) >= 2),
+         |pairall AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY g),
+         |surv AS (SELECT * FROM pairall WHERE c2 >= 5),
+         |tot AS (SELECT (SELECT sum(c1) FROM uni) AS tu,
+         |               (SELECT sum(c2) FROM pairall) AS tp)
+         |SELECT b.g AS pair, b.c2 AS n,
+         |  u1.c1 AS cw1, u2.c1 AS cw2,
+         |  CAST(((CAST(b.c2 AS HUGEINT) * tu // u1.c1)
+         |         * tu // u2.c1) * 1000000 // tp AS BIGINT) AS lift_micro
+         |FROM surv b
+         |JOIN uni u1 ON string_split(b.g, ' ')[1] = u1.tok
+         |JOIN uni u2 ON string_split(b.g, ' ')[2] = u2.tok
+         |CROSS JOIN tot
+         |ORDER BY lift_micro DESC, pair LIMIT 30""".stripMargin,
 
     "q_char_entropy" ->
       """WITH ch AS (

@@ -182,6 +182,18 @@ object EventQueries {
       // array_sort makes collect_list order-deterministic.
       EventAnalytics.topPaths(events(s, dir), "user_id", "event_type",
         "ts", "event_id", pathLen = 5, k = 20)
+    }),
+
+    "q_user_concentration" -> ((s, dir) => {
+      // Lorenz deciles of per-user activity: the population-skew dashboard
+      // ("top decile carries X‰ of events") — abuse triage + capacity skew.
+      EventAnalytics.userConcentration(events(s, dir), "user_id")
+    }),
+
+    "q_churn" -> ((s, dir) => {
+      // weekly churn: wau, next-week retained, churn_milli; trailing week
+      // (no successor in data) dropped — no churn ground truth yet.
+      EventAnalytics.weeklyChurn(events(s, dir), "user_id", "ts")
     })
   )
 
@@ -569,6 +581,45 @@ object EventQueries {
         |  FROM o WHERE rn <= 5 GROUP BY user_id
         |)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users
-        |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin
+        |FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "q_user_concentration" ->
+      """WITH pu AS (
+        |  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |               CAST(sum(c) AS BIGINT) AS n_events FROM pu),
+        |r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, u ASC) AS rk FROM pu),
+        |d AS (
+        |  SELECT CAST(((rk - 1) * 10) // n_users AS BIGINT) AS decile, c
+        |  FROM r CROSS JOIN tot),
+        |agg AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(c) AS BIGINT) AS sum_events,
+        |    CAST(sum(c) * 1000 // (SELECT n_events FROM tot) AS BIGINT) AS share_milli
+        |  FROM d GROUP BY 1)
+        |SELECT decile, n_users, sum_events, share_milli,
+        |  CAST(sum(share_milli) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_share_milli
+        |FROM agg ORDER BY decile""".stripMargin,
+
+    "q_churn" ->
+      """WITH wu AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id AS u
+        |  FROM events),
+        |wau AS (SELECT week, CAST(count(*) AS BIGINT) AS wau FROM wu GROUP BY 1),
+        |ret AS (
+        |  SELECT a.week, CAST(count(*) AS BIGINT) AS retained
+        |  FROM wu a JOIN wu b ON a.u = b.u AND b.week = a.week + 7
+        |  GROUP BY 1),
+        |wk AS (SELECT DISTINCT week FROM wu)
+        |SELECT w.week, w.wau,
+        |  CAST(coalesce(r.retained, 0) AS BIGINT) AS retained,
+        |  CAST((w.wau - coalesce(r.retained, 0)) * 1000 // w.wau AS BIGINT) AS churn_milli
+        |FROM wau w
+        |JOIN wk ON wk.week = w.week + 7
+        |LEFT JOIN ret r ON r.week = w.week
+        |ORDER BY w.week""".stripMargin
   )
 }

@@ -142,7 +142,11 @@ object Soak {
       // ingest novelty: the history gram table grows with the corpus, so
       // the gram-keyed left join is the scaling stage (the batch side is a
       // fixed third of docs under the copy generator)
-      "q_novelty_incremental")
+      "q_novelty_incremental",
+      // wave E: the user-table rank sort (users scale under the copy
+      // generator), the distinct week-user self-join, and the map-side
+      // windowed pair generation feeding vocab-keyed count aggs
+      "q_user_concentration", "q_churn", "q_skipgram")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

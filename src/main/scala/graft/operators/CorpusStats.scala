@@ -420,6 +420,52 @@ object CorpusStats {
   }
 
   /**
+   * Top-k WINDOWED co-occurrence pairs by the same staged integer lift as
+   * [[pmiCollocations]] — the skip-gram statistic behind co-occurrence-
+   * matrix / embedding pipelines (GloVe-style counting): a pair is any two
+   * tokens within `window` positions, folded to the canonical
+   * (least, greatest) order so "york new" and "new york" accumulate
+   * together. Pair generation is a PURE MAP-SIDE nested transform over
+   * token positions — no per-document self-join, no shuffle of raw text;
+   * the corpus-sized shuffles are the two vocabulary-keyed count aggs,
+   * exactly the adjacent-bigram plan. lift_micro reuses the DECIMAL(38,0)
+   * staging (proven to 10¹³ tokens); `tp` is the UNFILTERED pair total so
+   * minCount never shifts the scale.
+   */
+  def skipgramLift(df: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long, k: Int): DataFrame = {
+    require(window >= 1 && minCount >= 1 && k > 0)
+    val toks = df.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val pairExpr =
+      s"""flatten(transform(
+         |  sequence(0, size(_tk) - 2),
+         |  i -> transform(
+         |    sequence(i + 1, least(i + $window, size(_tk) - 1)),
+         |    j -> concat(least(_tk[i], _tk[j]), ' ', greatest(_tk[i], _tk[j])))))""".stripMargin
+    val pairs = df.select(TextFunctions.tokens(col(textCol)).as("_tk"))
+      .where(size(col("_tk")) >= 2)
+      .select(explode(expr(pairExpr)).as("g"))
+    val pairAll = pairs.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val surv = pairAll.where(col("c2") >= minCount)
+    val totals = uni.agg(sum(col("c1")).as("tu"))
+      .crossJoin(pairAll.agg(sum(col("c2")).as("tp")))
+    surv
+      .join(uni.select(col("tok").as("_w1"), col("c1").as("cw1")),
+        substring_index(col("g"), " ", 1) === col("_w1"))
+      .join(uni.select(col("tok").as("_w2"), col("c1").as("cw2")),
+        substring_index(col("g"), " ", -1) === col("_w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lift_micro",
+        expr("""CAST(((CAST(c2 AS DECIMAL(38,0)) * tu div cw1)
+                      * tu div cw2) * 1000000 div tp AS BIGINT)"""))
+      .select(col("g").as("pair"), col("c2").as("n"), col("cw1"),
+        col("cw2"), col("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("pair"))
+      .limit(k)
+  }
+
+  /**
    * Quantized character-distribution entropy per document — the
    * gibberish/boilerplate detector that needs no vocabulary: keyboard-mash
    * and base64 blobs score high, "aaaa…" and template spam score near zero.

@@ -496,6 +496,73 @@ object EventAnalytics {
       .groupBy(col("event_type"), col("dow"), col("hr"))
       .agg(count(lit(1)).as("c"))
 
+  /**
+   * Activity CONCENTRATION (Lorenz deciles): rank users by event count and
+   * report, per decile of the user population, how much of total activity
+   * it carries — "the top 10% of users generate X‰ of events", the
+   * abuse-triage and capacity-skew dashboard (cf. [[burstiness]] for the
+   * per-user shape; this is the population shape). Integer-exact: decile =
+   * (rank−1)·10 div n_users, shares in milli, cumulative share via a
+   * 10-row window.
+   *
+   * Scale shape: events collapse to the per-user count table (one user-key
+   * hash-agg); the only corpus-sized step after that is ONE global sort of
+   * the USER table (range-partitioned rank — |users| rows, not |events|),
+   * which exact population ranking irreducibly needs. Ties rank by user id
+   * asc, so the decile assignment is fully deterministic.
+   */
+  def userConcentration(events: DataFrame, userCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events.groupBy(col(userCol).as("_u")).agg(count(lit(1)).as("c"))
+    val totals = perUser.agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"))
+    perUser
+      .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("_u").asc)))
+      .crossJoin(broadcast(totals))
+      .withColumn("decile", expr("CAST((rk - 1) * 10 div n_users AS BIGINT)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("c")).as("sum_events"),
+        expr("CAST(sum(c) * 1000 div max(n_events) AS BIGINT)").as("share_milli"))
+      .withColumn("cum_share_milli",
+        sum(col("share_milli")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .orderBy(col("decile"))
+  }
+
+  /**
+   * Weekly CHURN: per week, the distinct active users, how many of them
+   * return the following week, and churn_milli = (wau − retained)·1000 div
+   * wau. Weeks whose successor week is absent from the data entirely are
+   * dropped (the trailing edge has no churn ground truth yet). The
+   * forward-looking complement of the [[retention]] triangle's cohort view.
+   *
+   * Scale shape: events collapse to the distinct (week, user) table (one
+   * hash-agg); retention is a self-join on (user, week+7d) — user-keyed,
+   * co-partitioned with the distinct agg; everything else runs on
+   * |weeks|-sized frames. Pure integer output.
+   */
+  def weeklyChurn(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val wu = events.select(
+        date_trunc("week", col(tsCol)).cast("date").as("week"),
+        col(userCol).as("_u"))
+      .distinct()
+    val nxt = wu.select(col("week").as("_nw"), col("_u"))
+    val retained = wu.join(nxt,
+        nxt("_u") === wu("_u") && nxt("_nw") === date_add(wu("week"), 7))
+      .groupBy(wu("week").as("week")).agg(count(lit(1)).as("retained"))
+    val wau = wu.groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    val weeks = wu.select(col("week")).distinct()
+    wau
+      .join(weeks.select(col("week").as("_succ")),
+        col("_succ") === date_add(col("week"), 7), "left_semi")
+      .join(retained, Seq("week"), "left")
+      .withColumn("retained", coalesce(col("retained"), lit(0L)))
+      .withColumn("churn_milli", expr("CAST((wau - retained) * 1000 div wau AS BIGINT)"))
+      .select(col("week"), col("wau"), col("retained"), col("churn_milli"))
+      .orderBy(col("week"))
+  }
+
   /** The bounded-profile fold of [[seasonality]]: peak hour, counts, weekly
     * share from a (event_type, dow, hr, c) cell table. */
   def seasonalityFromCells(byHour: DataFrame): DataFrame = {

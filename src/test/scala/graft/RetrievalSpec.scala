@@ -199,6 +199,51 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
     assert(out.count() == 0L)
   }
 
+  test("skipgramLift: windowed pairs canonicalize and score the staged lift") {
+    import spark.implicits._
+    // "a b c" at window 2 -> pairs ab, ac, bc; "c a" -> canonical "a c"
+    val docs = Seq((1L, "a b c"), (2L, "c a")).toDF("doc_id", "text")
+    val out = CorpusStats.skipgramLift(docs, "doc_id", "text",
+        window = 2, minCount = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    // uni: a=2 b=1 c=2, tu=5; pairs: "a b"=1 "a c"=2 "b c"=1, tp=4
+    // lift("a b") = ((1*5 div 2)*5 div 1)*1e6 div 4 = (2*5)*1e6 div 4 = 2500000
+    // lift("a c") = ((2*5 div 2)*5 div 2)*1e6 div 4 = (5*5 div 2)=12 *1e6 div 4 = 3000000
+    // lift("b c") = ((1*5 div 1)*5 div 2)*1e6 div 4 = 12*1e6 div 4 = 3000000
+    assert(out == Seq(("a c", 2L, 3000000L), ("b c", 1L, 3000000L), ("a b", 1L, 2500000L)),
+      s"got ${out.mkString(";")}")
+  }
+
+  test("userConcentration: hand-computed Lorenz deciles") {
+    import spark.implicits._
+    // u1:10 u2:5 u3:3 u4:1 u5:1 -> n_users=5 total=20; deciles 0,2,4,6,8
+    val rows = Seq.fill(10)("u1") ++ Seq.fill(5)("u2") ++ Seq.fill(3)("u3") ++
+      Seq("u4", "u5")
+    val out = EventAnalytics.userConcentration(rows.toDF("user_id"), "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 10L, 500L, 500L), (2L, 1L, 5L, 250L, 750L),
+      (4L, 1L, 3L, 150L, 900L), (6L, 1L, 1L, 50L, 950L),
+      (8L, 1L, 1L, 50L, 1000L)), s"got ${out.mkString(";")}")
+  }
+
+  test("weeklyChurn: retained next week, trailing week dropped") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = 1700000000000L // Tue 2023-11-14; week-truncs to Mon 2023-11-13
+    def ts(day: Long): Timestamp = new Timestamp(base + day * 86400000L)
+    val rows = Seq(("a", 0L), ("b", 0L), ("c", 0L),         // week 0: {a,b,c}
+      ("a", 7L), ("c", 7L), ("d", 7L),                      // week 1: {a,c,d}
+      ("d", 14L))                                           // week 2: {d} (trailing)
+      .map { case (u, d) => (u, ts(d)) }
+    val out = EventAnalytics.weeklyChurn(rows.toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("2023-11-13", 3L, 2L, 333L),   // a,c retained -> churn 1/3
+      ("2023-11-20", 3L, 1L, 666L)),  // only d retained -> churn 2/3
+      s"got ${out.mkString(";")}")
+  }
+
   test("seasonality: peak hour, tie to smallest hour, weekly share") {
     import spark.implicits._
     import java.sql.Timestamp
