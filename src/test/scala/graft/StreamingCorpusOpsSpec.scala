@@ -253,4 +253,38 @@ class StreamingCorpusOpsSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, Long, Long)].collect().head
     assert(oov == ((9L, 2L, 6L)), s"oov=$oov")
   }
+
+  test("incremental novelty runs as a STREAM-STATIC join and equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusStats
+    // the history gram table is the STATIC side (the persisted store); the
+    // ingest batch is the stream — the exact deployment shape
+    val history = CorpusStats.gramTable(
+      Seq((0L, "a b c d e f")).toDF("doc_id", "text"), "text", n = 5)
+    val ingest = Seq(
+      (10L, "a b c d e f"),    // fully seen -> 0
+      (11L, "p q r s t u"),    // fully novel -> 1000
+      (12L, "a b c d e zz"))   // half -> 500
+    val batch = CorpusStats.noveltyAgainst(
+        ingest.toDF("doc_id", "text"), history, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+
+    val stream = MemoryStream[(Long, String)]
+    val sq = CorpusStats.noveltyAgainst(
+        stream.toDS().toDF("doc_id", "text"), history, "doc_id", "text", n = 5)
+      .writeStream.format("memory").queryName("novelty_parity")
+      .outputMode("complete").start()
+    try {
+      stream.addData(ingest.take(1))
+      sq.processAllAvailable()
+      stream.addData(ingest.drop(1))
+      sq.processAllAvailable()
+      val streamed = spark.table("novelty_parity")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(batch.map(r => r._1 -> r._4).toMap ==
+        Map(10L -> 0L, 11L -> 1000L, 12L -> 500L))
+    } finally sq.stop()
+  }
 }
