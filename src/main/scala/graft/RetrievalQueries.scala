@@ -153,7 +153,8 @@ object RetrievalQueries {
        |sc AS (
        |  SELECT tf.doc_id, tf.tf, dl.dl,
        |    CAST(length(bin(tot.n_docs // dfreq.dfc)) - 1 AS BIGINT) AS idf_bits,
-       |    (dl.dl * 1000 * tot.n_docs) // tot.total_tokens AS ratio_milli
+       |    CAST((CAST(dl.dl AS HUGEINT) * 1000 * tot.n_docs) // tot.total_tokens
+       |         AS BIGINT) AS ratio_milli
        |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
        |       JOIN dl USING (doc_id) CROSS JOIN tot
        |),
@@ -268,11 +269,11 @@ object RetrievalQueries {
         |  LEFT JOIN c ON c.g = t.g AND c.v = gr.v),
         |p AS (
         |  SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
-        |    max(abs(a.cum * b.n - b.cum * a.n)) AS max_gap
+        |    max(abs(CAST(a.cum AS HUGEINT) * b.n - CAST(b.cum AS HUGEINT) * a.n)) AS max_gap
         |  FROM cdf a JOIN cdf b ON a.v = b.v AND a.g < b.g
         |  GROUP BY 1, 2, 3, 4)
         |SELECT group_a, group_b, n_a, n_b,
-        |  CAST(max_gap * 1000 // (n_a * n_b) AS BIGINT) AS ks_milli
+        |  CAST(max_gap * 1000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_milli
         |FROM p ORDER BY group_a, group_b""".stripMargin,
 
     "q_rank_eval" ->

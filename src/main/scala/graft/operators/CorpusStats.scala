@@ -807,11 +807,17 @@ object CorpusStats {
       col("v"), col("cum").as("cum_a"))
     val b = cdf.select(col("g").as("group_b"), col("n").as("n_b"),
       col("v"), col("cum").as("cum_b"))
+    // the cross-multiplied gap (and n_a·n_b) wrap int64 once both groups
+    // near 1e10 rows, so both stage through DECIMAL(38,0) (≤ 23 digits
+    // worst case incl. the ×1000) — the q_pmi/moments staging discipline;
+    // ks_milli itself is ≤ 1000 and lands back in BIGINT
     a.join(b, Seq("v")).where(col("group_a") < col("group_b"))
-      .withColumn("gap", abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .withColumn("gap",
+        expr("abs(CAST(cum_a AS DECIMAL(38,0)) * n_b - CAST(cum_b AS DECIMAL(38,0)) * n_a)"))
       .groupBy(col("group_a"), col("group_b"), col("n_a"), col("n_b"))
       .agg(max(col("gap")).as("max_gap"))
-      .withColumn("ks_milli", expr("CAST(max_gap * 1000 div (n_a * n_b) AS BIGINT)"))
+      .withColumn("ks_milli",
+        expr("CAST(max_gap * 1000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"), col("ks_milli"))
   }
 }

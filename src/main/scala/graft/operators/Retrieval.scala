@@ -107,7 +107,12 @@ object Retrieval {
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(totals))
       .withColumn("idf_bits", (length(bin(expr("n_docs div dfc"))) - 1).cast("long"))
-      .withColumn("ratio_milli", expr("CAST((dl * 1000 * n_docs) div total_tokens AS BIGINT)"))
+      // dl*1000*n_docs wraps int64 once dl·n_docs nears 1e16 (a 1e6-token
+      // doc in a 1e10-doc corpus), so the product stages through
+      // DECIMAL(38,0) — 20 digits worst case, 18 of headroom — before the
+      // division shrinks it back to a small BIGINT (the dl/avgdl ratio)
+      .withColumn("ratio_milli",
+        expr("CAST((CAST(dl AS DECIMAL(38,0)) * 1000 * n_docs) div total_tokens AS BIGINT)"))
       .withColumn("contrib_milli", col("idf_bits") * expr(bm25SaturMilliExpr))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit_terms"),
