@@ -132,6 +132,28 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getLong(4) == 1000L, s"got ${r.mkString(",")}")
   }
 
+  test("degenerate inputs: empty query set, one-group KS, one-week churn, tiny fuzzy docs") {
+    import spark.implicits._
+    // zero query terms -> zero hits is the honest retrieval semantics (the
+    // q_bm25 fixture guards against this with the df cap + bigram terms)
+    val docs = Seq((1L, "some words here")).toDF("doc_id", "text")
+    assert(Retrieval.bm25(docs, "doc_id", "text", Seq.empty[String].toDF("term")).count() == 0L)
+    // a single group has no pairs to drift against
+    assert(CorpusStats.ksDrift(Seq(("only", 1L), ("only", 2L)).toDF("src", "v"),
+      "src", "v").count() == 0L)
+    // a single week has no successor: churn is undefined, not 100%
+    val oneWeek = Seq(("u1", new java.sql.Timestamp(1700000000000L))).toDF("user_id", "ts")
+    assert(EventAnalytics.weeklyChurn(oneWeek, "user_id", "ts").count() == 0L)
+    // docs shorter than one block piece anchor nothing -> no candidates
+    assert(FuzzyJoin.editDistancePairs(
+      Seq((1L, "tiny"), (2L, "txny")).toDF("doc_id", "text"),
+      "doc_id", "text", prefixLen = 32, maxDist = 3, maxBlock = 64).count() == 0L)
+    // one user: the whole population is decile 0 with the full share
+    val one = EventAnalytics.userConcentration(Seq("u", "u").toDF("user_id"), "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(one.toSeq == Seq((0L, 1L, 2L, 1000L, 1000L)), s"got ${one.mkString(";")}")
+  }
+
   test("rankAgreement: hand-computed overlap, MRR, and Kendall tau") {
     import spark.implicits._
     // a: ids 1..4 ranked 1..4; b: ids 3,1,5,2 ranked 1..4 (common: 1,2,3)
