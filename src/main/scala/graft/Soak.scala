@@ -146,7 +146,9 @@ object Soak {
       // wave E: the user-table rank sort (users scale under the copy
       // generator), the distinct week-user self-join, and the map-side
       // windowed pair generation feeding vocab-keyed count aggs
-      "q_user_concentration", "q_churn", "q_skipgram")
+      "q_user_concentration", "q_churn", "q_skipgram",
+      // NB vocab train + broadcast score + ONE doc-table rank
+      "q_calibration")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

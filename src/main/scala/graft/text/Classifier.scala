@@ -211,4 +211,38 @@ object TextClassifiers {
       .select(col(groupCol), col("n_docs"), col("n_pos"), col("n_neg"),
         col("auc_micro"))
   }
+
+  /**
+   * Classifier CALIBRATION bins (the reliability diagram behind any quality
+   * gate threshold choice): rank docs by score, cut the population into
+   * `bins` equal-frequency bins, and report each bin's observed positive
+   * rate — AUC ([[aucByGroup]]) says the gate ORDERS well; this says what a
+   * score cut actually buys at each decile. Equal-FREQUENCY bins on purpose:
+   * they are deterministic under the integer-quantized score (ties broken
+   * by id asc), where equal-width bins would be empty/degenerate on a
+   * bit-quantized score range.
+   *
+   * Output: (bin, n, n_pos, pos_rate_milli, sum_score), bin 0 = highest
+   * scores. Scale shape: the scored table collapses to one global rank
+   * (a sort of the DOC table, the userConcentration shape) and a
+   * `bins`-row aggregate; all integer.
+   */
+  def calibrationBins(scored: DataFrame, idCol: String, labelCol: String,
+                      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val totals = scored.agg(count(lit(1)).as("_n"))
+    scored.select(col(idCol).as("_id"), col(labelCol).cast("long").as("_y"),
+        col(scoreCol).as("_sc"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("_sc").desc, col("_id").asc)))
+      .crossJoin(broadcast(totals))
+      .withColumn("bin", expr(s"CAST((rk - 1) * $bins div _n AS BIGINT)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        sum(col("_sc")).as("sum_score"))
+      .withColumn("pos_rate_milli", expr("CAST(n_pos * 1000 div n AS BIGINT)"))
+      .select(col("bin"), col("n"), col("n_pos"), col("pos_rate_milli"), col("sum_score"))
+      .orderBy(col("bin"))
+  }
 }

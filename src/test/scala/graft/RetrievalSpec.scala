@@ -221,6 +221,20 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
     assert(out.count() == 0L)
   }
 
+  test("calibrationBins: equal-frequency bins, deterministic tie split, rates") {
+    import spark.implicits._
+    import graft.text.TextClassifiers
+    // scores 40,30,20,20 with labels 1,1,1,0; bins=2 -> bin0 = ranks 1-2
+    // (ids 1,2), bin1 = ranks 3-4 where the 20-tie splits by id asc (3 then 4)
+    val scored = Seq((1L, 1L, 40L), (2L, 1L, 30L), (3L, 1L, 20L), (4L, 0L, 20L))
+      .toDF("doc_id", "y", "score")
+    val out = TextClassifiers.calibrationBins(scored, "doc_id", "y", "score", bins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 1000L, 70L),
+      (1L, 2L, 1L, 500L, 40L)), s"got ${out.mkString(";")}")
+  }
+
   test("skipgramLift: windowed pairs canonicalize and score the staged lift") {
     import spark.implicits._
     // "a b c" at window 2 -> pairs ab, ac, bc; "c a" -> canonical "a c"
