@@ -3,6 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
@@ -198,6 +199,56 @@ object EventStreams {
    * carried last event the true predecessor. State: one
    * (micros, id, type) triple per user — bounded, never event history.
    */
+  /**
+   * 30-min-gap sessionization as a stream — the q_sessionize twin keeping
+   * the BATCH semantics: a gap STRICTLY greater than `gapSec` opens a new
+   * session (Spark's native session_window treats the exact boundary as a
+   * new session — half-open windows — so the twin is built on the shared
+   * stateful fold instead, preserving the repo's strict-gap contract).
+   *
+   * State per user: (session_id, start_us, last_us, n) — four longs, never
+   * event history. Each micro-batch emits the final row of every session it
+   * CLOSED plus the running row of the open session; in update mode the
+   * latest row per (user, session_id) is the live session table, and after
+   * all events it equals the batch q_sessionize output exactly
+   * (StreamingEventParitySpec crosses micro-batch boundaries mid-session
+   * AND mid-gap). In-batch rows sort by event time; cross-batch,
+   * event-time-ordered per-user delivery (the watermarked shape) is
+   * assumed, as in the sibling twins.
+   */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      gapSec: Long = 1800L): DataFrame = {
+    implicit val rowEnc = Encoders.row(df.schema)
+    implicit val strEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[(Long, Long, Long, Long)]
+    implicit val outEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val gapUs = gapSec * 1000000L
+    val out = df.groupByKey((r: Row) => String.valueOf(r.getAs[Any](userCol)))
+      .flatMapGroupsWithState[(Long, Long, Long, Long), (String, Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[Row], state: GroupState[(Long, Long, Long, Long)]) =>
+          val tsus = rows.map(r => micros(r.getAs[Timestamp](tsCol))).toVector.sorted
+          val emitted = Vector.newBuilder[(String, Long, Long, Long, Long)]
+          var (sid, start, last, n) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          tsus.foreach { t =>
+            if (sid == 0L) { sid = 1L; start = t; last = t; n = 1L }
+            else if (t - last > gapUs) {
+              emitted += ((user, sid, start, n, (last - start) / 1000000L)) // closed
+              sid += 1L; start = t; last = t; n = 1L
+            } else { last = t; n += 1L }
+          }
+          state.update((sid, start, last, n))
+          if (sid != 0L) emitted += ((user, sid, start, n, (last - start) / 1000000L))
+          emitted.result().iterator
+      }
+      .toDF(userCol, "session_id", "_start_us", "n_events", "dur_sec")
+    out.select(col(userCol), col("session_id"),
+      timestamp_micros(col("_start_us")).as("session_start"),
+      col("n_events"), col("dur_sec"))
+  }
+
   def transitionPairs(df: DataFrame, userCol: String, typeCol: String,
       tsCol: String, idCol: String): DataFrame = {
     implicit val rowEnc = Encoders.row(df.schema)

@@ -251,6 +251,70 @@ class StreamingEventParitySpec extends AnyFunSuite with SparkTestSession {
     } finally sq.stop()
   }
 
+  test("sessionize: streaming sessions ≡ batch across mid-session AND mid-gap splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EventStreams
+
+    // u1: two sessions (events at 0,10,20 min | gap 40 min | 60,65);
+    // u2: one session whose events straddle the micro-batch boundary;
+    // u3: a session whose CLOSING gap straddles the boundary
+    val evRows = Seq(
+      ("u1", ts(0)), ("u1", ts(10)), ("u1", ts(20)),
+      ("u2", ts(5)), ("u2", ts(15)),
+      ("u3", ts(0)),
+      // ---- micro-batch boundary ----
+      ("u1", ts(60)), ("u1", ts(65)),
+      ("u2", ts(25)),
+      ("u3", ts(45)) // 45-min gap > 30 -> session 2
+    )
+
+    // batch expectation: the q_sessionize window fold
+    val ev = evRows.toDF("user_id", "ts")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"))
+    val batch = ev.withColumn("new_s",
+        when(col("tus") - lag(col("tus"), 1).over(w) > 1800000000L ||
+          lag(col("tus"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("tus")).as("start_us"), count(lit(1)).as("n_events"),
+        expr("(max(tus) - min(tus)) div 1000000").as("dur_sec"))
+      .select(col("user_id"), col("session_id"), col("start_us"),
+        col("n_events"), col("dur_sec"))
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+
+    val (b1, b2) = evRows.splitAt(6)
+    val stream = MemoryStream[(String, Timestamp)]
+    val sq = EventStreams.sessionize(
+        stream.toDS().toDF("user_id", "ts"), "user_id", "ts", gapSec = 1800L)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        col("n_events"), col("dur_sec"))
+      .writeStream.format("memory").queryName("sessionize_parity")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1); sq.processAllAvailable()
+      stream.addData(b2); sq.processAllAvailable()
+      // latest emitted row per (user, session) is the live session table
+      val got = spark.table("sessionize_parity")
+        .withColumn("_n", monotonically_increasing_id())
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case (_, v) => val r = v.maxBy(_._6); (r._1, r._2, r._3, r._4, r._5) }
+        .toSeq.sorted
+      assert(got == batch, s"stream $got vs batch $batch")
+      // spot meanings: u1 has 2 sessions (3 then 2 events), u3's session 1
+      // closed with 1 event across the gap split
+      val m = batch.map(r => (r._1, r._2) -> r._4).toMap
+      assert(m(("u1", 1L)) == 3L && m(("u1", 2L)) == 2L &&
+        m(("u2", 1L)) == 3L && m(("u3", 1L)) == 1L && m(("u3", 2L)) == 1L)
+    } finally sq.stop()
+  }
+
   test("seasonality: streaming cell counts ≡ batch across a mid-cell micro-batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
