@@ -190,6 +190,13 @@ object EventQueries {
       EventAnalytics.userConcentration(events(s, dir), "user_id")
     }),
 
+    "q_concentration_profile" -> ((s, dir) => {
+      // the 100 TB twin of q_user_concentration: the full Lorenz profile
+      // off the activity-count HISTOGRAM — windows over the bounded
+      // (count -> n_users) table, never a rank of the user table.
+      EventAnalytics.concentrationProfile(events(s, dir), "user_id")
+    }),
+
     "q_churn" -> ((s, dir) => {
       // weekly churn: wau, next-week retained, churn_milli; trailing week
       // (no successor in data) dropped — no churn ground truth yet.
@@ -603,6 +610,27 @@ object EventQueries {
         |  CAST(sum(share_milli) OVER (ORDER BY decile
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_share_milli
         |FROM agg ORDER BY decile""".stripMargin,
+
+    "q_concentration_profile" ->
+      """WITH pu AS (
+        |  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |pr AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(c AS HUGEINT) * count(*) AS lvl
+        |  FROM pu GROUP BY c),
+        |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu, sum(lvl) AS te FROM pr),
+        |cw AS (
+        |  SELECT c, n_users,
+        |    CAST(sum(n_users) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users,
+        |    sum(lvl) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
+        |  FROM pr)
+        |SELECT c, n_users, cum_users,
+        |  CAST(CAST(cum_users AS HUGEINT) * 1000 // tu AS BIGINT) AS cum_users_milli,
+        |  CAST(cum_events * 1000 // te AS BIGINT) AS cum_events_milli
+        |FROM cw CROSS JOIN tot ORDER BY c DESC""".stripMargin,
 
     "q_churn" ->
       """WITH wu AS (

@@ -148,7 +148,9 @@ object Soak {
       // windowed pair generation feeding vocab-keyed count aggs
       "q_user_concentration", "q_churn", "q_skipgram",
       // NB vocab train + broadcast score + ONE doc-table rank
-      "q_calibration")
+      "q_calibration",
+      // the rank-free Lorenz twin: windows over the bounded count histogram
+      "q_concentration_profile")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -45,7 +45,8 @@ object Verify {
     "q_lsh_recall", "q_dedup_curve", "q_selfbleu", "q_burstiness",
     "q_seasonality", "q_ks_drift", "q_novelty", "q_rrf", "q_bm25",
     "q_percentiles_hist", "q_rank_eval", "q_fuzzy_join", "q_novelty_incremental",
-    "q_user_concentration", "q_churn", "q_skipgram", "q_calibration",
+    "q_user_concentration", "q_concentration_profile", "q_churn", "q_skipgram",
+    "q_calibration",
     "q_anomaly_days", "q_session_stats", "q_ab_lift",
     "q_blocklist", "q_moments", "q_props_profile", "q_stickiness",
     "q_stickiness_hll",

@@ -531,6 +531,42 @@ object EventAnalytics {
   }
 
   /**
+   * The 100 TB twin of [[userConcentration]]: the FULL Lorenz profile from
+   * the activity-count HISTOGRAM — no rank of the user table at all. Users
+   * collapse to (events_per_user → n_users) — bounded by the number of
+   * DISTINCT activity levels, which is at most the max per-user count and
+   * in practice a few thousand — and the cumulative shares (heaviest
+   * users first) are windows over that bounded profile. Population deciles
+   * read off the cum_users_milli column; the per-level resolution is
+   * strictly richer than the decile fold. The only difference from the
+   * exact decile operator is presentation: deciles that SPLIT inside a
+   * tied activity level cannot be separated (the decile form breaks such
+   * ties by user id; at scale that distinction is noise).
+   *
+   * Cross-products stage through DECIMAL(38,0) (c·n_users wraps int64 at
+   * 1e9-event users × 1e10-user levels). Output per activity level c,
+   * descending: (c, n_users, cum_users, cum_users_milli, cum_events_milli).
+   */
+  def concentrationProfile(events: DataFrame, userCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events.groupBy(col(userCol).as("_u")).agg(count(lit(1)).as("c"))
+    val profile = perUser.groupBy(col("c")).agg(count(lit(1)).as("n_users"))
+      .withColumn("lvl_events", expr("CAST(c AS DECIMAL(38,0)) * n_users"))
+    val totals = profile.agg(sum(col("n_users")).as("total_users"),
+      sum(col("lvl_events")).as("total_events"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    profile.crossJoin(broadcast(totals))
+      .withColumn("cum_users", sum(col("n_users")).over(w).cast("long"))
+      .withColumn("cum_events", sum(col("lvl_events")).over(w))
+      .select(col("c"), col("n_users"), col("cum_users"),
+        expr("CAST(CAST(cum_users AS DECIMAL(38,0)) * 1000 div total_users AS BIGINT)")
+          .as("cum_users_milli"),
+        expr("CAST(cum_events * 1000 div total_events AS BIGINT)").as("cum_events_milli"))
+      .orderBy(col("c").desc)
+  }
+
+  /**
    * Weekly CHURN: per week, the distinct active users, how many of them
    * return the following week, and churn_milli = (wau − retained)·1000 div
    * wau. Weeks whose successor week is absent from the data entirely are

@@ -263,6 +263,18 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
       (8L, 1L, 1L, 50L, 1000L)), s"got ${out.mkString(";")}")
   }
 
+  test("concentrationProfile: Lorenz profile off the count histogram, tied levels fold") {
+    import spark.implicits._
+    // u1:10, u2:5, u3:5, u4:1 -> levels 10(x1), 5(x2), 1(x1); 4 users, 21 events
+    val rows = Seq.fill(10)("u1") ++ Seq.fill(5)("u2") ++ Seq.fill(5)("u3") ++ Seq("u4")
+    val out = EventAnalytics.concentrationProfile(rows.toDF("user_id"), "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (10L, 1L, 1L, 250L, 476L),   // top user: 25% of users, 10/21 of events
+      (5L, 2L, 3L, 750L, 952L),    // the tied level folds into one row
+      (1L, 1L, 4L, 1000L, 1000L)), s"got ${out.mkString(";")}")
+  }
+
   test("weeklyChurn: retained next week, trailing week dropped") {
     import spark.implicits._
     import java.sql.Timestamp
