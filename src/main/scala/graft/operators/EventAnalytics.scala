@@ -506,10 +506,14 @@ object EventAnalytics {
    * 10-row window.
    *
    * Scale shape: events collapse to the per-user count table (one user-key
-   * hash-agg); the only corpus-sized step after that is ONE global sort of
-   * the USER table (range-partitioned rank — |users| rows, not |events|),
-   * which exact population ranking irreducibly needs. Ties rank by user id
-   * asc, so the decile assignment is fully deterministic.
+   * hash-agg); the only corpus-sized step after that is the global rank of
+   * the USER table, which exact population ranking irreducibly needs. Note
+   * that `row_number` over an unpartitioned window executes in a SINGLE
+   * partition in Spark — |users| rows funnel through one task — so at true
+   * scale the bounded-histogram twin [[concentrationProfile]] (no rank at
+   * all) is the production form; this exact-decile operator is the
+   * correctness witness. Ties rank by user id asc, so the decile
+   * assignment is fully deterministic.
    */
   def userConcentration(events: DataFrame, userCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -518,7 +522,9 @@ object EventAnalytics {
     perUser
       .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("_u").asc)))
       .crossJoin(broadcast(totals))
-      .withColumn("decile", expr("CAST((rk - 1) * 10 div n_users AS BIGINT)"))
+      // rk is IntegerType (row_number), so the *10 must stage through BIGINT
+      // or the product wraps past ~214M users (round-11 advice fix)
+      .withColumn("decile", expr("CAST((CAST(rk AS BIGINT) - 1) * 10 div n_users AS BIGINT)"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("c")).as("sum_events"),

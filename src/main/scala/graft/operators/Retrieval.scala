@@ -58,7 +58,13 @@ object Retrieval {
   def topDfTerms(docs: DataFrame, textCol: String, n: Int, minLen: Int,
                  maxDfDiv: Long = 10L, gram: Int = 1): DataFrame = {
     require(n >= 1 && minLen >= 1 && maxDfDiv >= 1 && gram >= 1)
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // n_docs counts docs with >= 1 term OF THIS GRAM — the same universe
+    // [[bm25]]'s totals are computed over (its dl table only holds docs with
+    // terms). Counting ALL docs here would diverge from the scorer whenever
+    // a doc has < gram tokens, flipping query-term selection at the df-cap
+    // boundary (round-11 advice fix).
+    val nDocs = docs.select(termCol(textCol, gram).as("_tks"))
+      .where(size(col("_tks")) >= 1).agg(count(lit(1)).as("n_docs"))
     docs.select(explode(array_distinct(termCol(textCol, gram))).as("term"))
       .where(length(col("term")) >= minLen)
       .groupBy(col("term")).agg(count(lit(1)).as("dfc"))

@@ -237,7 +237,9 @@ object TextClassifiers {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("_sc").desc, col("_id").asc)))
       .crossJoin(broadcast(totals))
-      .withColumn("bin", expr(s"CAST((rk - 1) * $bins div _n AS BIGINT)"))
+      // rk is IntegerType — stage the *bins product through BIGINT so it
+      // cannot wrap past ~2^31/bins rows (round-11 advice fix)
+      .withColumn("bin", expr(s"CAST((CAST(rk AS BIGINT) - 1) * $bins div _n AS BIGINT)"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
         sum(col("_sc")).as("sum_score"))

@@ -299,12 +299,14 @@ class StreamingEventParitySpec extends AnyFunSuite with SparkTestSession {
     try {
       stream.addData(b1); sq.processAllAvailable()
       stream.addData(b2); sq.processAllAvailable()
-      // latest emitted row per (user, session) is the live session table
+      // latest emitted row per (user, session) is the live session table.
+      // Key "latest" on DATA (n_events, dur_sec — both monotone as a session
+      // absorbs events), not on monotonically_increasing_id, whose high bits
+      // encode partition id and do not follow cross-batch emission order.
       val got = spark.table("sessionize_parity")
-        .withColumn("_n", monotonically_increasing_id())
-        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .as[(String, Long, Long, Long, Long)].collect()
         .groupBy(r => (r._1, r._2))
-        .map { case (_, v) => val r = v.maxBy(_._6); (r._1, r._2, r._3, r._4, r._5) }
+        .map { case (_, v) => val r = v.maxBy(x => (x._4, x._5)); (r._1, r._2, r._3, r._4, r._5) }
         .toSeq.sorted
       assert(got == batch, s"stream $got vs batch $batch")
       // spot meanings: u1 has 2 sessions (3 then 2 events), u3's session 1
