@@ -41,7 +41,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     filterQueries ++ PipelineQueries.queries ++ ModelQueries.queries ++
       CurationQueries.queries ++ TrainingQueries.queries ++ AssemblyQueries.queries ++
-      EventQueries.queries ++ TokenizerQueries.queries ++ RetrievalQueries.queries
+      EventQueries.queries ++ TokenizerQueries.queries ++ RetrievalQueries.queries ++
+      UnicodeQueries.queries
 
   private def filterQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_outlier" -> ((s, dir) => {
@@ -352,5 +353,6 @@ object SparkEntry {
     "q_lms" -> lmsOracle
   ) ++ PipelineQueries.oracleSql ++ ModelQueries.oracleSql ++
     CurationQueries.oracleSql ++ TrainingQueries.oracleSql ++ AssemblyQueries.oracleSql ++
-    EventQueries.oracleSql ++ TokenizerQueries.oracleSql ++ RetrievalQueries.oracleSql
+    EventQueries.oracleSql ++ TokenizerQueries.oracleSql ++ RetrievalQueries.oracleSql ++
+    UnicodeQueries.oracleSql
 }

@@ -1,0 +1,131 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Unicode text kernels: NFC normalization and script-histogram codepoint
+ * classification. Every text operator in the book tokenizes ASCII-style;
+ * these are the entry point for real multilingual corpora — the round-11
+ * "largest real-user gap" closure.
+ *
+ * Both kernels are engine-replayable by construction:
+ *  - NFC is a deterministic Unicode algorithm (UAX #15); java.text.Normalizer
+ *    and DuckDB's utf8proc produce identical bytes for identical input, so
+ *    the oracle uses DuckDB's `nfc_normalize()` directly.
+ *  - Script classification is a PURE CODEPOINT-RANGE table (below), not a
+ *    library property lookup, so the oracle replays it as CASE expressions
+ *    over `unicode(substring(...))` — no ICU-version dependence.
+ *
+ * Reference surface: artan has no text ops at all (cf.
+ * /root/reference/README.md:7) — this extends the pipeline family.
+ */
+object UnicodeKernels extends Serializable {
+
+  /** Script bucket ranges, each bucket a list of inclusive [lo, hi] codepoint
+    * ranges. Order is the contract: histogram index i = bucket i; dominant-
+    * script ties break by this order. Index 0 (digits) is excluded from
+    * dominance. The ranges are the core blocks of each script — deliberately
+    * NOT exhaustive Unicode property sets (extension blocks, presentation
+    * forms), because a fixed integer table replays in any engine forever. */
+  val Buckets: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "digit" -> Seq((0x30, 0x39)),
+    "latn"  -> Seq((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)),
+    "grek"  -> Seq((0x370, 0x3FF)),
+    "cyrl"  -> Seq((0x400, 0x4FF)),
+    "hebr"  -> Seq((0x590, 0x5FF)),
+    "arab"  -> Seq((0x600, 0x6FF)),
+    "deva"  -> Seq((0x900, 0x97F)),
+    "kana"  -> Seq((0x3040, 0x30FF)),
+    "hani"  -> Seq((0x4E00, 0x9FFF)),
+    "hang"  -> Seq((0xAC00, 0xD7A3)))
+
+  val NumBuckets: Int = Buckets.length
+
+  // flattened (lo, hi, bucket) triples for the classification loop
+  private val flat: Array[(Int, Int, Int)] =
+    Buckets.zipWithIndex.flatMap { case ((_, rs), i) => rs.map(r => (r._1, r._2, i)) }.toArray
+
+  def classify(cp: Int): Int = {
+    var i = 0
+    while (i < flat.length) {
+      val (lo, hi, b) = flat(i)
+      if (cp >= lo && cp <= hi) return b
+      i += 1
+    }
+    -1
+  }
+
+  /** NFC-normalize; returns the input object unchanged when already NFC
+    * (the overwhelmingly common case — no re-encode on the hot path). */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) text
+    else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))
+  }
+
+  /** Codepoint counts per script bucket (length NumBuckets), one pass. */
+  def scriptHistogram(text: UTF8String): UnsafeArrayData = {
+    val counts = new Array[Long](NumBuckets)
+    val s = text.toString
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val b = classify(cp)
+      if (b >= 0) counts(b) += 1
+      i += Character.charCount(cp)
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+}
+
+/** NFC normalization of a string column (null in → null out). */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeKernels.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnicodeKernels.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
+/** Per-script codepoint histogram of a string column:
+  * array<long>[UnicodeKernels.NumBuckets] in bucket order (null → null). */
+case class ScriptHistogramExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "script_histogram"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeKernels.scriptHistogram(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnicodeKernels.scriptHistogram($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptHistogramExpr =
+    copy(child = newChild)
+}
+
+object UnicodeExpressions {
+  /** Column wrapper: NFC normalization. */
+  def nfcNormalize(text: Column): Column =
+    Bridge.column(NfcNormalizeExpr(Bridge.expression(text)))
+
+  /** Column wrapper: per-script codepoint histogram. */
+  def scriptHistogram(text: Column): Column =
+    Bridge.column(ScriptHistogramExpr(Bridge.expression(text)))
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filter.SparkTestSession
+import graft.functions.UnicodeKernels
+import graft.text.{TextFunctions, UnicodeText}
+
+/**
+ * The Unicode text path (round 11): NFC kernel semantics, the codepoint-
+ * range script histogram, the \p{L}\p{M}\p{N} tokenizer on CJK / Cyrillic /
+ * Arabic / Devanagari fixtures, and composition with the pre-existing
+ * ASCII-era operators (dedup shingles over normalized Unicode tokens).
+ * Fixture strings use \u escapes so no tool in the pipeline can silently
+ * re-compose or mangle them.
+ */
+class UnicodeTextSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  // NFD "résumé" (e + U+0301) and its NFC form
+  private val NfdResume = "re\u0301sume\u0301"
+  private val NfcResume = "r\u00e9sum\u00e9"
+
+  test("nfc kernel composes combining sequences and is identity on NFC text") {
+    val df = Seq(NfdResume, NfcResume, "plain ascii", "x\u0301y").toDF("text")
+      .select(col("text"), UnicodeText.nfc(col("text")).as("nfc"),
+        length(col("text")).as("n_raw"), length(UnicodeText.nfc(col("text"))).as("n_nfc"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getInt(2), r.getInt(3))).toSeq
+    // NFD composes: 8 cps -> 6; NFC input unchanged; x+combining-acute has
+    // no precomposed form -> already NFC (identity, 2 cps)
+    assert(rows(0) == ((NfdResume, NfcResume, 8, 6)))
+    assert(rows(1) == ((NfcResume, NfcResume, 6, 6)))
+    assert(rows(2)._2 == "plain ascii" && rows(2)._3 == 11 && rows(2)._4 == 11)
+    assert(rows(3)._2 == "x\u0301y" && rows(3)._3 == 3 && rows(3)._4 == 3)
+  }
+
+  test("script histogram classifies CJK / Cyrillic / Arabic / mixed codepoints") {
+    val cyrl = "Привет GPU 42"  // Привет GPU 42
+    val hani = "世界模型"                      // 世界模型
+    val arab = "مرحبا"                // مرحبا
+    val deva = "नमस्ते"          // नमस्ते (2 marks)
+    val idx = UnicodeText.Scripts.zipWithIndex.toMap
+    val df = Seq(cyrl, hani, arab, deva).toDF("text")
+      .select(UnicodeText.scriptCounts(col("text")).as("c"),
+        UnicodeText.dominantScript(UnicodeText.scriptCounts(col("text"))).as("s"))
+    val rows = df.collect().map(r => (r.getSeq[Long](0), r.getString(1)))
+    assert(rows(0)._1(idx("cyrl")) == 6 && rows(0)._1(idx("latn")) == 3 &&
+      rows(0)._1(idx("digit")) == 2 && rows(0)._2 == "cyrl")
+    assert(rows(1)._1(idx("hani")) == 4 && rows(1)._2 == "hani")
+    assert(rows(2)._1(idx("arab")) == 5 && rows(2)._2 == "arab")
+    // Devanagari marks (U+094D virama, U+0947 matra) are in the deva RANGE —
+    // the histogram counts the block, not the general category
+    assert(rows(3)._1(idx("deva")) == 6 && rows(3)._2 == "deva")
+  }
+
+  test("dominant script: ties break by bucket order, letterless text is und") {
+    // 2 latin letters vs 2 cyrillic letters: latn earlier in bucket order
+    val df = Seq("abаб", "123 !?", "").toDF("text")
+      .select(UnicodeText.dominantScript(UnicodeText.scriptCounts(col("text"))).as("s"))
+    assert(df.as[String].collect().toSeq == Seq("latn", "und", "und"))
+  }
+
+  test("uTokens keeps abugida marks inside words and preserves case") {
+    // नमस्ते दुनिया = 2 words, 13 cps total (incl. marks)
+    val deva = "नमस्ते दुनिया"
+    val df = Seq(deva, "Hello WORLD", "世界, 模型!").toDF("text")
+      .select(UnicodeText.uTokens(col("text")).as("t"))
+    val rows = df.collect().map(_.getSeq[String](0).toSeq)
+    assert(rows(0).size == 2 && rows(0).map(_.length).sum == 12)
+    assert(rows(0) == Seq("नमस्ते",
+      "दुनिया"))
+    assert(rows(1) == Seq("Hello", "WORLD")) // case preserved
+    assert(rows(2) == Seq("世界", "模型")) // CJK punct splits
+  }
+
+  test("composition: existing dedup machinery runs on the Unicode path") {
+    // normalize -> unicode tokens -> stable hashes -> jaccard: the ASCII-era
+    // operators compose unchanged on multilingual text, and NFC makes the
+    // NFD/NFC variants of the same doc IDENTICAL to the hash layer
+    val a = s"$NfdResume 世界 data"
+    val b = s"$NfcResume 世界 data"
+    val df = Seq(("a", a), ("b", b)).toDF("id", "text")
+      .select(col("id"),
+        array_distinct(transform(UnicodeText.uTokens(UnicodeText.nfc(col("text"))),
+          TextFunctions.stableHash _)).as("hs"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(m("a") == m("b") && m("a").size == 3)
+    // and WITHOUT nfc the variants diverge (the reason the path exists)
+    val raw = Seq(("a", a), ("b", b)).toDF("id", "text")
+      .select(col("id"),
+        array_distinct(transform(UnicodeText.uTokens(col("text")),
+          TextFunctions.stableHash _)).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(raw("a") != raw("b"))
+  }
+
+  test("kernel classify covers every bucket range boundary") {
+    for (((name, ranges), bi) <- UnicodeKernels.Buckets.zipWithIndex; (lo, hi) <- ranges) {
+      assert(UnicodeKernels.classify(lo) == bi, s"$name lo")
+      assert(UnicodeKernels.classify(hi) == bi, s"$name hi")
+    }
+    assert(UnicodeKernels.classify(' ') == -1 && UnicodeKernels.classify(0x10000) == -1)
+  }
+}
