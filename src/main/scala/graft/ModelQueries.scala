@@ -441,6 +441,35 @@ object ModelQueries {
           countDistinct(col("ch")).as("n_contents"),
           min(col("doc_id")).as("canonical_id"))
         .orderBy(col("phash"))
+    }),
+
+    "q_image_dedup_png" -> ((s, dir) => {
+      // CROSS-FORMAT perceptual dedup (round 11): the mixed corpus holds,
+      // per source doc, a BMP, a byte-variant BMP (pixel-identical), and a
+      // REAL PNG re-encode of the same raster (javax.imageio PNG decode:
+      // signature, chunk CRCs, zlib inflate, filter reconstruction). Three
+      // byte-different payloads, two distinct texts, ONE decoded raster —
+      // dHash groups all three; any byte-hash dedup sees three singletons.
+      val docs = t(s, dir, "documents").where(col("n_chars") > 130)
+        .select(col("doc_id"), col("text"))
+      val variant = docs.select(
+        (col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text"))
+      val pngDocs = docs.select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+      val bmpSide = Multimodal.withImagePayload(docs.unionAll(variant), "text")
+      val pngSide = Multimodal.withPngPayload(pngDocs, "text")
+      val corpus = docs.unionAll(variant).unionAll(pngDocs)
+      Multimodal.perceptualHash(
+          bmpSide.select(col("doc_id"), col("payload"))
+            .unionAll(pngSide.select(col("doc_id"), col("payload"))),
+          "doc_id", "payload")
+        .join(corpus.select(col("doc_id"), md5(col("text")).as("ch")), Seq("doc_id"))
+        .where(col("phash").isNotNull)
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("ch")).as("n_contents"),
+          min(col("doc_id")).as("canonical_id"))
+        .orderBy(col("phash"))
     })
   )
 
@@ -834,6 +863,44 @@ object ModelQueries {
       |  CAST(min(doc_id) AS BIGINT) AS canonical_id
       |FROM ph GROUP BY phash ORDER BY phash""".stripMargin
 
+  /** q_image_dedup_png replay: the phash contract is over the DECODED
+    * raster, which is payload-format-independent — so the PNG arm is the
+    * same pixel formula on the same text, just a third corpus slice
+    * (doc_id + 700000, text unchanged). The format difference lives
+    * entirely in the Spark-side decode (ImageIO PNG vs contract BMP). */
+  private def imageDedupPngOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE n_chars > 130
+      |  UNION ALL
+      |  SELECT doc_id + 500000,
+      |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
+      |  FROM documents WHERE n_chars > 130
+      |  UNION ALL
+      |  SELECT doc_id + 700000, text FROM documents WHERE n_chars > 130
+      |),
+      |geom AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    4 + ord(substring(text, 1, 1)) % 8 AS w,
+      |    4 + ord(substring(text, 2, 1)) % 8 AS h
+      |  FROM corpus
+      |),
+      |ph AS (
+      |  SELECT doc_id, md5(text) AS ch,
+      |    CAST(coalesce(list_sum(list_transform(range(least((w - 1) * h, 63)), i ->
+      |      CASE WHEN ord(substring(text,
+      |                     CAST(((i // (w-1)) * w + (i % (w-1)) + 1) % n + 1 AS INT), 1)) >
+      |                ord(substring(text,
+      |                     CAST(((i // (w-1)) * w + (i % (w-1))) % n + 1 AS INT), 1))
+      |           THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)),
+      |      0) AS BIGINT) AS phash
+      |  FROM geom
+      |)
+      |SELECT phash,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(count(DISTINCT ch) AS BIGINT) AS n_contents,
+      |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+      |FROM ph GROUP BY phash ORDER BY phash""".stripMargin
+
   /** Contract replay of Multimodal.videoFingerprint: middle frame t =
     * (2 + b0%3) div 2 is the BMP of the text ROTATED by t, so pixel i =
     * ord(text[(i + t) mod n]) and the frame's w/h come from the rotated
@@ -1199,6 +1266,7 @@ object ModelQueries {
     "q_multimodal" -> multimodalOracle,
     "q_multimodal_audio" -> multimodalAudioOracle,
     "q_image_dedup" -> imageDedupOracle,
+    "q_image_dedup_png" -> imageDedupPngOracle,
     "q_audio_dedup" -> audioDedupOracle,
     "q_video_dedup" -> videoDedupOracle,
     "q_multimodal_video" -> multimodalVideoOracle,

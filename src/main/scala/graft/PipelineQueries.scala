@@ -1135,14 +1135,17 @@ object PipelineQueries {
    * which is order-independent, hence bit-replayable. Ends with CTEs
    * `cf` (final centroids) and `cellsf` (final corpus assignment).
    */
-  private[graft] def kmeansReplayCtes(iters: Int, dim: Int): String = {
+  /** `src` is the training-corpus table expression (default the full
+    * embeddings table; incremental-index oracles pass a filtered subquery). */
+  private[graft] def kmeansReplayCtes(iters: Int, dim: Int,
+                                      src: String = "embeddings"): String = {
     def assign(centsCte: String, name: String): String =
       s"""$name AS (
          |  SELECT vec_id, cv, cell FROM (
          |    SELECT e.vec_id, e.embedding AS cv, c.cid AS cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rk
-         |    FROM embeddings e CROSS JOIN $centsCte c) WHERE rk = 1
+         |    FROM $src e CROSS JOIN $centsCte c) WHERE rk = 1
          |)""".stripMargin
     def means(cellsCte: String, name: String): String = {
       val sums = (0 until dim).map { d =>
@@ -1163,7 +1166,7 @@ object PipelineQueries {
       s"""c0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT) AS cid,
          |         list_transform(cvec, v -> CAST(v AS DOUBLE)) AS cvec
-         |  FROM (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |  FROM (SELECT vec_id AS cid, embedding AS cvec FROM $src
          |        ORDER BY (1103515245*(vec_id+7)+12345) % 2147483647, vec_id LIMIT 32)
          |)""".stripMargin
     val iterCtes = (0 until iters).flatMap { it =>

@@ -123,12 +123,84 @@ object RetrievalQueries {
       FuzzyJoin.editDistancePairs(docs.unionByName(mut), "doc_id", "text",
           prefixLen = 32, maxDist = 3, maxBlock = 64)
         .orderBy(col("a"), col("b"))
+    }),
+
+    "q_fuzzy_join_indel" -> ((s, dir) => {
+      // indel-complete ER (round 11): PassJoin-style segment×shifted-window
+      // blocking guarantees recall for ≤3 edits INCLUDING insertions and
+      // deletions; corpus planted with 1-substitution (+400000),
+      // 1-insertion (+500000) and 1-deletion (+550000) mutants
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val sub = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(lit("z"), expr("substring(text, 2)")).as("text"))
+      val ins = docs.where(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(expr("substring(text, 1, 4)"), lit("x"), expr("substring(text, 5)")).as("text"))
+      val del = docs.where(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 550000L).as("doc_id"),
+          concat(expr("substring(text, 1, 4)"), expr("substring(text, 6)")).as("text"))
+      FuzzyJoin.editDistancePairsIndel(
+          docs.unionByName(sub).unionByName(ins).unionByName(del),
+          "doc_id", "text", prefixLen = 32, maxDist = 3, maxBlock = 64)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q_ann_incremental" -> ((s, dir) => {
+      // incremental ANN (round 11): the dedup signature-table shape for
+      // embeddings — quantizer + cell-assignment INDEX built from the
+      // already-ingested history (vec_id % 3 != 0), then the new batch
+      // (vec_id % 3 == 0) probes the index table stream-static: no
+      // re-assignment pass over history, only probed cells are read
+      val emb = t(s, dir, "embeddings")
+      val history = emb.where(col("vec_id") % 3 =!= 0)
+      val batch = emb.where(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cents = Similarity.ivfTrainKMeans(history, "vec_id", "embedding", 32, iters = 2)
+      val index = Similarity.ivfIndex(cents, history, "vec_id", "embedding")
+      Similarity.ivfProbeIndex(cents, index, batch, "vec_id", "qid", "qv",
+          k = 5, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
+  /** The (pi, pos) window grid of editDistancePairsIndel at prefixLen 32 /
+    * maxDist 3 — generated once and interpolated into the oracle so the
+    * Spark and DuckDB grids cannot drift. */
+  private def indelGrid: Seq[(Int, Int)] = for {
+    i <- 0 until 4
+    d <- -3 to 3
+    pos = i * 8 + 1 + d
+    if pos >= 1
+  } yield (i, pos)
+
   // ==================================================================== oracle
 
-  import PipelineQueries.{duckToks, duckShingleSet, cosineSql}
+  import PipelineQueries.{duckToks, duckShingleSet, cosineSql, kmeansReplayCtes}
+
+  /** q_ann_incremental replay: the Lloyd CTE chain over the HISTORY slice
+    * (vec_id % 3 != 0), then the batch probes cellsf exactly like the
+    * annIvfOracle search, top-5 / nprobe 2. */
+  private def annIncrementalOracle: String =
+    s"""WITH ${kmeansReplayCtes(iters = 2, dim = 64,
+           src = "(SELECT * FROM embeddings WHERE vec_id % 3 != 0)")},
+       |probes AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosineSql("q.embedding", "c.cvec")} DESC, c.cid ASC) AS pr
+       |    FROM embeddings q CROSS JOIN cf c WHERE q.vec_id % 3 = 0) WHERE pr <= 2
+       |),
+       |scored AS (
+       |  SELECT p.qid, s.vec_id, ROUND(${cosineSql("s.cv", "p.qv")}, 6) AS sim
+       |  FROM probes p JOIN cellsf s ON s.cell = p.cell WHERE s.vec_id != p.qid
+       |),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** Shared BM25 CTE chain ending in `bmr` = (doc_id, n_hit_terms, dl,
     * score_milli, rk) ranked by score desc, doc_id asc. */
@@ -191,6 +263,8 @@ object RetrievalQueries {
        |vec AS (SELECT doc_id, rank_vec FROM vr WHERE rank_vec <= $RrfListK)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_ann_incremental" -> annIncrementalOracle,
 
     "q_bm25" ->
       s"""WITH $bm25Ctes
@@ -344,6 +418,60 @@ object RetrievalQueries {
          |)
          |SELECT a, b, n_a, n_b, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
          |FROM cand WHERE levenshtein(pa, pb) <= 3 ORDER BY a, b""".stripMargin,
+
+    "q_fuzzy_join_indel" -> {
+      val gridVals = indelGrid.map { case (i, p) => s"($i, $p)" }.mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 400000, 'z' || substring(text, 2)
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 500000, substring(text, 1, 4) || 'x' || substring(text, 5)
+         |  FROM documents WHERE doc_id % 7 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 550000, substring(text, 1, 4) || substring(text, 6)
+         |  FROM documents WHERE doc_id % 7 = 2
+         |),
+         |canon AS (
+         |  SELECT doc_id, substring(array_to_string(${duckToks()}, ' '), 1, 32) AS prefix
+         |  FROM corpus
+         |),
+         |reps AS (SELECT prefix, min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n
+         |         FROM canon GROUP BY 1),
+         |segs0 AS (
+         |  SELECT rep, n, prefix, t.i AS pi, substring(prefix, t.i * 8 + 1, 8) AS piece
+         |  FROM reps CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t
+         |),
+         |segs AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY pi, piece) AS bn
+         |    FROM segs0 WHERE length(piece) = 8)
+         |  WHERE bn <= 64
+         |),
+         |wins0 AS (
+         |  SELECT rep, n, prefix, g.pi, substring(prefix, g.pos, 8) AS piece
+         |  FROM reps CROSS JOIN (VALUES $gridVals) AS g(pi, pos)
+         |),
+         |wins AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY pi, piece) AS bn
+         |    FROM wins0 WHERE length(piece) = 8)
+         |  WHERE bn <= 64
+         |),
+         |cand AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN s.rep < w.rep THEN s.rep ELSE w.rep END AS a,
+         |    CASE WHEN s.rep < w.rep THEN w.rep ELSE s.rep END AS b,
+         |    CASE WHEN s.rep < w.rep THEN s.n ELSE w.n END AS n_a,
+         |    CASE WHEN s.rep < w.rep THEN w.n ELSE s.n END AS n_b,
+         |    CASE WHEN s.rep < w.rep THEN s.prefix ELSE w.prefix END AS pa,
+         |    CASE WHEN s.rep < w.rep THEN w.prefix ELSE s.prefix END AS pb
+         |  FROM segs s JOIN wins w ON s.pi = w.pi AND s.piece = w.piece AND s.rep != w.rep
+         |)
+         |SELECT a, b, n_a, n_b, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(pa, pb) <= 3 ORDER BY a, b""".stripMargin
+    },
 
     "q_seasonality" ->
       """WITH h AS (

@@ -168,6 +168,74 @@ object Multimodal {
     }
   }
 
+  /**
+   * A valid PNG (round 11) of the SAME pixel contract as [[buildBmp]]:
+   * truecolor 8-bit, gray pixel (x,y) = src[(y*w+x) mod n]. The IDAT zlib
+   * stream uses a STORED deflate block (BTYPE=00) — no compressor-version
+   * dependence, every byte a pure function of the input — so the payload is
+   * deterministic forever while still decoding through javax.imageio's REAL
+   * PNG codec (signature, chunk CRCs, zlib adler, filter reconstruction).
+   * A PNG and a BMP of the same source are byte-DIFFERENT containers with
+   * an IDENTICAL raster: exactly the cross-format re-encode that byte-hash
+   * dedup misses and perceptual dHash groups (q_image_dedup_png).
+   */
+  private[graft] def buildPng(src: Array[Byte]): Array[Byte] = {
+    val (w, h) = dims(src)
+    // raw scanlines: per row a filter byte 0 (None) + w RGB triples
+    val stride = 1 + 3 * w
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v: Byte = if (src.length == 0) 0 else src((y * w + x) % src.length)
+        val p = y * stride + 1 + 3 * x
+        raw(p) = v; raw(p + 1) = v; raw(p + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write(be32(w)); ihdr.write(be32(h))
+    ihdr.write(Array[Byte](8, 2, 0, 0, 0)) // depth 8, truecolor, default
+    chunk("IHDR", ihdr.toByteArray)
+    // zlib: 0x78 0x01 header, one final STORED block, adler32 (BE)
+    val idat = new java.io.ByteArrayOutputStream()
+    idat.write(0x78); idat.write(0x01)
+    idat.write(0x01) // BFINAL=1, BTYPE=00 (stored)
+    idat.write(raw.length & 0xff); idat.write((raw.length >> 8) & 0xff)
+    val nlen = raw.length ^ 0xffff
+    idat.write(nlen & 0xff); idat.write((nlen >> 8) & 0xff)
+    idat.write(raw)
+    val adler = new java.util.zip.Adler32(); adler.update(raw)
+    idat.write(be32(adler.getValue.toInt))
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private val pngUdf = udf { src: Array[Byte] =>
+    Option(src).map(buildPng).getOrElse(buildPng(Array.emptyByteArray))
+  }
+
+  /** Adds a `payload` column holding a real PNG built from the text bytes
+    * (same raster contract as [[withImagePayload]], different container). */
+  def withPngPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", pngUdf(encode(col(textCol), "UTF-8")))
+
   /** Adds a `payload` column holding a real BMP built from the text bytes. */
   def withImagePayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", bmpUdf(encode(col(textCol), "UTF-8")))

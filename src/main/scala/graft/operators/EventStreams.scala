@@ -71,6 +71,66 @@ object EventStreams {
   }
 
   /**
+   * WATERMARKED funnel twin (round 11): same per-user fold as
+   * [[funnelStages]], but the input carries an event-time watermark and the
+   * state uses EventTimeTimeout — the full production shape for late data:
+   *
+   *  - rows later than `delay` behind the max seen event time are DROPPED
+   *    by the engine before the fold (the documented late-data contract;
+   *    StreamingLateDataSpec pins inside-vs-outside-watermark behavior and
+   *    batch ≡ stream parity over the watermark-admitted subset);
+   *  - state expires `ttlMs` past the watermark (state.remove() on
+   *    timeout), so the per-user state table is bounded by ACTIVE users in
+   *    the watermark+ttl horizon, not all users ever seen — the piece
+   *    NoTimeout twins leave to the operator above them.
+   */
+  def funnelStagesWatermarked(
+      df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String], delay: String, ttlMs: Long = 86400000L): DataFrame = {
+    require(stages.nonEmpty)
+    val stageIdx = stages.zipWithIndex.toMap
+    val n = stages.length
+    val wm = df.withWatermark(tsCol, delay)
+    implicit val rowEnc = Encoders.row(wm.schema)
+    implicit val strEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[Array[Long]]
+    implicit val outEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    wm.groupByKey((r: Row) => String.valueOf(r.getAs[Any](userCol)))
+      .flatMapGroupsWithState[Array[Long], (String, Long)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: String, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val firsts = state.getOption.getOrElse(Array.fill(n)(None_))
+            var batchMax = Long.MinValue
+            rows.foreach { r =>
+              val t = r.getAs[Timestamp](tsCol).getTime
+              if (t > batchMax) batchMax = t
+              stageIdx.get(String.valueOf(r.getAs[Any](typeCol))).foreach { i =>
+                if (t < firsts(i)) firsts(i) = t
+              }
+            }
+            state.update(firsts)
+            // anchor the ttl at max(watermark, this batch's event time):
+            // on the FIRST batch the watermark is still 0, and an epoch-
+            // anchored timeout would expire every user at the next advance
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), batchMax) + ttlMs)
+            var reached = 0L
+            var prev = Long.MinValue
+            var k = 0
+            while (k < n && firsts(k) != None_ && firsts(k) >= prev) {
+              reached += 1; prev = firsts(k); k += 1
+            }
+            Iterator((user, reached))
+          }
+      }
+      .toDF(userCol, "reached")
+  }
+
+  /**
    * Retention cells as a stream: each event rides out tagged with the
    * user's running first-event timestamp — (user_id, ts, first_ts) — ready
    * for the exact q_retention cohort/offset expressions. State: one long

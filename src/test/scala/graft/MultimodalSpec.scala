@@ -219,4 +219,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hashes(1L) == hashes(2L), "dHash must be container-invariant across the two decode paths")
   }
+
+  test("hand-built PNG (stored deflate) decodes via ImageIO to the contract raster") {
+    // round 11: buildPng's bytes must be a VALID PNG (signature, chunk
+    // CRCs, zlib stored-block stream, adler32) whose decoded raster is
+    // pixel-identical to the contract BMP of the same source — the
+    // cross-format re-encode fixture behind q_image_dedup_png
+    val srcs = Seq(
+      "hello world", "", "中文 multibyte first char", "x",
+      "a longer document with enough bytes to fill an 11x11 raster and wrap around its source several times over"
+    ).map(_.getBytes("UTF-8"))
+    srcs.foreach { src =>
+      val png = Multimodal.buildPng(src)
+      assert(Multimodal.tryDirectBmp(png) == null, "PNG must not take the BMP path")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO rejected the hand-built PNG (src ${src.length}B)")
+      val ref = Multimodal.tryDirectBmp(Multimodal.buildBmp(src))
+      assert(img.getWidth == ref.width && img.getHeight == ref.height)
+      for (y <- 0 until ref.height; x <- 0 until ref.width)
+        assert((img.getRGB(x, y) & 0xffffff) == ref.rgb(x, y),
+          s"pixel ($x,$y) differs for src of ${src.length} bytes")
+    }
+    // byte-determinism: the encoder has no compressor-version dependence
+    val a = Multimodal.buildPng("determinism".getBytes("UTF-8"))
+    val b = Multimodal.buildPng("determinism".getBytes("UTF-8"))
+    assert(java.util.Arrays.equals(a, b))
+  }
 }

@@ -7,15 +7,25 @@ row counts, sorted columns, and values. Usage:
 import json, subprocess, sys, glob, os
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.001"
+# --only=q_a,q_b: targeted subset (rides to Verify via SPARK_GRAFT_VERIFY_ONLY
+# and filters the oracle compare loop) -- used by the sf1 ladder sweep, where
+# a full 160+-query pass at 10x data would take hours for a 10-query question
+only = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        only = set(x.strip() for x in a[len("--only="):].split(",") if x.strip())
 # sf-suffixed so concurrent runs at different scales never clobber each
 # other's outputs mid-compare (bit round 6: an sf0.001 run overwrote a
 # running sf0.1 sweep's parquet dumps)
 outdir = "/tmp/graft_verify_" + os.path.basename(sfdir.rstrip("/"))
 
 if "--skip-spark" not in sys.argv:
+    env = dict(os.environ)
+    if only:
+        env["SPARK_GRAFT_VERIFY_ONLY"] = ",".join(sorted(only))
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
-        capture_output=True, text=True, cwd="/root/repo")
+        capture_output=True, text=True, cwd="/root/repo", env=env)
     tail = (r.stdout + r.stderr)[-3000:]
     if r.returncode != 0:
         print(tail)
@@ -30,9 +40,14 @@ import pandas as pd
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # spark-written tables are DIRECTORIES of part files (the soak corpora);
+    # driver testdata tables are single files -- support both
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = 0
 for q, sql in sorted(oracle.items()):
     spark_files = glob.glob(f"{outdir}/{q}/*.parquet")
