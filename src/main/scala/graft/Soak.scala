@@ -150,7 +150,17 @@ object Soak {
       // NB vocab train + broadcast score + ONE doc-table rank
       "q_calibration",
       // the rank-free Lorenz twin: windows over the bounded count histogram
-      "q_concentration_profile")
+      "q_concentration_profile",
+      // round 11: the indel-complete ER (segment x 7-shifted-window blocking
+      // multiplies blocking rows by a CONSTANT; df-caps must keep candidate
+      // fan-out linear under the copy generator's exact-clique prefixes),
+      // the incremental ANN probe (index build is one map-side assignment
+      // pass; probes touch only probed cells), the cross-format perceptual
+      // dedup (decode-bound scan, 3 slices per doc), and the Unicode text
+      // path (pure map-side kernel scans; q_unicode_tokens carries the one
+      // interpreted HOF in the book — its scan cost is the thing to watch)
+      "q_fuzzy_join_indel", "q_ann_incremental", "q_image_dedup_png",
+      "q_lang_script", "q_unicode_tokens")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -360,4 +360,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestSession {
     // windows run strictly on the 168-rows-per-type profile, after the agg
     assert(p.contains("partial_count"), p.take(3000))
   }
+
+  test("indel fuzzy join: equi-join on (ordinal, piece), df-cap windows, no cartesian") {
+    val p = plan("q_fuzzy_join_indel")
+    // candidates come from a hash equi-join between the segment and window
+    // projections — never a cartesian/BNLJ over the rep table
+    assert(p.contains("hashpartitioning(pi"), p.take(4000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+  }
+
+  test("incremental ANN probe: probes broadcast to the index, corpus never reshuffled") {
+    val p = plan("q_ann_incremental")
+    // the probe frame (batch x nprobe) is broadcast against the cell index;
+    // history vectors must not hash-shuffle on their own id
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(4000))
+    assert(!p.contains("hashpartitioning(vec_id"), p.take(4000))
+  }
+
+  test("unicode text queries are shuffle-free scans (sort for presentation only)") {
+    for (q <- Seq("q_unicode_normalize", "q_lang_script")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("hashpartitioning"), s"$q: ${p.take(3000)}")
+    }
+  }
 }
