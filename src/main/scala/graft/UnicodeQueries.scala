@@ -136,16 +136,17 @@ object UnicodeQueries {
     }),
 
     "q_unicode_tokens" -> ((s, dir) => {
-      // Unicode-category tokenizer statistics; cp_len_sum uses an aggregate
-      // HOF (interpreted per token) — acceptable for this diagnostic
-      // projection, and the only non-codegen step in the wave
-      val tks = UnicodeText.uTokens(col("text"))
+      // Unicode-category tokenizer statistics via the one-pass codegen
+      // kernel (UTokenStatsExpr) — bit-identical to the declarative
+      // split + array_distinct + aggregate formulation (UnicodeTextSpec
+      // pins the equality), with no interpreted HOF on the scan path
+      val st = graft.functions.UnicodeExpressions.uTokenStats(col("text"))
       mlCorpus(t(s, dir, "documents"))
-        .select(col("doc_id"), tks.as("tks"))
+        .select(col("doc_id"), st.as("st"))
         .select(col("doc_id"),
-          size(col("tks")).cast("long").as("n_tokens"),
-          size(array_distinct(col("tks"))).cast("long").as("n_distinct"),
-          aggregate(col("tks"), lit(0L), (a, t) => a + length(t)).as("cp_len_sum"))
+          col("st")(0).as("n_tokens"),
+          col("st")(1).as("n_distinct"),
+          col("st")(2).as("cp_len_sum"))
         .orderBy(col("doc_id"))
     })
   )

@@ -71,6 +71,41 @@ object UnicodeKernels extends Serializable {
     else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))
   }
 
+  /** A codepoint is token material iff its general category is a letter,
+    * mark or number — `Character.getType` 1..11 (L* 1-5, M* 6-8, N* 9-11),
+    * exactly the `[\p{L}\p{M}\p{N}]` class Java regex and RE2 share. */
+  @inline def isTokenCp(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t >= Character.UPPERCASE_LETTER && t <= Character.OTHER_NUMBER
+  }
+
+  /** One-pass (n_tokens, n_distinct, cp_len_sum) over the \p{L}\p{M}\p{N}
+    * token runs of a string — replaces split + array_distinct + aggregate
+    * HOF (the latter runs interpreted per token; this stays in whole-stage
+    * codegen with one HashSet per row and no intermediate arrays). */
+  def uTokenStats(text: UTF8String): UnsafeArrayData = {
+    val s = text.toString
+    val seen = new java.util.HashSet[String]()
+    var nTokens = 0L
+    var cpLen = 0L
+    var i = 0
+    var runStart = -1
+    val n = s.length
+    while (i <= n) {
+      val isTok = i < n && isTokenCp(s.codePointAt(i))
+      if (isTok) {
+        if (runStart < 0) runStart = i
+        cpLen += 1
+      } else if (runStart >= 0) {
+        nTokens += 1
+        seen.add(s.substring(runStart, i))
+        runStart = -1
+      }
+      i += (if (i < n) Character.charCount(s.codePointAt(i)) else 1)
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(nTokens, seen.size.toLong, cpLen))
+  }
+
   /** Codepoint counts per script bucket (length NumBuckets), one pass. */
   def scriptHistogram(text: UTF8String): UnsafeArrayData = {
     val counts = new Array[Long](NumBuckets)
@@ -120,6 +155,23 @@ case class ScriptHistogramExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass Unicode token statistics: array<long>[n_tokens, n_distinct,
+  * cp_len_sum] (null → null). */
+case class UTokenStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "utoken_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeKernels.uTokenStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnicodeKernels.uTokenStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): UTokenStatsExpr =
+    copy(child = newChild)
+}
+
 object UnicodeExpressions {
   /** Column wrapper: NFC normalization. */
   def nfcNormalize(text: Column): Column =
@@ -128,4 +180,8 @@ object UnicodeExpressions {
   /** Column wrapper: per-script codepoint histogram. */
   def scriptHistogram(text: Column): Column =
     Bridge.column(ScriptHistogramExpr(Bridge.expression(text)))
+
+  /** Column wrapper: one-pass [n_tokens, n_distinct, cp_len_sum]. */
+  def uTokenStats(text: Column): Column =
+    Bridge.column(UTokenStatsExpr(Bridge.expression(text)))
 }

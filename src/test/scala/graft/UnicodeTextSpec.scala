@@ -96,6 +96,26 @@ class UnicodeTextSpec extends AnyFunSuite with SparkTestSession {
     assert(raw("a") != raw("b"))
   }
 
+  test("uTokenStats kernel == declarative split + distinct + aggregate fold") {
+    // the q_unicode_tokens contract: the one-pass kernel must be
+    // bit-identical to the HOF formulation it replaced, on every script
+    // family plus edge shapes (empty, marks-only, digits, token-at-EOS)
+    val texts = Seq(
+      "Hello WORLD hello", "नमस्ते दुनिया", "世界, 模型!",
+      "Привет мир GPU 2024", "", "   ", "x", "a b a b a",
+      "́́", "tail-token")
+    val df = texts.toDF("text")
+    val tks = UnicodeText.uTokens(col("text"))
+    val declarative = df.select(
+        size(tks).cast("long").as("n"),
+        size(array_distinct(tks)).cast("long").as("d"),
+        aggregate(tks, lit(0L), (a, t) => a + length(t)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val kernel = df.select(graft.functions.UnicodeExpressions.uTokenStats(col("text")).as("st"))
+      .collect().map(r => { val a = r.getSeq[Long](0); (a(0), a(1), a(2)) }).toSeq
+    assert(kernel == declarative)
+  }
+
   test("kernel classify covers every bucket range boundary") {
     for (((name, ranges), bi) <- UnicodeKernels.Buckets.zipWithIndex; (lo, hi) <- ranges) {
       assert(UnicodeKernels.classify(lo) == bi, s"$name lo")
