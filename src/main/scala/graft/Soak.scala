@@ -197,8 +197,9 @@ object Soak {
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SoakQueries)(s => SoakQueries.filter(s.contains))
     val runSemDedup = only.forall(_.contains("q_semdedup_kscaled"))
+    val runAnnIncKscaled = only.forall(_.contains("q_ann_incremental_kscaled"))
     // fail on a typo'd ONLY list BEFORE the expensive generate/warm phases
-    require(selected.nonEmpty || runSemDedup,
+    require(selected.nonEmpty || runSemDedup || runAnnIncKscaled,
       s"SPARK_GRAFT_SOAK_ONLY matched no soak queries: ${only.get.mkString(",")}")
 
     if (!Files.exists(Paths.get(soakDir, "_DONE"))) {
@@ -277,10 +278,48 @@ object Soak {
       ("q_semdedup_kscaled", bs, brows, ss, srows, ratio)
     }
 
-    val qjson = rows.map { case (n, bs, br, ss, sr, r) =>
+    // Incremental-ANN k ∝ N regime (round 11): the plain q_ann_incremental
+    // soak (fixed k=32 with a corpus-scaled batch) measured 126x at 100x —
+    // the fixed-k fan-in quadratic (|batch|·N/k candidates), on purpose the
+    // wrong regime. The scale path keeps per-cell occupancy constant
+    // (k = 32·scale) and hier-routes BOTH sides (O(√k) per row, probes
+    // co-partition-join instead of broadcasting).
+    val rows2 = if (!runAnnIncKscaled) rows else rows :+ {
+      import org.apache.spark.sql.functions.col
+      def annInc(dir: String, k: Int): Long = {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val history = emb.where(col("vec_id") % 3 =!= 0)
+        val batch = emb.where(col("vec_id") % 3 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val cents = graft.sim.Similarity.ivfTrainKMeans(
+          history, "vec_id", "embedding", k, iters = 2, hierAssign = true)
+        val index = graft.sim.Similarity.ivfIndex(
+          cents, history, "vec_id", "embedding", hierAssign = true)
+        graft.sim.Similarity.ivfProbeIndexHier(
+            cents, index, batch, "vec_id", "qid", "qv", k = 5)
+          .queryExecution.toRdd.count()
+      }
+      annInc(baseDir, 32) // warm
+      def timeAnn(dir: String, k: Int): (Double, Long) = {
+        val samples = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val n = annInc(dir, k)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        (samples.map(_._1).min, samples.head._2)
+      }
+      val (bs, brows) = timeAnn(baseDir, 32)
+      val (ss, srows) = timeAnn(soakDir, 32 * scale)
+      val ratio = ss / bs
+      System.err.println(
+        f"[soak] q_ann_incremental_kscaled base ${bs}%6.2fs ($brows%d rows)  soak ${ss}%6.2fs ($srows%d rows)  ratio ${ratio}%5.2fx")
+      ("q_ann_incremental_kscaled", bs, brows, ss, srows, ratio)
+    }
+
+    val qjson = rows2.map { case (n, bs, br, ss, sr, r) =>
       s""""$n":{"base_s":$bs,"base_rows":$br,"soak_s":$ss,"soak_rows":$sr,"ratio":$r}"""
     }.mkString("{", ",", "}")
-    val worst = rows.map(_._6).max
+    val worst = rows2.map(_._6).max
     val cliqueJson = if (clique > 0) s""","clique":$clique""" else ""
     val line =
       s"""{"metric":"soak_worst_ratio","value":$worst,"unit":"x","scale":$scale$cliqueJson,"reps":$reps,"stat":"min","queries":$qjson,"base":"$baseDir","loadavg_start":"$load0","loadavg_end":"$loadavg"}"""
