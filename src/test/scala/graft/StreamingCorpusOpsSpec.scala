@@ -287,4 +287,39 @@ class StreamingCorpusOpsSpec extends AnyFunSuite with SparkTestSession {
         Map(10L -> 0L, 11L -> 1000L, 12L -> 500L))
     } finally sq.stop()
   }
+
+  test("unicode text path is stateless-map streaming-safe (nfc/script/tokens)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.UnicodeText
+    // NFC + script ID + token stats are pure projections: the same Column
+    // expressions run unchanged on a readStream in append mode, and the
+    // streamed rows equal the batch projection of the union (the ingest-
+    // time multilingual triage shape: normalize -> route by script)
+    val rows = Seq(
+      (1L, "résumé data"),            // NFD -> folds under NFC
+      (2L, "Привет мир"),
+      (3L, "世界模型"))
+    def project(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      md5(UnicodeText.nfc(col("text"))).as("nfc_md5"),
+      UnicodeText.dominantScript(UnicodeText.scriptCounts(col("text"))).as("script"),
+      graft.functions.UnicodeExpressions.uTokenStats(col("text"))(0).as("n_tokens"))
+    val batch = project(rows.toDF("doc_id", "text"))
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+
+    val stream = MemoryStream[(Long, String)]
+    val sq = project(stream.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("unicode_parity")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.take(1)); sq.processAllAvailable()
+      stream.addData(rows.drop(1)); sq.processAllAvailable()
+      val streamed = spark.table("unicode_parity")
+        .as[(Long, String, String, Long)].collect().sorted.toSeq
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      val byId = batch.map(r => r._1 -> r._3).toMap
+      assert(byId == Map(1L -> "latn", 2L -> "cyrl", 3L -> "hani"))
+    } finally sq.stop()
+  }
 }
