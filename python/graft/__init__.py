@@ -799,14 +799,28 @@ def pca_project(corpus, group_col, vec_col, dim, iters=8):
 
 # -------------------------------------------------- round-11 wrappers
 
+def _active_session():
+    """Resolve the active SparkSession for column-level wrappers (which have
+    no DataFrame to derive it from). getActiveSession() can return None on a
+    non-driver thread — fall back to the default session, and fail with a
+    clear message instead of an opaque AttributeError on the jvm handle."""
+    from pyspark.sql import SparkSession as _S
+    spark = _S.getActiveSession()
+    if spark is None:
+        spark = _S._instantiatedSession
+    if spark is None:
+        raise RuntimeError(
+            "no active SparkSession: create one before calling graft "
+            "column functions (SparkSession.builder.getOrCreate())")
+    return spark
+
+
 def nfc_normalize(col):
     """Column -> Column: NFC canonicalization (UAX #15) via the codegen'd
     kernel — the multilingual dedup pre-step (NFD combining-mark variants
     fold onto one byte sequence before hashing)."""
     from pyspark.sql.column import Column as _PyCol
-    from pyspark.sql import SparkSession as _S
-    spark = _S.getActiveSession()
-    m = _module(spark, "graft.text.UnicodeText$")
+    m = _module(_active_session(), "graft.text.UnicodeText$")
     return _PyCol(m.nfc(col._jc))
 
 
@@ -815,9 +829,7 @@ def script_counts(col):
     the fixed 10-bucket codepoint-range table: digit, latn, grek, cyrl,
     hebr, arab, deva, kana, hani, hang)."""
     from pyspark.sql.column import Column as _PyCol
-    from pyspark.sql import SparkSession as _S
-    spark = _S.getActiveSession()
-    m = _module(spark, "graft.text.UnicodeText$")
+    m = _module(_active_session(), "graft.text.UnicodeText$")
     return _PyCol(m.scriptCounts(col._jc))
 
 
@@ -825,9 +837,7 @@ def dominant_script(counts_col):
     """Column -> Column: deterministic dominant-script argmax over a
     script_counts histogram ('und' when no letter bucket is hit)."""
     from pyspark.sql.column import Column as _PyCol
-    from pyspark.sql import SparkSession as _S
-    spark = _S.getActiveSession()
-    m = _module(spark, "graft.text.UnicodeText$")
+    m = _module(_active_session(), "graft.text.UnicodeText$")
     return _PyCol(m.dominantScript(counts_col._jc))
 
 
@@ -835,9 +845,7 @@ def u_tokens(col):
     """Column -> Column: case-preserving Unicode-category tokens (maximal
     \\p{L}\\p{M}\\p{N} runs; marks stay inside abugida words)."""
     from pyspark.sql.column import Column as _PyCol
-    from pyspark.sql import SparkSession as _S
-    spark = _S.getActiveSession()
-    m = _module(spark, "graft.text.UnicodeText$")
+    m = _module(_active_session(), "graft.text.UnicodeText$")
     return _PyCol(m.uTokens(col._jc))
 
 

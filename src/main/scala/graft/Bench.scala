@@ -159,10 +159,70 @@ object Bench {
     val errJson = errors.toSeq.sorted.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val totalMin = mins.map(_._2).sum
-    val contended = medians.zip(mins).exists { case ((_, med), (_, mn)) => med > 1.5 * mn + 0.15 }
-    if (contended)
-      System.err.println("[bench] WARNING: median >3x min for at least one query — " +
+    // Contention signals (round 12; the round-11 artifact ran 7.7×-inflated
+    // on a loaded host with exactly 1 effective rep, so min == median and
+    // the spread flag below could never fire — `contended: false` on a
+    // garbage measurement). Three independent detectors, each sufficient:
+    //  - spread: any query's median > 1.5×min + 0.15 (needs >= 2 reps);
+    //  - loadavg: the host was already busy when bench STARTED (pre-Spark
+    //    loadavg — our own executors contribute nothing to it yet). Only
+    //    armed when reps collapsed to 1 somewhere, because a freshly
+    //    finished sbt compile legitimately elevates loadavg on quiet runs;
+    //  - uniform inflation vs the pinned baseline: >= 50% of common queries
+    //    at >= 2× pin is environmental by construction — no code change
+    //    uniformly doubles 80+ unrelated plans at once.
+    val repsEffective = measured.map(n => times(n).size)
+    val repsEffMin = if (repsEffective.isEmpty) 0 else repsEffective.min
+    val spreadFlag = medians.zip(mins).exists { case ((_, med), (_, mn)) => med > 1.5 * mn + 0.15 }
+    val load1m = loadBefore.split(" ").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+    val loadFlag = repsEffMin <= 1 && load1m >= 2.0
+    val contendedReasons = scala.collection.mutable.ListBuffer[String]()
+    if (spreadFlag) contendedReasons += "median-spread"
+    if (loadFlag) contendedReasons += f"loadavg-$load1m%.1f-at-1-rep"
+    if (spreadFlag)
+      System.err.println("[bench] WARNING: median >1.5x min for at least one query — " +
         "host contention suspected; trust total_min/queries_min over the medians")
+    // pinned-baseline comparison, computed EARLY so uniform inflation can
+    // feed `contended` (serialized into bench.json further down)
+    val baselineCmp: Either[String, (Int, Map[String, Double])] = try {
+      import org.json4s._
+      implicit val fmts: Formats = DefaultFormats
+      if (!Files.exists(Paths.get("BASELINE.json"))) Left("no-baseline-file")
+      else {
+        val j = jackson.JsonMethods.parse(Files.readString(Paths.get("BASELINE.json")))
+        j \ "pinned_wall_seconds" match {
+          case JNothing => Left("no-pinned_wall_seconds")
+          case p =>
+            val pinSf = (p \ "sf").extractOpt[String]
+            if (!pinSf.contains(new java.io.File(sfDir).getName))
+              Left(s"sf-mismatch:pin=${pinSf.getOrElse("?")}")
+            else ((p \ "round").extractOpt[Int], (p \ "queries").extractOpt[Map[String, Double]]) match {
+              case (Some(rnd), Some(base)) if base.nonEmpty => Right((rnd, base))
+              case _ => Left("pin-schema-drift")
+            }
+        }
+      }
+    } catch {
+      case _: java.io.IOException => Left("baseline-io-error")
+      case e if e.getClass.getName.startsWith("com.fasterxml.jackson") ||
+        e.getClass.getName.startsWith("org.json4s") => Left("baseline-parse-error")
+      // anything else is a bug in this comparison, not a missing pin —
+      // name the class so it can't masquerade as "no baseline pinned"
+      // (bench must still print its JSON line, so don't propagate)
+      case scala.util.control.NonFatal(e) => Left("unexpected:" + e.getClass.getSimpleName)
+    }
+    val uniformFlag = baselineCmp match {
+      case Right((_, base)) =>
+        val ratios = mins.collect { case (n, v) if base.contains(n) => v / base(n) }
+        ratios.size >= 20 && ratios.count(_ >= 2.0) * 2 >= ratios.size
+      case Left(_) => false
+    }
+    if (uniformFlag) contendedReasons += "uniform-baseline-inflation"
+    val contended = spreadFlag || loadFlag || uniformFlag
+    if (contended && !spreadFlag)
+      System.err.println(s"[bench] WARNING: contended (${contendedReasons.mkString(",")}) — " +
+        "treat this artifact as degraded; re-run on a quiet host")
     val loadAfter = loadavg
     // Adaptive stdout line: start at 2-decimal medians; if the query count
     // has grown past what 2000 bytes holds, drop to 1 decimal, then omit
@@ -183,7 +243,7 @@ object Bench {
       // always aggregate every measured query even when the queries map is
       // truncated to fit the driver's 2000-byte stdout tail capture; the
       // full per-query map is always in the committed bench.json
-      s"""{"metric":"total","value":${r(totalMin)},"unit":"sec","stat":"min","covered":${measured.size},"book":${names.size},"queries":$qm,"errors":$errJson,"reps":$reps,"sf":${jq(sfDir)},"total_min":${r(totalMin)},"total_median":${r(total)},"contended":$contended$om$rt}"""
+      s"""{"metric":"total","value":${r(totalMin)},"unit":"sec","stat":"min","covered":${measured.size},"book":${names.size},"queries":$qm,"errors":$errJson,"reps":$reps,"reps_eff_min":$repsEffMin,"sf":${jq(sfDir)},"total_min":${r(totalMin)},"total_median":${r(total)},"contended":$contended$om$rt}"""
     }
     val byCost = mins.sortBy(-_._2)
     var stdoutLine = buildLine(2, mins, 0)
@@ -205,55 +265,25 @@ object Bench {
     // "vs_baseline":"unavailable:<reason>" marker instead, and only
     // expected parse/IO failures are swallowed into it; gate tooling
     // (tools/baseline_gate.py) fails loudly on the marker.
-    val vsBaselineJson: String = {
-      sealed trait Cmp
-      case class Ok(round: Int, base: Map[String, Double]) extends Cmp
-      case class Unavailable(reason: String) extends Cmp
-      val cmp: Cmp = try {
-        import org.json4s._
-        implicit val fmts: Formats = DefaultFormats
-        if (!Files.exists(Paths.get("BASELINE.json"))) Unavailable("no-baseline-file")
+    val vsBaselineJson: String = baselineCmp match {
+      case Right((rnd, base)) =>
+        val common = mins.filter { case (n, _) => base.contains(n) }
+        if (common.isEmpty) s""","vs_baseline":${jq("unavailable:no-common-queries")}"""
         else {
-          val j = jackson.JsonMethods.parse(Files.readString(Paths.get("BASELINE.json")))
-          j \ "pinned_wall_seconds" match {
-            case JNothing => Unavailable("no-pinned_wall_seconds")
-            case p =>
-              val pinSf = (p \ "sf").extractOpt[String]
-              if (!pinSf.contains(new java.io.File(sfDir).getName))
-                Unavailable(s"sf-mismatch:pin=${pinSf.getOrElse("?")}")
-              else ((p \ "round").extractOpt[Int], (p \ "queries").extractOpt[Map[String, Double]]) match {
-                case (Some(rnd), Some(base)) if base.nonEmpty => Ok(rnd, base)
-                case _ => Unavailable("pin-schema-drift")
-              }
-          }
+          val ratios = common.map { case (n, v) => n -> v / base(n) }
+          val totRatio = common.map(_._2).sum / common.map(c => base(c._1)).sum
+          val regress = ratios.filter(_._2 >= 1.5).sortBy(-_._2)
+            .map { case (k, v) => jq(k) + ":" + r2(v) }.mkString("{", ",", "}")
+          s""","baseline_round":$rnd,"vs_baseline_total":${r4(totRatio)},"vs_baseline_worst":${r4(ratios.map(_._2).max)},"vs_baseline_regressions":$regress"""
         }
-      } catch {
-        case _: java.io.IOException => Unavailable("baseline-io-error")
-        case e if e.getClass.getName.startsWith("com.fasterxml.jackson") ||
-          e.getClass.getName.startsWith("org.json4s") => Unavailable("baseline-parse-error")
-        // anything else is a bug in this comparison, not a missing pin —
-        // name the class so it can't masquerade as "no baseline pinned"
-        // (bench must still print its JSON line, so don't propagate)
-        case scala.util.control.NonFatal(e) => Unavailable("unexpected:" + e.getClass.getSimpleName)
-      }
-      cmp match {
-        case Ok(rnd, base) =>
-          val common = mins.filter { case (n, _) => base.contains(n) }
-          if (common.isEmpty) s""","vs_baseline":${jq("unavailable:no-common-queries")}"""
-          else {
-            val ratios = common.map { case (n, v) => n -> v / base(n) }
-            val totRatio = common.map(_._2).sum / common.map(c => base(c._1)).sum
-            val regress = ratios.filter(_._2 >= 1.5).sortBy(-_._2)
-              .map { case (k, v) => jq(k) + ":" + r2(v) }.mkString("{", ",", "}")
-            s""","baseline_round":$rnd,"vs_baseline_total":${r4(totRatio)},"vs_baseline_worst":${r4(ratios.map(_._2).max)},"vs_baseline_regressions":$regress"""
-          }
-        case Unavailable(reason) =>
-          System.err.println(s"[bench] vs-baseline comparison unavailable: $reason")
-          s""","vs_baseline":${jq("unavailable:" + reason)}"""
-      }
+      case Left(reason) =>
+        System.err.println(s"[bench] vs-baseline comparison unavailable: $reason")
+        s""","vs_baseline":${jq("unavailable:" + reason)}"""
     }
+    val repsEffJson = measured.map(n => jq(n) + ":" + times(n).size).mkString("{", ",", "}")
+    val reasonsJson = contendedReasons.toSeq.map(jq).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${r4(totalMin)},"unit":"sec","stat":"min","covered":${measured.size},"book":${names.size},"queries":$qsMin,"errors":$errJson,"reps":$reps,"sf":${jq(sfDir)},"total_min":${r4(totalMin)},"total_median":${r4(total)},"queries_min":$qsMin,"queries_median":$qs,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended,"retried":$retriedJson$vsBaselineJson}"""
+      s"""{"metric":"total","value":${r4(totalMin)},"unit":"sec","stat":"min","covered":${measured.size},"book":${names.size},"queries":$qsMin,"errors":$errJson,"reps":$reps,"reps_effective_min":$repsEffMin,"reps_effective":$repsEffJson,"sf":${jq(sfDir)},"total_min":${r4(totalMin)},"total_median":${r4(total)},"queries_min":$qsMin,"queries_median":$qs,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended,"contended_reasons":$reasonsJson,"retried":$retriedJson$vsBaselineJson}"""
     println(stdoutLine)
     Files.writeString(Paths.get("bench.json"), fullLine + "\n")
     Files.writeString(Paths.get("bench_raw.json"),

@@ -388,7 +388,7 @@ object ModelQueries {
       val docs = t(s, dir, "documents").where(col("n_chars") > 130)
         .select(col("doc_id"), col("text"))
       val corpus = docs.unionAll(docs.select(
-        (col("doc_id") + 500000L).as("doc_id"),
+        (col("doc_id") + 20000000L).as("doc_id"),
         concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text")))
       val withVid = Multimodal.withVideoPayload(corpus, "text")
       Multimodal.videoFingerprint(withVid, "doc_id", "payload")
@@ -408,7 +408,7 @@ object ModelQueries {
       val docs = t(s, dir, "documents").where(col("n_chars") > 130)
         .select(col("doc_id"), col("text"))
       val corpus = docs.unionAll(docs.select(
-        (col("doc_id") + 500000L).as("doc_id"),
+        (col("doc_id") + 20000000L).as("doc_id"),
         concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text")))
       val withWav = Multimodal.withAudioPayload(corpus, "text")
       Multimodal.audioFingerprint(withWav, "doc_id", "payload")
@@ -430,7 +430,7 @@ object ModelQueries {
       val docs = t(s, dir, "documents").where(col("n_chars") > 130)
         .select(col("doc_id"), col("text"))
       val corpus = docs.unionAll(docs.select(
-        (col("doc_id") + 500000L).as("doc_id"),
+        (col("doc_id") + 20000000L).as("doc_id"),
         concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text")))
       val withBin = Multimodal.withImagePayload(corpus, "text")
       Multimodal.perceptualHash(withBin, "doc_id", "payload")
@@ -453,15 +453,43 @@ object ModelQueries {
       val docs = t(s, dir, "documents").where(col("n_chars") > 130)
         .select(col("doc_id"), col("text"))
       val variant = docs.select(
-        (col("doc_id") + 500000L).as("doc_id"),
+        (col("doc_id") + 20000000L).as("doc_id"),
         concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text"))
-      val pngDocs = docs.select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+      val pngDocs = docs.select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
       val bmpSide = Multimodal.withImagePayload(docs.unionAll(variant), "text")
       val pngSide = Multimodal.withPngPayload(pngDocs, "text")
       val corpus = docs.unionAll(variant).unionAll(pngDocs)
       Multimodal.perceptualHash(
           bmpSide.select(col("doc_id"), col("payload"))
             .unionAll(pngSide.select(col("doc_id"), col("payload"))),
+          "doc_id", "payload")
+        .join(corpus.select(col("doc_id"), md5(col("text")).as("ch")), Seq("doc_id"))
+        .where(col("phash").isNotNull)
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("ch")).as("n_contents"),
+          min(col("doc_id")).as("canonical_id"))
+        .orderBy(col("phash"))
+    }),
+
+    "q_image_dedup_jpeg" -> ((s, dir) => {
+      // BMP ↔ JPEG cross-format perceptual dedup (round 12): per source doc
+      // a mosaic-contract BMP and a REAL baseline JPEG (hand-built ITU-T
+      // T.81 stream — unit quant tables, DC-only uniform blocks, so the
+      // LOSSY codec round-trips byte-exactly; MultimodalSpec pins
+      // decode ≡ mosaic). Byte-different containers, one decoded raster:
+      // dHash groups the pair, byte-hash dedup sees two singletons. The
+      // decode rides javax.imageio's actual JPEG path (marker parse,
+      // Huffman decode, dequantize, IDCT, YCbCr→RGB).
+      val docs = t(s, dir, "documents").where(col("n_chars") > 130)
+        .select(col("doc_id"), col("text"))
+      val jpgDocs = docs.select((col("doc_id") + 70000000L).as("doc_id"), col("text"))
+      val bmpSide = Multimodal.withMosaicBmpPayload(docs, "text")
+      val jpgSide = Multimodal.withJpegPayload(jpgDocs, "text")
+      val corpus = docs.unionAll(jpgDocs)
+      Multimodal.perceptualHash(
+          bmpSide.select(col("doc_id"), col("payload"))
+            .unionAll(jpgSide.select(col("doc_id"), col("payload"))),
           "doc_id", "payload")
         .join(corpus.select(col("doc_id"), md5(col("text")).as("ch")), Seq("doc_id"))
         .where(col("phash").isNotNull)
@@ -836,7 +864,7 @@ object ModelQueries {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE n_chars > 130
       |  UNION ALL
-      |  SELECT doc_id + 500000,
+      |  SELECT doc_id + 20000000,
       |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
       |  FROM documents WHERE n_chars > 130
       |),
@@ -866,17 +894,54 @@ object ModelQueries {
   /** q_image_dedup_png replay: the phash contract is over the DECODED
     * raster, which is payload-format-independent — so the PNG arm is the
     * same pixel formula on the same text, just a third corpus slice
-    * (doc_id + 700000, text unchanged). The format difference lives
+    * (doc_id + 50000000, text unchanged). The format difference lives
     * entirely in the Spark-side decode (ImageIO PNG vs contract BMP). */
+  /** Contract replay of q_image_dedup_jpeg: the mosaic raster is
+    * w = 8·wb × h = 8·hb with pixel (x, y) = ord(text[((y/8)·wb + x/8) mod n]),
+    * wb/hb from the first two bytes; the JPEG slice (+70000000) shares the
+    * raster byte-exactly (DC-only blocks, unit quant — MultimodalSpec), so
+    * its phash is the SAME formula on the same text. dHash bits as in the
+    * image replay, gradients over the mosaic. */
+  private def imageDedupJpegOracle: String = {
+    def px(xExpr: String) =
+      s"""ord(substring(text,
+         |      CAST((((i // (8*wb - 1)) // 8) * wb + ($xExpr) // 8) % n + 1 AS INT), 1))""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE n_chars > 130
+       |  UNION ALL
+       |  SELECT doc_id + 70000000, text FROM documents WHERE n_chars > 130
+       |),
+       |geom AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |    4 + ord(substring(text, 1, 1)) % 8 AS wb,
+       |    4 + ord(substring(text, 2, 1)) % 8 AS hb
+       |  FROM corpus
+       |),
+       |ph AS (
+       |  SELECT doc_id, md5(text) AS ch,
+       |    CAST(coalesce(list_sum(list_transform(range(least((8*wb - 1) * 8*hb, 63)), i ->
+       |      CASE WHEN ${px("(i % (8*wb - 1)) + 1")} >
+       |                ${px("i % (8*wb - 1)")}
+       |           THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)),
+       |      0) AS BIGINT) AS phash
+       |  FROM geom
+       |)
+       |SELECT phash,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(count(DISTINCT ch) AS BIGINT) AS n_contents,
+       |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+       |FROM ph GROUP BY phash ORDER BY phash""".stripMargin
+  }
+
   private def imageDedupPngOracle: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE n_chars > 130
       |  UNION ALL
-      |  SELECT doc_id + 500000,
+      |  SELECT doc_id + 20000000,
       |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
       |  FROM documents WHERE n_chars > 130
       |  UNION ALL
-      |  SELECT doc_id + 700000, text FROM documents WHERE n_chars > 130
+      |  SELECT doc_id + 50000000, text FROM documents WHERE n_chars > 130
       |),
       |geom AS (
       |  SELECT doc_id, text, length(text) AS n,
@@ -909,7 +974,7 @@ object ModelQueries {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE n_chars > 130
       |  UNION ALL
-      |  SELECT doc_id + 500000,
+      |  SELECT doc_id + 20000000,
       |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
       |  FROM documents WHERE n_chars > 130
       |),
@@ -949,7 +1014,7 @@ object ModelQueries {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE n_chars > 130
       |  UNION ALL
-      |  SELECT doc_id + 500000,
+      |  SELECT doc_id + 20000000,
       |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
       |  FROM documents WHERE n_chars > 130
       |),
@@ -1267,6 +1332,8 @@ object ModelQueries {
     "q_multimodal_audio" -> multimodalAudioOracle,
     "q_image_dedup" -> imageDedupOracle,
     "q_image_dedup_png" -> imageDedupPngOracle,
+
+    "q_image_dedup_jpeg" -> imageDedupJpegOracle,
     "q_audio_dedup" -> audioDedupOracle,
     "q_video_dedup" -> videoDedupOracle,
     "q_multimodal_video" -> multimodalVideoOracle,

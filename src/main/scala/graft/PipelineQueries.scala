@@ -681,7 +681,7 @@ object PipelineQueries {
       val d = t(s, dir, "documents")
       val corpus = d.select(col("doc_id"), col("text"), col("source"))
         .unionAll(d.where(pmod(col("doc_id"), lit(5)) === 0)
-          .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+          .select((col("doc_id") + 60000000L).as("doc_id"), col("text"),
             concat(lit("mirror_"), col("source")).as("source")))
       ExactDedup.sourceOverlap(corpus, "text", "source")
         .orderBy(col("source_a"), col("source_b"))
@@ -1136,9 +1136,13 @@ object PipelineQueries {
    * `cf` (final centroids) and `cellsf` (final corpus assignment).
    */
   /** `src` is the training-corpus table expression (default the full
-    * embeddings table; incremental-index oracles pass a filtered subquery). */
+    * embeddings table; incremental-index oracles pass a filtered subquery).
+    * `limitExpr` is the quantizer size k as a SQL expression — a literal for
+    * the fixed-k rows, a COUNT-derived scalar subquery for the k ∝ N regime
+    * (q_ann_incremental_kscaled), mirroring ivfTrainKMeans' k argument. */
   private[graft] def kmeansReplayCtes(iters: Int, dim: Int,
-                                      src: String = "embeddings"): String = {
+                                      src: String = "embeddings",
+                                      limitExpr: String = "32"): String = {
     def assign(centsCte: String, name: String): String =
       s"""$name AS (
          |  SELECT vec_id, cv, cell FROM (
@@ -1167,7 +1171,8 @@ object PipelineQueries {
          |  SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT) AS cid,
          |         list_transform(cvec, v -> CAST(v AS DOUBLE)) AS cvec
          |  FROM (SELECT vec_id AS cid, embedding AS cvec FROM $src
-         |        ORDER BY (1103515245*(vec_id+7)+12345) % 2147483647, vec_id LIMIT 32)
+         |        QUALIFY row_number() OVER (
+         |          ORDER BY (1103515245*(vec_id+7)+12345) % 2147483647, vec_id) <= $limitExpr)
          |)""".stripMargin
     val iterCtes = (0 until iters).flatMap { it =>
       Seq(assign(s"c$it", s"cells$it"), means(s"cells$it", s"m$it"),
@@ -1176,6 +1181,91 @@ object PipelineQueries {
     ((init +: iterCtes) :+ assign(s"c$iters", "cellsf"))
       .mkString(",\n") + s",\ncf AS (SELECT * FROM c$iters)"
   }
+
+  /**
+   * Replay of [[graft.sim.Similarity.ivfCellExprHier]]'s driver-side coarse
+   * structure over the final fine centroids `cf`: kc = ceil(sqrt(k)) coarse
+   * cells seeded by the lcg order of the fine cids, refined by exactly 3
+   * routing+quantized-mean passes (the Scala loop is `while (it < 3)`), with
+   * empty coarse cells keeping their previous vector. Emits:
+   *   hc0..hc3  coarse centroids per pass (l = coarse index in seed order)
+   *   rt0..rt2  fine→coarse routing per pass (rt2 = the kernel's segments,
+   *             computed against hc2 — the Scala route/coarse off-by-one)
+   *   hlive     coarse cells with >=1 routed fine centroid under rt2
+   *   hcf       the kernel's live coarse centroids (hc3 restricted to hlive)
+   */
+  private[graft] def hierReplayCtes(dim: Int): String = {
+    val kcExpr =
+      "(SELECT greatest(1, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM cf)"
+    def route(centsCte: String, name: String): String =
+      s"""$name AS (
+         |  SELECT cid, cvec, l FROM (
+         |    SELECT f.cid, f.cvec, h.l,
+         |      row_number() OVER (PARTITION BY f.cid
+         |        ORDER BY ${cosineSql("f.cvec", "h.cvec")} DESC, h.l ASC) AS rk
+         |    FROM cf f CROSS JOIN $centsCte h) WHERE rk = 1
+         |)""".stripMargin
+    def means(routeCte: String, name: String): String = {
+      val sums = (0 until dim).map { d =>
+        s"CAST(sum(CAST(floor(CAST(cvec[${d + 1}] AS DOUBLE)*65536.0E0 + 0.5E0) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE)*65536.0E0)"
+      }.mkString(",\n      ")
+      s"""$name AS (
+         |  SELECT l, [
+         |      $sums] AS mean
+         |  FROM $routeCte GROUP BY l
+         |)""".stripMargin
+    }
+    def refresh(prevCents: String, meansCte: String, name: String): String =
+      s"""$name AS (
+         |  SELECT o.l, CASE WHEN m.l IS NULL THEN o.cvec ELSE m.mean END AS cvec
+         |  FROM $prevCents o LEFT JOIN $meansCte m ON m.l = o.l
+         |)""".stripMargin
+    val init =
+      s"""hc0 AS (
+         |  SELECT CAST(row_number() OVER (
+         |      ORDER BY (1103515245*(cid+7)+12345) % 2147483647, cid) - 1 AS BIGINT) AS l,
+         |    cvec
+         |  FROM cf
+         |  QUALIFY row_number() OVER (
+         |      ORDER BY (1103515245*(cid+7)+12345) % 2147483647, cid) <= $kcExpr
+         |)""".stripMargin
+    val iterCtes = (0 until 3).flatMap { it =>
+      Seq(route(s"hc$it", s"rt$it"), means(s"rt$it", s"hm$it"),
+        refresh(s"hc$it", s"hm$it", s"hc${it + 1}"))
+    }
+    ((init +: iterCtes) :+
+      "hlive AS (SELECT DISTINCT l FROM rt2)" :+
+      "hcf AS (SELECT h.l, h.cvec FROM hc3 h JOIN hlive USING (l))")
+      .mkString(",\n")
+  }
+
+  /**
+   * Replay of [[graft.functions.HierCentroidKernel.nearest]] for every row of
+   * `srcCte` (columns `idCol`, `vecCol`): rank the live coarse cells by
+   * (cosine DESC, l ASC), keep the top min(4, |live|) probes, then exact
+   * argmax over the probed cells' routed fine centroids with ties to the
+   * smallest cid. Requires [[hierReplayCtes]] CTEs in scope. Emits
+   * `${name}_cp` (probe set) and `$name` = ($idCol, cell).
+   */
+  private[graft] def hierAssignCtes(
+      name: String, srcCte: String, idCol: String, vecCol: String): String =
+    s"""${name}_cp AS (
+       |  SELECT id, l FROM (
+       |    SELECT x.$idCol AS id, h.l,
+       |      row_number() OVER (PARTITION BY x.$idCol
+       |        ORDER BY ${cosineSql(s"x.$vecCol", "h.cvec")} DESC, h.l ASC) AS rk
+       |    FROM $srcCte x CROSS JOIN hcf h
+       |  ) WHERE rk <= (SELECT least(4, count(*)) FROM hlive)
+       |),
+       |$name AS (
+       |  SELECT id AS $idCol, cell FROM (
+       |    SELECT cp.id, r.cid AS cell,
+       |      row_number() OVER (PARTITION BY cp.id
+       |        ORDER BY ${cosineSql(s"x.$vecCol", "r.cvec")} DESC, r.cid ASC) AS rk
+       |    FROM $srcCte x JOIN ${name}_cp cp ON cp.id = x.$idCol
+       |         JOIN rt2 r ON r.l = cp.l
+       |  ) WHERE rk = 1
+       |)""".stripMargin
 
   private def annIvfOracle: String =
     s"""WITH ${kmeansReplayCtes(iters = 2, dim = 64)},
@@ -1882,7 +1972,7 @@ object PipelineQueries {
       s"""WITH c AS (
          |  SELECT doc_id, text, source FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 200000, text, 'mirror_' || source FROM documents WHERE doc_id % 5 = 0
+         |  SELECT doc_id + 60000000, text, 'mirror_' || source FROM documents WHERE doc_id % 5 = 0
          |),
          |hs AS (SELECT DISTINCT md5(text) AS h, source FROM c)
          |SELECT l.source AS source_a, r.source AS source_b,

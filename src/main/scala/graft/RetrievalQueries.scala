@@ -115,10 +115,10 @@ object RetrievalQueries {
       // blocked edit-distance entity resolution over canonicalized 32-char
       // prefixes, pigeonhole 4-piece blocking, df-capped blocks, exact
       // levenshtein verify; corpus enriched with planted 1-substitution
-      // mutants (doc_id+400000) so the fixture exercises dist 1 matches.
+      // mutants (doc_id+10000000) so the fixture exercises dist 1 matches.
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val mut = docs.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"),
+        .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(lit("z"), expr("substring(text, 2)")).as("text"))
       FuzzyJoin.editDistancePairs(docs.unionByName(mut), "doc_id", "text",
           prefixLen = 32, maxDist = 3, maxBlock = 64)
@@ -128,17 +128,17 @@ object RetrievalQueries {
     "q_fuzzy_join_indel" -> ((s, dir) => {
       // indel-complete ER (round 11): PassJoin-style segment×shifted-window
       // blocking guarantees recall for ≤3 edits INCLUDING insertions and
-      // deletions; corpus planted with 1-substitution (+400000),
-      // 1-insertion (+500000) and 1-deletion (+550000) mutants
+      // deletions; corpus planted with 1-substitution (+10000000),
+      // 1-insertion (+20000000) and 1-deletion (+30000000) mutants
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val sub = docs.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"),
+        .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(lit("z"), expr("substring(text, 2)")).as("text"))
       val ins = docs.where(col("doc_id") % 7 === 1)
-        .select((col("doc_id") + 500000L).as("doc_id"),
+        .select((col("doc_id") + 20000000L).as("doc_id"),
           concat(expr("substring(text, 1, 4)"), lit("x"), expr("substring(text, 5)")).as("text"))
       val del = docs.where(col("doc_id") % 7 === 2)
-        .select((col("doc_id") + 550000L).as("doc_id"),
+        .select((col("doc_id") + 30000000L).as("doc_id"),
           concat(expr("substring(text, 1, 4)"), expr("substring(text, 6)")).as("text"))
       FuzzyJoin.editDistancePairsIndel(
           docs.unionByName(sub).unionByName(ins).unionByName(del),
@@ -161,6 +161,31 @@ object RetrievalQueries {
       Similarity.ivfProbeIndex(cents, index, batch, "vec_id", "qid", "qv",
           k = 5, nprobe = 2)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q_ann_incremental_kscaled" -> ((s, dir) => {
+      // the k ∝ N regime of the incremental index (round 12, closing the
+      // round-11 weak finding): q_ann_incremental's fixed-k probe ranks ALL
+      // k centroids per query, so a corpus-sized batch does |batch|·(N/k)
+      // candidate work — its own scale-100 soak measured 125.8× wall for
+      // 100× data. Here the quantizer size tracks the corpus (k = Nh/16,
+      // constant ~16-vector cells), BOTH sides route through the O(√k)
+      // hierarchical assignment kernel, and the probe is one co-partitioned
+      // equi-join on cell (no broadcast, no all-k ranking) — 3.81×@100× in
+      // SOAK_r11_ann_kscaled_scale100. The DuckDB oracle replays the full
+      // two-level structure: Lloyd over history, coarse-Lloyd over the
+      // centroids, multi-probe routing, per-cell exact rank.
+      val emb = t(s, dir, "embeddings")
+      val history = emb.where(col("vec_id") % 3 =!= 0)
+      val batch = emb.where(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val nh = history.count()
+      val k = math.max(16, ((nh + 15L) / 16L).toInt) // k ∝ N: ~16-vector cells
+      val cents = Similarity.ivfTrainKMeans(history, "vec_id", "embedding", k, iters = 2)
+      val index = Similarity.ivfIndex(cents, history, "vec_id", "embedding",
+        hierAssign = true)
+      Similarity.ivfProbeIndexHier(cents, index, batch, "vec_id", "qid", "qv", k = 8)
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -176,7 +201,8 @@ object RetrievalQueries {
 
   // ==================================================================== oracle
 
-  import PipelineQueries.{duckToks, duckShingleSet, cosineSql, kmeansReplayCtes}
+  import PipelineQueries.{duckToks, duckShingleSet, cosineSql, kmeansReplayCtes,
+    hierReplayCtes, hierAssignCtes}
 
   /** q_ann_incremental replay: the Lloyd CTE chain over the HISTORY slice
     * (vec_id % 3 != 0), then the batch probes cellsf exactly like the
@@ -201,6 +227,35 @@ object RetrievalQueries {
        |  FROM scored
        |)
        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** q_ann_incremental_kscaled replay — the full k ∝ N structure:
+    * k = max(16, ceil(Nh/16)) from the history count, the Lloyd chain at
+    * that k, the coarse-over-centroids refinement (hierReplayCtes), then
+    * BOTH history and batch routed through the multi-probe two-level
+    * assignment (hierAssignCtes = HierCentroidKernel.nearest), one equi-join
+    * on cell, exact per-query rank top-8. */
+  private def annIncrementalKscaledOracle: String = {
+    val kExpr = "(SELECT greatest(16, (count(*) + 15) // 16) FROM hist)"
+    s"""WITH hist AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 != 0),
+       |batchq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 3 = 0),
+       |${kmeansReplayCtes(iters = 2, dim = 64, src = "hist", limitExpr = kExpr)},
+       |${hierReplayCtes(dim = 64)},
+       |${hierAssignCtes("idxa", "hist", "vec_id", "embedding")},
+       |${hierAssignCtes("qa", "batchq", "qid", "qv")},
+       |scored AS (
+       |  SELECT q.qid, i.vec_id, ROUND(${cosineSql("i.embedding", "q.qv")}, 6) AS sim
+       |  FROM (SELECT a.vec_id, a.cell, h.embedding FROM idxa a JOIN hist h USING (vec_id)) i
+       |  JOIN (SELECT a.qid, a.cell, b.qv FROM qa a JOIN batchq b USING (qid)) q
+       |    ON i.cell = q.cell
+       |  WHERE i.vec_id != q.qid
+       |),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 8 ORDER BY qid, rank""".stripMargin
+  }
 
   /** Shared BM25 CTE chain ending in `bmr` = (doc_id, n_hit_terms, dl,
     * score_milli, rk) ranked by score desc, doc_id asc. */
@@ -265,6 +320,8 @@ object RetrievalQueries {
   def oracleSql: Map[String, String] = Map(
 
     "q_ann_incremental" -> annIncrementalOracle,
+
+    "q_ann_incremental_kscaled" -> annIncrementalKscaledOracle,
 
     "q_bm25" ->
       s"""WITH $bm25Ctes
@@ -393,7 +450,7 @@ object RetrievalQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 400000, 'z' || substring(text, 2) FROM documents WHERE doc_id % 7 = 0
+         |  SELECT doc_id + 10000000, 'z' || substring(text, 2) FROM documents WHERE doc_id % 7 = 0
          |),
          |canon AS (
          |  SELECT doc_id, substring(array_to_string(${duckToks()}, ' '), 1, 32) AS prefix
@@ -424,13 +481,13 @@ object RetrievalQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 400000, 'z' || substring(text, 2)
+         |  SELECT doc_id + 10000000, 'z' || substring(text, 2)
          |  FROM documents WHERE doc_id % 7 = 0
          |  UNION ALL
-         |  SELECT doc_id + 500000, substring(text, 1, 4) || 'x' || substring(text, 5)
+         |  SELECT doc_id + 20000000, substring(text, 1, 4) || 'x' || substring(text, 5)
          |  FROM documents WHERE doc_id % 7 = 1
          |  UNION ALL
-         |  SELECT doc_id + 550000, substring(text, 1, 4) || substring(text, 6)
+         |  SELECT doc_id + 30000000, substring(text, 1, 4) || substring(text, 6)
          |  FROM documents WHERE doc_id % 7 = 2
          |),
          |canon AS (
@@ -459,6 +516,17 @@ object RetrievalQueries {
          |    FROM wins0 WHERE length(piece) = 8)
          |  WHERE bn <= 64
          |),
+         |shorts AS (
+         |  SELECT * FROM (
+         |    SELECT rep, n, prefix, length(prefix) AS lk,
+         |      count(*) OVER (PARTITION BY length(prefix)) AS bn
+         |    FROM reps WHERE length(prefix) < 32)
+         |  WHERE bn <= 64
+         |),
+         |srx AS (
+         |  SELECT rep, n, prefix, length(prefix) + d.d AS lk
+         |  FROM reps CROSS JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS d) d
+         |),
          |cand AS (
          |  SELECT DISTINCT
          |    CASE WHEN s.rep < w.rep THEN s.rep ELSE w.rep END AS a,
@@ -468,6 +536,15 @@ object RetrievalQueries {
          |    CASE WHEN s.rep < w.rep THEN s.prefix ELSE w.prefix END AS pa,
          |    CASE WHEN s.rep < w.rep THEN w.prefix ELSE s.prefix END AS pb
          |  FROM segs s JOIN wins w ON s.pi = w.pi AND s.piece = w.piece AND s.rep != w.rep
+         |  UNION
+         |  SELECT DISTINCT
+         |    CASE WHEN s.rep < w.rep THEN s.rep ELSE w.rep END AS a,
+         |    CASE WHEN s.rep < w.rep THEN w.rep ELSE s.rep END AS b,
+         |    CASE WHEN s.rep < w.rep THEN s.n ELSE w.n END AS n_a,
+         |    CASE WHEN s.rep < w.rep THEN w.n ELSE s.n END AS n_b,
+         |    CASE WHEN s.rep < w.rep THEN s.prefix ELSE w.prefix END AS pa,
+         |    CASE WHEN s.rep < w.rep THEN w.prefix ELSE s.prefix END AS pb
+         |  FROM shorts s JOIN srx w ON s.lk = w.lk AND s.rep != w.rep
          |)
          |SELECT a, b, n_a, n_b, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
          |FROM cand WHERE levenshtein(pa, pb) <= 3 ORDER BY a, b""".stripMargin

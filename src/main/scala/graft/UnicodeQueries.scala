@@ -13,7 +13,7 @@ import graft.text.UnicodeText
  *  - q_unicode_normalize  NFC canonicalization (UAX #15): codepoint counts
  *                         before/after + byte-exact md5 of the NFC form
  *  - q_lang_script        script-histogram language ID over a pure
- *                         codepoint-range table (10 script buckets)
+ *                         codepoint-range table (11 script buckets)
  *  - q_unicode_tokens     Unicode-category tokenizer (\p{L}\p{M}\p{N} runs,
  *                         case-preserving) token statistics
  *
@@ -38,9 +38,12 @@ object UnicodeQueries {
   private val NfdSuffixA = " re\u0301sume\u0301 cafe\u0301"
   private val NfdSuffixB = " x\u0301y"
 
-  /** Multilingual replacement texts, index = doc_id div 9 mod 9. Each is
-    * dominated by one script (some mix latin words/digits to exercise the
-    * argmax); index 8 has digits only → dominant script "und". */
+  /** Multilingual replacement texts, index = doc_id div 9 mod MlTexts.size.
+    * Each is dominated by one script (some mix latin words/digits to
+    * exercise the argmax); index 8 has digits only → dominant script "und".
+    * Rows 9-10 (round 12) pin the extended bucket table: Vietnamese rides
+    * Latin Extended Additional tone-marked vowels → latn; Thai → the new
+    * thai bucket (and stays RUN-tokenized — no per-codepoint split). */
   private val MlTexts: Seq[String] = Seq(
     "Привет мир данные конвейер GPU 2024",        // cyrl (+ latn + digits)
     "世界模型数据管道处理系统训练语料",             // hani
@@ -50,28 +53,32 @@ object UnicodeQueries {
     "안녕하세요 세계 데이터 파이프라인",            // hang
     "שלום עולם נתוני אימון",                       // hebr
     "नमस्ते दुनिया प्रशिक्षण डेटा",                 // deva
-    "12345 !!! ??? 67890")                         // und (digits, no letters)
+    "12345 !!! ??? 67890",                         // und (digits, no letters)
+    "Xin chào thế giới dữ liệu huấn luyện mô hình", // latn (Vietnamese, Ext Additional)
+    "สวัสดีชาวโลกข้อมูลการฝึกอบรมโมเดล")           // thai
 
   /** Spark-side multilingual corpus: documents plus one replacement row per
-    * doc_id % 9 == 0 doc (id + 600000), text chosen by (doc_id div 9) % 9. */
+    * doc_id % 9 == 0 doc (id + 40000000), text chosen by
+    * (doc_id div 9) % MlTexts.size. */
   private def mlCorpus(docs: DataFrame): DataFrame = {
+    val m = MlTexts.size
     val choice = MlTexts.zipWithIndex.foldRight(lit(null: String)) { case ((s, i), els) =>
-      when(expr(s"(doc_id div 9) % 9") === i, lit(s)).otherwise(els)
+      when(expr(s"(doc_id div 9) % $m") === i, lit(s)).otherwise(els)
     }
     docs.select(col("doc_id"), col("text")).unionByName(
       docs.where(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 600000L).as("doc_id"), choice.as("text")))
+        .select((col("doc_id") + 40000000L).as("doc_id"), choice.as("text")))
   }
 
   /** DuckDB replay of [[mlCorpus]] (same constants, same arithmetic). */
   private def mlCorpusSql: String = {
     val cases = MlTexts.zipWithIndex
-      .map { case (s, i) => s"WHEN (doc_id // 9) % 9 = $i THEN '$s'" }
+      .map { case (s, i) => s"WHEN (doc_id // 9) % ${MlTexts.size} = $i THEN '$s'" }
       .mkString(" ")
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 600000, CASE $cases END AS text
+       |  SELECT doc_id + 40000000, CASE $cases END AS text
        |  FROM documents WHERE doc_id % 9 = 0
        |)""".stripMargin
   }
@@ -121,7 +128,7 @@ object UnicodeQueries {
     }),
 
     "q_lang_script" -> ((s, dir) => {
-      // script-histogram language ID: per-doc codepoint counts in the 10
+      // script-histogram language ID: per-doc codepoint counts in the 11
       // fixed script buckets + deterministic dominant-script argmax
       val sc = UnicodeText.scriptCounts(col("text"))
       val withCounts = mlCorpus(t(s, dir, "documents"))
@@ -194,7 +201,9 @@ object UnicodeQueries {
     "q_unicode_tokens" ->
       s"""WITH $mlCorpusSql,
          |tk AS (
-         |  SELECT doc_id, regexp_extract_all(text, '[\\p{L}\\p{M}\\p{N}]+') AS tks
+         |  SELECT doc_id, regexp_extract_all(
+         |    regexp_replace(text, '([${UnicodeKernels.cjkSplitClass}])', ' \\1 ', 'g'),
+         |    '[\\p{L}\\p{M}\\p{N}]+') AS tks
          |  FROM corpus
          |)
          |SELECT doc_id,

@@ -46,7 +46,7 @@ object Verify {
     "q_lsh_recall", "q_dedup_curve", "q_selfbleu", "q_burstiness",
     "q_seasonality", "q_ks_drift", "q_novelty", "q_rrf", "q_bm25",
     "q_percentiles_hist", "q_rank_eval", "q_fuzzy_join", "q_fuzzy_join_indel",
-    "q_novelty_incremental", "q_ann_incremental",
+    "q_novelty_incremental", "q_ann_incremental", "q_ann_incremental_kscaled",
     "q_user_concentration", "q_concentration_profile", "q_churn", "q_skipgram",
     "q_calibration",
     "q_anomaly_days", "q_session_stats", "q_ab_lift",
@@ -58,7 +58,8 @@ object Verify {
     "q1_pricing", "q3_shipping", "q_rand_gaussian",
     "q_ngram_jaccard", "q_pmm", "q_ann_topk", "q_ukf", "q_raukf", "q_ckf", "q_rts",
     "q_gmm", "q_bmm", "q_asof_join", "q_range_join", "q_ann_lsh", "q_embed_neardup", "q_rls",
-    "q_multistep", "q_multimodal", "q_image_dedup", "q_image_dedup_png", "q_audio_dedup",
+    "q_multistep", "q_multimodal", "q_image_dedup", "q_image_dedup_png",
+    "q_image_dedup_jpeg", "q_audio_dedup",
     "q_video_dedup", "q_multimodal_audio", "q_multimodal_video",
     "q_lkf_blr", "q_ekf", "q_lkf_llt", "q_outlier", "q_lms",
     "q_dedup_simhash", "q_mmae", "q_ann_ivf", "q_ann_ivf_kmeans", "q_silhouette",

@@ -37,15 +37,22 @@ object UnicodeKernels extends Serializable {
     * forms), because a fixed integer table replays in any engine forever. */
   val Buckets: Seq[(String, Seq[(Int, Int)])] = Seq(
     "digit" -> Seq((0x30, 0x39)),
-    "latn"  -> Seq((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)),
+    // latn includes Latin Extended Additional (0x1E00-0x1EFF) — Vietnamese
+    // (round 12; the round-11 table dropped its tone-marked vowels to
+    // unclassified, skewing dominant-script for Vietnamese corpora)
+    "latn"  -> Seq((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F), (0x1E00, 0x1EFF)),
     "grek"  -> Seq((0x370, 0x3FF)),
     "cyrl"  -> Seq((0x400, 0x4FF)),
     "hebr"  -> Seq((0x590, 0x5FF)),
     "arab"  -> Seq((0x600, 0x6FF)),
     "deva"  -> Seq((0x900, 0x97F)),
-    "kana"  -> Seq((0x3040, 0x30FF)),
-    "hani"  -> Seq((0x4E00, 0x9FFF)),
-    "hang"  -> Seq((0xAC00, 0xD7A3)))
+    // kana includes Katakana Phonetic Extensions + halfwidth Katakana
+    "kana"  -> Seq((0x3040, 0x30FF), (0x31F0, 0x31FF), (0xFF66, 0xFF9D)),
+    // hani includes CJK Extension A
+    "hani"  -> Seq((0x3400, 0x4DBF), (0x4E00, 0x9FFF)),
+    "hang"  -> Seq((0xAC00, 0xD7A3)),
+    // appended (not inserted) so rounds 11's bucket indices stay stable
+    "thai"  -> Seq((0x0E00, 0x0E7F)))
 
   val NumBuckets: Int = Buckets.length
 
@@ -79,10 +86,45 @@ object UnicodeKernels extends Serializable {
     t >= Character.UPPERCASE_LETTER && t <= Character.OTHER_NUMBER
   }
 
+  /** Scriptio-continua ranges tokenized PER CODEPOINT (round 12): Han and
+    * Kana have no word separators, so a maximal `\p{L}` run makes an entire
+    * Chinese/Japanese sentence ONE token — token counts, budget allocation
+    * and fertility were meaningless for those corpora. Splitting Han/Kana
+    * runs per codepoint is the standard fix (BERT's CJK treatment). A fixed
+    * RANGE table, not a property lookup, so the DuckDB oracle replays it as
+    * a regex class built from the same constants. Thai (also unspaced) is
+    * deliberately NOT split: its combining vowels/tone marks (`\p{M}`)
+    * would detach from their base consonants — runs stay the honest unit
+    * there. */
+  val CjkSplit: Seq[(Int, Int)] = Seq(
+    (0x3040, 0x30FF),   // Hiragana + Katakana (incl. combining kana marks)
+    (0x31F0, 0x31FF),   // Katakana Phonetic Extensions
+    (0x3400, 0x4DBF),   // CJK Unified Ideographs Extension A
+    (0x4E00, 0x9FFF),   // CJK Unified Ideographs
+    (0xFF66, 0xFF9D))   // halfwidth Katakana
+
+  /** The [[CjkSplit]] ranges as a regex character-class body,
+    * `\x{XXXX}-\x{XXXX}` escapes — identical syntax in Java regex and RE2. */
+  def cjkSplitClass: String =
+    CjkSplit.map { case (lo, hi) => f"\\x{$lo%04X}-\\x{$hi%04X}" }.mkString
+
+  @inline def isCjkSplitCp(cp: Int): Boolean = {
+    var i = 0
+    while (i < CjkSplitFlat.length) {
+      if (cp >= CjkSplitFlat(i) && cp <= CjkSplitFlat(i + 1)) return true
+      i += 2
+    }
+    false
+  }
+  private val CjkSplitFlat: Array[Int] =
+    CjkSplit.flatMap { case (lo, hi) => Seq(lo, hi) }.toArray
+
   /** One-pass (n_tokens, n_distinct, cp_len_sum) over the \p{L}\p{M}\p{N}
     * token runs of a string — replaces split + array_distinct + aggregate
     * HOF (the latter runs interpreted per token; this stays in whole-stage
-    * codegen with one HashSet per row and no intermediate arrays). */
+    * codegen with one HashSet per row and no intermediate arrays). Han/Kana
+    * codepoints ([[CjkSplit]]) each count as their OWN token (round 12),
+    * matching [[graft.text.UnicodeText.uTokens]]'s split-spacing rewrite. */
   def uTokenStats(text: UTF8String): UnsafeArrayData = {
     val s = text.toString
     val seen = new java.util.HashSet[String]()
@@ -92,8 +134,14 @@ object UnicodeKernels extends Serializable {
     var runStart = -1
     val n = s.length
     while (i <= n) {
-      val isTok = i < n && isTokenCp(s.codePointAt(i))
-      if (isTok) {
+      val cp = if (i < n) s.codePointAt(i) else -1
+      val isTok = i < n && isTokenCp(cp)
+      if (isTok && isCjkSplitCp(cp)) {
+        if (runStart >= 0) { nTokens += 1; seen.add(s.substring(runStart, i)); runStart = -1 }
+        nTokens += 1
+        seen.add(s.substring(i, i + Character.charCount(cp)))
+        cpLen += 1
+      } else if (isTok) {
         if (runStart < 0) runStart = i
         cpLen += 1
       } else if (runStart >= 0) {
@@ -101,7 +149,7 @@ object UnicodeKernels extends Serializable {
         seen.add(s.substring(runStart, i))
         runStart = -1
       }
-      i += (if (i < n) Character.charCount(s.codePointAt(i)) else 1)
+      i += (if (i < n) Character.charCount(cp) else 1)
     }
     UnsafeArrayData.fromPrimitiveArray(Array(nTokens, seen.size.toLong, cpLen))
   }

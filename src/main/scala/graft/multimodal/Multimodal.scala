@@ -231,6 +231,174 @@ object Multimodal {
     Option(src).map(buildPng).getOrElse(buildPng(Array.emptyByteArray))
   }
 
+  // --------------------------------------------------------------- JPEG side
+
+  /** Block-mosaic raster contract shared by [[buildBmpMosaic]] and
+    * [[buildJpeg]]: (wb, hb) = dims(src) 8×8 BLOCKS, pixel (x, y) of the
+    * 8wb × 8hb image is the uniform gray src[((y/8)*wb + (x/8)) mod n].
+    * Block-uniform on purpose: a JPEG block whose 64 pixels are one value
+    * has DC = 8·(v−128) and ALL AC coefficients zero, so with a unit
+    * quantization table the round trip is EXACT — the one image family
+    * where a lossy codec is byte-exact and therefore engine-replayable
+    * forever (MultimodalSpec pins decode(buildJpeg(s)) == mosaic(s)). */
+  @inline private def mosaicVal(src: Array[Byte], wb: Int, bx: Int, by: Int): Byte =
+    if (src.length == 0) 0 else src((by * wb + bx) % src.length)
+
+  /** A 24-bit BMP rendering of the block-mosaic contract (byte-different
+    * container, raster-identical to [[buildJpeg]] of the same source). */
+  private[graft] def buildBmpMosaic(src: Array[Byte]): Array[Byte] = {
+    val (wb, hb) = dims(src)
+    val w = 8 * wb; val h = 8 * hb
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val total = 54 + rowSize * h
+    val out = new Array[Byte](total)
+    def putIntLE(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putIntLE(2, total)
+    putIntLE(10, 54)
+    putIntLE(14, 40)
+    putIntLE(18, w)
+    putIntLE(22, h)
+    out(26) = 1
+    out(28) = 24
+    putIntLE(34, rowSize * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val v = mosaicVal(src, wb, x / 8, y / 8)
+        val p = rowOff + 3 * x
+        out(p) = v; out(p + 1) = v; out(p + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /**
+   * A REAL baseline JPEG (ITU-T T.81) of the block-mosaic contract, built
+   * byte-by-byte like [[buildPng]] — no encoder-version dependence, every
+   * byte a pure function of the input — that decodes through javax.imageio's
+   * actual JPEG codec (marker parse, Huffman decode, dequantize, IDCT).
+   * Grayscale single-component, no subsampling, UNIT quantization table,
+   * minimal canonical Huffman tables (12 DC categories at code length 4;
+   * one AC symbol, EOB, at length 1). Because every 8×8 block is uniform,
+   * each block is DC-only and the decode is EXACT (see [[mosaicVal]]) —
+   * the JPEG is byte-different from the mosaic BMP but raster-identical:
+   * the dominant crawl-format re-encode that byte-hash dedup misses and
+   * perceptual dHash groups (q_image_dedup_jpeg).
+   */
+  private[graft] def buildJpeg(src: Array[Byte]): Array[Byte] = {
+    val (wb, hb) = dims(src)
+    val w = 8 * wb; val h = 8 * hb
+    val out = new java.io.ByteArrayOutputStream()
+    def word(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); word(2 + 1 + 64); out.write(0x00) // DQT: table 0, 8-bit
+    var i = 0
+    while (i < 64) { out.write(1); i += 1 } // unit quantization — exactness
+    // SOF0, THREE components (YCbCr, no subsampling) with neutral chroma
+    // rather than 1-component grayscale: ImageIO surfaces grayscale JPEGs
+    // as linear-gray BufferedImages whose getRGB applies a linear→sRGB
+    // transform (104 came back as 171) — YCbCr with Cb=Cr=128 converts to
+    // R=G=B=Y exactly (all the conversion terms multiply Cb−128/Cr−128=0)
+    marker(0xc0); word(8 + 3 * 3)
+    out.write(8); word(h); word(w); out.write(3)
+    out.write(1); out.write(0x11); out.write(0) // Y:  id 1, 1x1, DQT 0
+    out.write(2); out.write(0x11); out.write(0) // Cb: id 2, 1x1, DQT 0
+    out.write(3); out.write(0x11); out.write(0) // Cr: id 3, 1x1, DQT 0
+    // DHT DC table 0: categories 0..11, all at canonical code length 4
+    // (code for category s IS s; 1111 unused, so no all-ones codeword)
+    marker(0xc4); word(2 + 1 + 16 + 12); out.write(0x00)
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcBits.foreach(out.write)
+    (0 to 11).foreach(out.write)
+    // DHT AC table 0: single symbol 0x00 (EOB) at code length 1 (code '0')
+    marker(0xc4); word(2 + 1 + 16 + 1); out.write(0x10)
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acBits.foreach(out.write)
+    out.write(0x00)
+    marker(0xda); word(6 + 2 * 3) // SOS, 3 components
+    out.write(3)
+    out.write(1); out.write(0x00) // Y:  DC 0 / AC 0
+    out.write(2); out.write(0x00) // Cb: DC 0 / AC 0
+    out.write(3); out.write(0x00) // Cr: DC 0 / AC 0
+    out.write(0); out.write(63); out.write(0) // spectral 0..63, Ah/Al 0
+    // entropy-coded segment: per MCU (one 8x8 block of each component,
+    // no subsampling) a DC diff + EOB; chroma blocks are uniform 128 →
+    // level-shifted DC 0 → diff 0 forever
+    val data = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0; var nBits = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var j = len - 1
+      while (j >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> j) & 1); nBits += 1
+        if (nBits == 8) {
+          data.write(bitBuf & 0xff)
+          if ((bitBuf & 0xff) == 0xff) data.write(0x00) // byte stuffing
+          bitBuf = 0; nBits = 0
+        }
+        j -= 1
+      }
+    }
+    def putDcDiffAndEob(diff: Int): Unit = {
+      var mag = if (diff < 0) -diff else diff
+      var s = 0
+      while (mag > 0) { s += 1; mag >>= 1 } // category (<= 11: |diff| <= 2040)
+      putBits(s, 4) // DC huffman code for category s
+      if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      putBits(0, 1) // EOB: no AC coefficients
+    }
+    var prevDc = 0
+    var by = 0
+    while (by < hb) {
+      var bx = 0
+      while (bx < wb) {
+        val v = mosaicVal(src, wb, bx, by) & 0xff
+        val dc = 8 * (v - 128) // DCT DC of a uniform level-shifted block
+        putDcDiffAndEob(dc - prevDc) // Y
+        prevDc = dc
+        putDcDiffAndEob(0) // Cb (uniform 128)
+        putDcDiffAndEob(0) // Cr (uniform 128)
+        bx += 1
+      }
+      by += 1
+    }
+    if (nBits > 0) { // pad the final byte with 1s
+      val pad = ((bitBuf << (8 - nBits)) | ((1 << (8 - nBits)) - 1)) & 0xff
+      data.write(pad)
+      if (pad == 0xff) data.write(0x00)
+    }
+    out.write(data.toByteArray)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  private val bmpMosaicUdf = udf { src: Array[Byte] =>
+    Option(src).map(buildBmpMosaic).getOrElse(buildBmpMosaic(Array.emptyByteArray))
+  }
+
+  private val jpegUdf = udf { src: Array[Byte] =>
+    Option(src).map(buildJpeg).getOrElse(buildJpeg(Array.emptyByteArray))
+  }
+
+  /** Adds a `payload` column holding a mosaic-contract BMP of the text. */
+  def withMosaicBmpPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", bmpMosaicUdf(encode(col(textCol), "UTF-8")))
+
+  /** Adds a `payload` column holding a real baseline JPEG of the text
+    * (same mosaic raster contract as [[withMosaicBmpPayload]]). */
+  def withJpegPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", jpegUdf(encode(col(textCol), "UTF-8")))
+
   /** Adds a `payload` column holding a real PNG built from the text bytes
     * (same raster contract as [[withImagePayload]], different container). */
   def withPngPayload(df: DataFrame, textCol: String): DataFrame =

@@ -88,6 +88,10 @@ object EventStreams {
       df: DataFrame, userCol: String, typeCol: String, tsCol: String,
       stages: Seq[String], delay: String, ttlMs: Long = 86400000L): DataFrame = {
     require(stages.nonEmpty)
+    // fail at call time, not inside a streaming batch: ttlMs <= 0 makes
+    // setTimeoutTimestamp land at/behind the watermark, which throws
+    // IllegalArgumentException mid-micro-batch at runtime
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
     val stageIdx = stages.zipWithIndex.toMap
     val n = stages.length
     val wm = df.withWatermark(tsCol, delay)

@@ -73,7 +73,11 @@ object FuzzyJoin {
   /**
    * Indel-complete variant (round 11, closing the [[editDistancePairs]]
    * recall gap): guaranteed recall for ANY ≤ `maxDist` edits — substitutions,
-   * insertions AND deletions — between two full-length canonical prefixes.
+   * insertions AND deletions. Full-length canonical prefixes go through the
+   * segment × window grid; prefixes SHORTER than the grid (near-empty docs,
+   * which would lose their trailing pieces to the length filter) go through
+   * a direct length-banded exact pass instead (round 12), so short-string
+   * pairs are no longer silently missed.
    *
    * The pigeonhole still gives an untouched piece, but an indel shifts the
    * piece's POSITION in the other string by up to the net indel balance
@@ -139,7 +143,8 @@ object FuzzyJoin {
       col("n").as("m1"), col("prefix").as("p1"))
     val w = wins.select(col("pi"), col("piece"), col("rep").as("r2"),
       col("n").as("m2"), col("prefix").as("p2"))
-    s.join(w, Seq("pi", "piece")).where(col("r1") =!= col("r2"))
+    def pairShape(t: DataFrame): DataFrame = t
+      .where(col("r1") =!= col("r2"))
       .select(
         least(col("r1"), col("r2")).as("a"),
         greatest(col("r1"), col("r2")).as("b"),
@@ -147,6 +152,34 @@ object FuzzyJoin {
         when(col("r1") < col("r2"), col("m2")).otherwise(col("m1")).as("n_b"),
         when(col("r1") < col("r2"), col("p1")).otherwise(col("p2")).as("pa"),
         when(col("r1") < col("r2"), col("p2")).otherwise(col("p1")).as("pb"))
+
+    // Short-prefix exact pass (round 12; the piece grid's recall guarantee
+    // only holds for FULL-length prefixes — a prefix shorter than
+    // pieces*pieceLen loses its trailing pieces to the length filter, so
+    // two short near-empty docs, or a short doc against a full one, could
+    // share no surviving block). Short reps pair within a ±maxDist LENGTH
+    // band (ed <= maxDist bounds the length difference) against ALL reps,
+    // then the same exact-levenshtein verify. Rep-collapsed shorts are a
+    // bounded set in any real corpus; a degenerate length class larger
+    // than maxBlock is dropped — the same lossy-cap contract as the piece
+    // blocks.
+    val shortCands = {
+      val fullLen = pieces * pieceLen
+      val sl = reps.where(length(col("prefix")) < fullLen)
+        .select(col("rep").as("r1"), col("n").as("m1"), col("prefix").as("p1"),
+          length(col("prefix")).as("lk"))
+        .withColumn("bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lk"))))
+        .where(col("bn") <= maxBlock)
+        .drop("bn")
+      val sr = reps.select(col("rep").as("r2"), col("n").as("m2"), col("prefix").as("p2"),
+        explode(array((-maxDist to maxDist).map(d =>
+          length(col("prefix")) + d): _*)).as("lk"))
+      pairShape(sl.join(sr, Seq("lk")))
+    }
+
+    pairShape(s.join(w, Seq("pi", "piece")))
+      .unionByName(shortCands)
       .distinct()
       .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
       .where(col("dist") <= maxDist)

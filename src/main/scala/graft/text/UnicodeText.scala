@@ -38,9 +38,18 @@ object UnicodeText {
     * digits (any script), case-preserving; empty tokens dropped. `\p{M}` is
     * included so abugida vowel signs / viramas (Devanagari matras, Arabic
     * diacritics) stay INSIDE their word instead of splitting it. All three
-    * classes are Unicode general categories in both Java regex and RE2. */
-  def uTokens(text: Column): Column =
-    filter(split(text, "[^\\p{L}\\p{M}\\p{N}]+"), t => t =!= "")
+    * classes are Unicode general categories in both Java regex and RE2.
+    *
+    * Han/Kana codepoints ([[UnicodeKernels.CjkSplit]]) are split into
+    * single-codepoint tokens (round 12): those scripts have no word
+    * separators, so a maximal run made a whole sentence ONE token —
+    * token budgets and fertility were meaningless there. Implemented by
+    * spacing each such codepoint before the run split; the oracle replays
+    * the identical regexes from the same range constants. */
+  def uTokens(text: Column): Column = {
+    val spaced = regexp_replace(text, s"([${UnicodeKernels.cjkSplitClass}])", " $1 ")
+    filter(split(spaced, "[^\\p{L}\\p{M}\\p{N}]+"), t => t =!= "")
+  }
 
   /** Per-script codepoint histogram, array<long> in [[Scripts]] order. */
   def scriptCounts(text: Column): Column = UnicodeExpressions.scriptHistogram(text)

@@ -94,4 +94,29 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestSession {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(got2.contains((100L, 101L)))
   }
+
+  test("short prefixes (round 12): near-dup short docs and short-vs-full pairs are found") {
+    // prefixes shorter than the 32-char grid lose trailing pieces to the
+    // length filter — before the short pass, two ~10-char docs within 3
+    // edits could share no surviving block and were silently missed
+    val rows = Seq(
+      1L -> "hello cat",        // 9-char canonical prefix
+      2L -> "hello bat",        // 1 substitution away
+      3L -> "hello c",          // 2 deletions from doc 1
+      4L -> "completely different text here entirely unrelated",
+      // short-vs-full boundary: a 30-char prefix against its 32-char parent
+      5L -> "alpha bravo charlie delta echo foxtrot",
+      6L -> "alpha bravo charlie delta ec")
+    val got = FuzzyJoin.editDistancePairsIndel(rows.toDF("doc_id", "text"),
+        "doc_id", "text", prefixLen = 32, maxDist = 3, maxBlock = 64)
+      .select("a", "b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1L),
+      s"short-short substitution pair missed: $got")
+    assert(got.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 2L),
+      s"short-short deletion pair missed: $got")
+    // doc 5's canonical prefix is 32 chars (full), doc 6's is 28 (short):
+    // length band |32-28| > 3 means NOT a candidate — but prefix distance
+    // is what the operator contracts on; verify no false pair either way
+    assert(!got.exists(p => p._2 == 4L && p._1 <= 3L), s"false positive: $got")
+  }
 }

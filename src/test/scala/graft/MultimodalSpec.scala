@@ -245,4 +245,34 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val b = Multimodal.buildPng("determinism".getBytes("UTF-8"))
     assert(java.util.Arrays.equals(a, b))
   }
+
+  test("hand-built baseline JPEG decodes via ImageIO to the mosaic EXACTLY") {
+    // round 12: buildJpeg is a real ITU-T T.81 baseline stream (markers,
+    // canonical Huffman, unit DQT, byte stuffing) and — because every 8x8
+    // block is uniform, so each block is DC-only — the LOSSY codec round
+    // trip is byte-exact: decode(buildJpeg(s)) == mosaic(s) == the decoded
+    // buildBmpMosaic(s) raster. This exactness is what lets q_image_dedup_jpeg
+    // keep a value-exact DuckDB oracle over a real JPEG decode.
+    val srcs = Seq(
+      "hello world", "", "中文 multibyte first char", "x",
+      "ÿ  edge bytes", // values near 255/0 stress the DC range
+      "a longer document with enough bytes to fill the block mosaic and wrap around its source several times over"
+    ).map(_.getBytes("UTF-8")) :+ (0 until 256).map(_.toByte).toArray
+    srcs.foreach { src =>
+      val jpg = Multimodal.buildJpeg(src)
+      assert(Multimodal.tryDirectBmp(jpg) == null, "JPEG must not take the BMP path")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      assert(img != null, s"ImageIO rejected the hand-built JPEG (src ${src.length}B)")
+      val ref = Multimodal.tryDirectBmp(Multimodal.buildBmpMosaic(src))
+      assert(ref != null, "mosaic BMP must take the contract-direct path")
+      assert(img.getWidth == ref.width && img.getHeight == ref.height)
+      for (y <- 0 until ref.height; x <- 0 until ref.width)
+        assert((img.getRGB(x, y) & 0xffffff) == ref.rgb(x, y),
+          s"pixel ($x,$y) differs for src of ${src.length} bytes")
+    }
+    // byte-determinism: hand-rolled bit packing, no encoder-version drift
+    val a = Multimodal.buildJpeg("determinism".getBytes("UTF-8"))
+    val b = Multimodal.buildJpeg("determinism".getBytes("UTF-8"))
+    assert(java.util.Arrays.equals(a, b))
+  }
 }

@@ -72,7 +72,9 @@ class UnicodeTextSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(0) == Seq("नमस्ते",
       "दुनिया"))
     assert(rows(1) == Seq("Hello", "WORLD")) // case preserved
-    assert(rows(2) == Seq("世界", "模型")) // CJK punct splits
+    // Han splits PER CODEPOINT (round 12): no word separators in CJK, so
+    // run-tokens made a whole sentence one token
+    assert(rows(2) == Seq("世", "界", "模", "型"))
   }
 
   test("composition: existing dedup machinery runs on the Unicode path") {
@@ -86,7 +88,7 @@ class UnicodeTextSpec extends AnyFunSuite with SparkTestSession {
         array_distinct(transform(UnicodeText.uTokens(UnicodeText.nfc(col("text"))),
           TextFunctions.stableHash _)).as("hs"))
     val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
-    assert(m("a") == m("b") && m("a").size == 3)
+    assert(m("a") == m("b") && m("a").size == 4) // résumé, 世, 界, data
     // and WITHOUT nfc the variants diverge (the reason the path exists)
     val raw = Seq(("a", a), ("b", b)).toDF("id", "text")
       .select(col("id"),
@@ -114,6 +116,43 @@ class UnicodeTextSpec extends AnyFunSuite with SparkTestSession {
     val kernel = df.select(graft.functions.UnicodeExpressions.uTokenStats(col("text")).as("st"))
       .collect().map(r => { val a = r.getSeq[Long](0); (a(0), a(1), a(2)) }).toSeq
     assert(kernel == declarative)
+  }
+
+  test("CJK per-codepoint split: Han/Kana split, Thai and Vietnamese stay runs") {
+    val df = Seq(
+      "世界模型数据管道",     // 8 Han cps -> 8 single-cp tokens
+      "こんにちはデータ",     // Kana (incl. U+30FC) -> 8 single-cp tokens
+      "สวัสดีชาวโลก",         // Thai: NOT split (marks would detach) -> 1 run
+      "Xin chào thế giới",  // Vietnamese (Latin Ext Additional): word runs
+      "深層learning学習"      // Han/Latin boundary: runs break around Han
+    ).toDF("text")
+    val rows = df.select(UnicodeText.uTokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(rows(0) == "世界模型数据管道".map(_.toString))
+    assert(rows(1) == "こんにちはデータ".map(_.toString))
+    assert(rows(2) == Seq("สวัสดีชาวโลก"))
+    assert(rows(3) == Seq("Xin", "chào", "thế", "giới"))
+    assert(rows(4) == Seq("深", "層", "learning", "学", "習"))
+    // and the one-pass kernel agrees with the declarative split
+    val kernel = df.select(graft.functions.UnicodeExpressions.uTokenStats(col("text")).as("st"))
+      .collect().map(r => { val a = r.getSeq[Long](0); (a(0), a(1), a(2)) }).toSeq
+    assert(kernel(0) == ((8L, 8L, 8L)))
+    assert(kernel(1) == ((8L, 8L, 8L)))
+    assert(kernel(2)._1 == 1L)
+    assert(kernel(4) == ((5L, 5L, 12L)))
+  }
+
+  test("extended buckets: Vietnamese -> latn, Thai bucket, Ext-A, halfwidth kana") {
+    val idx = UnicodeText.Scripts.zipWithIndex.toMap
+    val df = Seq("Xin chào thế giới", "สวัสดี 123", "㐀㐁", "ｱｲｳ").toDF("text")
+      .select(UnicodeText.scriptCounts(col("text")).as("c"),
+        UnicodeText.dominantScript(UnicodeText.scriptCounts(col("text"))).as("s"))
+    val rows = df.collect().map(r => (r.getSeq[Long](0), r.getString(1)))
+    assert(rows(0)._2 == "latn" && rows(0)._1(idx("latn")) == 14)
+    assert(rows(1)._2 == "thai" && rows(1)._1(idx("thai")) == 6 &&
+      rows(1)._1(idx("digit")) == 3)
+    assert(rows(2)._2 == "hani") // CJK Extension A
+    assert(rows(3)._2 == "kana") // halfwidth Katakana
   }
 
   test("kernel classify covers every bucket range boundary") {
