@@ -442,6 +442,21 @@ def video_fingerprint(df, id_col, payload_col):
     return _wrap(df, m.videoFingerprint(df._jdf, id_col, payload_col))
 
 
+def with_jpeg_payload(df, text_col):
+    """Adds a `payload` column holding a REAL baseline JPEG (hand-built
+    ITU-T T.81 stream, DC-only uniform blocks so the lossy round trip is
+    byte-exact) of the block-mosaic raster of the text bytes."""
+    m = _module(df.sparkSession, "graft.multimodal.Multimodal$")
+    return _wrap(df, m.withJpegPayload(df._jdf, text_col))
+
+
+def with_mosaic_bmp_payload(df, text_col):
+    """Adds a `payload` column holding a 24-bit BMP of the same block-mosaic
+    raster contract as with_jpeg_payload (cross-format dedup fixture)."""
+    m = _module(df.sparkSession, "graft.multimodal.Multimodal$")
+    return _wrap(df, m.withMosaicBmpPayload(df._jdf, text_col))
+
+
 def chunk_documents(df, id_col, text_col, size, stride):
     """Sliding-window doc chunking: one row per (doc, chunk) with token
     count and chunk md5. Map-side; overlap = size - stride."""

@@ -160,7 +160,14 @@ object Soak {
       // path (pure map-side kernel scans; q_unicode_tokens carries the one
       // interpreted HOF in the book — its scan cost is the thing to watch)
       "q_fuzzy_join_indel", "q_ann_incremental", "q_image_dedup_png",
-      "q_lang_script", "q_unicode_tokens")
+      "q_lang_script", "q_unicode_tokens",
+      // round 12: the k ∝ N incremental-ANN row self-sizes its quantizer
+      // from the history count (k = Nh/16), so the soak measures the
+      // constant-occupancy regime directly (the round-11 soak extra did
+      // this by hand; the query now IS that regime); and the JPEG
+      // cross-format dedup (decode-bound scan, 2 slices per doc, mosaic
+      // rasters are 8x the BMP family's pixel count)
+      "q_ann_incremental_kscaled", "q_image_dedup_jpeg")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -197,7 +204,7 @@ object Soak {
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SoakQueries)(s => SoakQueries.filter(s.contains))
     val runSemDedup = only.forall(_.contains("q_semdedup_kscaled"))
-    val runAnnIncKscaled = only.forall(_.contains("q_ann_incremental_kscaled"))
+    val runAnnIncKscaled = only.forall(_.contains("q_ann_inc_kscaled_hiertrain"))
     // fail on a typo'd ONLY list BEFORE the expensive generate/warm phases
     require(selected.nonEmpty || runSemDedup || runAnnIncKscaled,
       s"SPARK_GRAFT_SOAK_ONLY matched no soak queries: ${only.get.mkString(",")}")
@@ -312,8 +319,11 @@ object Soak {
       val (ss, srows) = timeAnn(soakDir, 32 * scale)
       val ratio = ss / bs
       System.err.println(
-        f"[soak] q_ann_incremental_kscaled base ${bs}%6.2fs ($brows%d rows)  soak ${ss}%6.2fs ($srows%d rows)  ratio ${ratio}%5.2fx")
-      ("q_ann_incremental_kscaled", bs, brows, ss, srows, ratio)
+        f"[soak] q_ann_inc_kscaled_hiertrain base ${bs}%6.2fs ($brows%d rows)  soak ${ss}%6.2fs ($srows%d rows)  ratio ${ratio}%5.2fx")
+      // renamed in round 12: the official q_ann_incremental_kscaled row now
+      // rides SoakQueries (flat-trained, k = Nh/16); this hand-rolled extra
+      // keeps the hierAssign-TRAINED variant (k = 32*scale) under watch
+      ("q_ann_inc_kscaled_hiertrain", bs, brows, ss, srows, ratio)
     }
 
     val qjson = rows2.map { case (n, bs, br, ss, sr, r) =>
