@@ -1140,34 +1140,45 @@ object PipelineQueries {
     * `limitExpr` is the quantizer size k as a SQL expression — a literal for
     * the fixed-k rows, a COUNT-derived scalar subquery for the k ∝ N regime
     * (q_ann_incremental_kscaled), mirroring ivfTrainKMeans' k argument. */
+  /** `hierAssign = true` replays ivfTrainKMeans' hier-assignment regime:
+    * every Lloyd pass (and the final corpus assignment) routes through a
+    * freshly-built coarse structure over that pass's centroids — the
+    * two-level O(√k) path the k ∝ N quantizer must train with to avoid the
+    * flat O(N·k) assignment quadratic. */
   private[graft] def kmeansReplayCtes(iters: Int, dim: Int,
                                       src: String = "embeddings",
-                                      limitExpr: String = "32"): String = {
+                                      limitExpr: String = "32",
+                                      hierAssign: Boolean = false): String = {
     def assign(centsCte: String, name: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, cv, cell FROM (
-         |    SELECT e.vec_id, e.embedding AS cv, c.cid AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rk
-         |    FROM $src e CROSS JOIN $centsCte c) WHERE rk = 1
-         |)""".stripMargin
+      if (hierAssign)
+        hierReplayCtes(dim, centsCte, prefix = s"${name}_h_") + ",\n" +
+          hierAssignCtes(name, src, "vec_id", "embedding",
+            prefix = s"${name}_h_", vecOut = true)
+      else
+        s"""$name AS MATERIALIZED (
+           |  SELECT vec_id, cv, cell FROM (
+           |    SELECT e.vec_id, e.embedding AS cv, c.cid AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cid ASC) AS rk
+           |    FROM $src e CROSS JOIN $centsCte c) WHERE rk = 1
+           |)""".stripMargin
     def means(cellsCte: String, name: String): String = {
       val sums = (0 until dim).map { d =>
         s"CAST(sum(CAST(floor(CAST(cv[${d + 1}] AS DOUBLE)*65536.0E0 + 0.5E0) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE)*65536.0E0)"
       }.mkString(",\n      ")
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT cell, [
          |      $sums] AS mean
          |  FROM $cellsCte GROUP BY cell
          |)""".stripMargin
     }
     def refresh(prevCents: String, meansCte: String, name: String): String =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT o.cid, CASE WHEN m.cell IS NULL THEN o.cvec ELSE m.mean END AS cvec
          |  FROM $prevCents o LEFT JOIN $meansCte m ON m.cell = o.cid
          |)""".stripMargin
     val init =
-      s"""c0 AS (
+      s"""c0 AS MATERIALIZED (
          |  SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS BIGINT) AS cid,
          |         list_transform(cvec, v -> CAST(v AS DOUBLE)) AS cvec
          |  FROM (SELECT vec_id AS cid, embedding AS cvec FROM $src
@@ -1179,7 +1190,7 @@ object PipelineQueries {
         refresh(s"c$it", s"m$it", s"c${it + 1}"))
     }
     ((init +: iterCtes) :+ assign(s"c$iters", "cellsf"))
-      .mkString(",\n") + s",\ncf AS (SELECT * FROM c$iters)"
+      .mkString(",\n") + s",\ncf AS MATERIALIZED (SELECT * FROM c$iters)"
   }
 
   /**
@@ -1194,48 +1205,54 @@ object PipelineQueries {
    *   hlive     coarse cells with >=1 routed fine centroid under rt2
    *   hcf       the kernel's live coarse centroids (hc3 restricted to hlive)
    */
-  private[graft] def hierReplayCtes(dim: Int): String = {
+  /** `fineCte` is the fine-centroid relation (cid, cvec) the coarse
+    * structure is built over; `prefix` namespaces the emitted CTEs so the
+    * hier-TRAINED replay can rebuild the structure per Lloyd iteration
+    * (h0_, h1_, ... over c0, c1, ...) without name collisions. */
+  private[graft] def hierReplayCtes(
+      dim: Int, fineCte: String = "cf", prefix: String = ""): String = {
     val kcExpr =
-      "(SELECT greatest(1, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM cf)"
+      s"(SELECT greatest(1, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) FROM $fineCte)"
     def route(centsCte: String, name: String): String =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT cid, cvec, l FROM (
          |    SELECT f.cid, f.cvec, h.l,
          |      row_number() OVER (PARTITION BY f.cid
          |        ORDER BY ${cosineSql("f.cvec", "h.cvec")} DESC, h.l ASC) AS rk
-         |    FROM cf f CROSS JOIN $centsCte h) WHERE rk = 1
+         |    FROM $fineCte f CROSS JOIN $centsCte h) WHERE rk = 1
          |)""".stripMargin
     def means(routeCte: String, name: String): String = {
       val sums = (0 until dim).map { d =>
         s"CAST(sum(CAST(floor(CAST(cvec[${d + 1}] AS DOUBLE)*65536.0E0 + 0.5E0) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE)*65536.0E0)"
       }.mkString(",\n      ")
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT l, [
          |      $sums] AS mean
          |  FROM $routeCte GROUP BY l
          |)""".stripMargin
     }
     def refresh(prevCents: String, meansCte: String, name: String): String =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT o.l, CASE WHEN m.l IS NULL THEN o.cvec ELSE m.mean END AS cvec
          |  FROM $prevCents o LEFT JOIN $meansCte m ON m.l = o.l
          |)""".stripMargin
+    val p = prefix
     val init =
-      s"""hc0 AS (
+      s"""${p}hc0 AS MATERIALIZED (
          |  SELECT CAST(row_number() OVER (
          |      ORDER BY (1103515245*(cid+7)+12345) % 2147483647, cid) - 1 AS BIGINT) AS l,
          |    cvec
-         |  FROM cf
+         |  FROM $fineCte
          |  QUALIFY row_number() OVER (
          |      ORDER BY (1103515245*(cid+7)+12345) % 2147483647, cid) <= $kcExpr
          |)""".stripMargin
     val iterCtes = (0 until 3).flatMap { it =>
-      Seq(route(s"hc$it", s"rt$it"), means(s"rt$it", s"hm$it"),
-        refresh(s"hc$it", s"hm$it", s"hc${it + 1}"))
+      Seq(route(s"${p}hc$it", s"${p}rt$it"), means(s"${p}rt$it", s"${p}hm$it"),
+        refresh(s"${p}hc$it", s"${p}hm$it", s"${p}hc${it + 1}"))
     }
     ((init +: iterCtes) :+
-      "hlive AS (SELECT DISTINCT l FROM rt2)" :+
-      "hcf AS (SELECT h.l, h.cvec FROM hc3 h JOIN hlive USING (l))")
+      s"${p}hlive AS MATERIALIZED (SELECT DISTINCT l FROM ${p}rt2)" :+
+      s"${p}hcf AS MATERIALIZED (SELECT h.l, h.cvec FROM ${p}hc3 h JOIN ${p}hlive USING (l))")
       .mkString(",\n")
   }
 
@@ -1247,25 +1264,33 @@ object PipelineQueries {
    * smallest cid. Requires [[hierReplayCtes]] CTEs in scope. Emits
    * `${name}_cp` (probe set) and `$name` = ($idCol, cell).
    */
+  /** `prefix` must match the [[hierReplayCtes]] emission this assignment
+    * routes through; `vecOut = true` carries the source vector along as
+    * `cv` (the shape the Lloyd means CTE consumes). */
   private[graft] def hierAssignCtes(
-      name: String, srcCte: String, idCol: String, vecCol: String): String =
-    s"""${name}_cp AS (
+      name: String, srcCte: String, idCol: String, vecCol: String,
+      prefix: String = "", vecOut: Boolean = false): String = {
+    val p = prefix
+    val cvSel = if (vecOut) s", x.$vecCol AS cv" else ""
+    val cvOut = if (vecOut) ", cv" else ""
+    s"""${name}_cp AS MATERIALIZED (
        |  SELECT id, l FROM (
        |    SELECT x.$idCol AS id, h.l,
        |      row_number() OVER (PARTITION BY x.$idCol
        |        ORDER BY ${cosineSql(s"x.$vecCol", "h.cvec")} DESC, h.l ASC) AS rk
-       |    FROM $srcCte x CROSS JOIN hcf h
-       |  ) WHERE rk <= (SELECT least(4, count(*)) FROM hlive)
+       |    FROM $srcCte x CROSS JOIN ${p}hcf h
+       |  ) WHERE rk <= (SELECT least(4, count(*)) FROM ${p}hlive)
        |),
-       |$name AS (
-       |  SELECT id AS $idCol, cell FROM (
-       |    SELECT cp.id, r.cid AS cell,
+       |$name AS MATERIALIZED (
+       |  SELECT id AS $idCol, cell$cvOut FROM (
+       |    SELECT cp.id, r.cid AS cell$cvSel,
        |      row_number() OVER (PARTITION BY cp.id
        |        ORDER BY ${cosineSql(s"x.$vecCol", "r.cvec")} DESC, r.cid ASC) AS rk
        |    FROM $srcCte x JOIN ${name}_cp cp ON cp.id = x.$idCol
-       |         JOIN rt2 r ON r.l = cp.l
+       |         JOIN ${p}rt2 r ON r.l = cp.l
        |  ) WHERE rk = 1
        |)""".stripMargin
+  }
 
   private def annIvfOracle: String =
     s"""WITH ${kmeansReplayCtes(iters = 2, dim = 64)},

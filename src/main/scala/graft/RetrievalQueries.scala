@@ -181,7 +181,11 @@ object RetrievalQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val nh = history.count()
       val k = math.max(16, ((nh + 15L) / 16L).toInt) // k ∝ N: ~16-vector cells
-      val cents = Similarity.ivfTrainKMeans(history, "vec_id", "embedding", k, iters = 2)
+      // hierAssign on TRAINING too: with k ∝ N a flat Lloyd pass is O(N·k)
+      // — the quadratic the scale-100 soak caught at 13.0× (vs 3.9× for the
+      // hier-trained twin); every assignment in this query is two-level
+      val cents = Similarity.ivfTrainKMeans(history, "vec_id", "embedding", k,
+        iters = 2, hierAssign = true)
       val index = Similarity.ivfIndex(cents, history, "vec_id", "embedding",
         hierAssign = true)
       Similarity.ivfProbeIndexHier(cents, index, batch, "vec_id", "qid", "qv", k = 8)
@@ -228,23 +232,24 @@ object RetrievalQueries {
        |)
        |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** q_ann_incremental_kscaled replay — the full k ∝ N structure:
-    * k = max(16, ceil(Nh/16)) from the history count, the Lloyd chain at
-    * that k, the coarse-over-centroids refinement (hierReplayCtes), then
-    * BOTH history and batch routed through the multi-probe two-level
-    * assignment (hierAssignCtes = HierCentroidKernel.nearest), one equi-join
-    * on cell, exact per-query rank top-8. */
+  /** q_ann_incremental_kscaled replay — the full k ∝ N structure, hier on
+    * EVERY pass: k = max(16, ceil(Nh/16)) from the history count, the
+    * Lloyd chain at that k with hier-routed assignment per iteration
+    * (kmeansReplayCtes(hierAssign = true) — each pass rebuilds the
+    * coarse-over-centroids structure, exactly ivfCellExprHier), whose final
+    * `cellsf` IS the hier-assigned index table; the batch routes through
+    * the final structure (prefix cellsf_h_), one equi-join on cell, exact
+    * per-query rank top-8. */
   private def annIncrementalKscaledOracle: String = {
     val kExpr = "(SELECT greatest(16, (count(*) + 15) // 16) FROM hist)"
-    s"""WITH hist AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 != 0),
-       |batchq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 3 = 0),
-       |${kmeansReplayCtes(iters = 2, dim = 64, src = "hist", limitExpr = kExpr)},
-       |${hierReplayCtes(dim = 64)},
-       |${hierAssignCtes("idxa", "hist", "vec_id", "embedding")},
-       |${hierAssignCtes("qa", "batchq", "qid", "qv")},
+    s"""WITH hist AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 != 0),
+       |batchq AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 3 = 0),
+       |${kmeansReplayCtes(iters = 2, dim = 64, src = "hist", limitExpr = kExpr,
+           hierAssign = true)},
+       |${hierAssignCtes("qa", "batchq", "qid", "qv", prefix = "cellsf_h_")},
        |scored AS (
-       |  SELECT q.qid, i.vec_id, ROUND(${cosineSql("i.embedding", "q.qv")}, 6) AS sim
-       |  FROM (SELECT a.vec_id, a.cell, h.embedding FROM idxa a JOIN hist h USING (vec_id)) i
+       |  SELECT q.qid, i.vec_id, ROUND(${cosineSql("i.cv", "q.qv")}, 6) AS sim
+       |  FROM cellsf i
        |  JOIN (SELECT a.qid, a.cell, b.qv FROM qa a JOIN batchq b USING (qid)) q
        |    ON i.cell = q.cell
        |  WHERE i.vec_id != q.qid
