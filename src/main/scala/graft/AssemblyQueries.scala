@@ -89,9 +89,9 @@ object AssemblyQueries {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = d
         .unionAll(d.where(pmod(col("doc_id"), lit(5)) === 0)
-          .select(col("doc_id") + 60000000L, col("text")))
+          .select(col("doc_id") + 2500000000L, col("text")))
         .unionAll(d.where(pmod(col("doc_id"), lit(10)) === 0)
-          .select(col("doc_id") + 10000000L, col("text")))
+          .select(col("doc_id") + 2000000000L, col("text")))
       val sizes = corpus.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("sz"))
       sizes.groupBy(length(bin(col("sz"))).cast("long").as("size_log2"))
         .agg(count(lit(1)).as("n_clusters"),
@@ -289,9 +289,9 @@ object AssemblyQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 60000000, text FROM documents WHERE doc_id % 5 = 0
+        |  SELECT doc_id + 2500000000, text FROM documents WHERE doc_id % 5 = 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 2000000000, text FROM documents WHERE doc_id % 10 = 0
         |),
         |sizes AS (SELECT md5(text) AS h, count(*) AS sz FROM corpus GROUP BY 1)
         |SELECT CAST(length(bin(sz)) AS BIGINT) AS size_log2,

@@ -79,9 +79,9 @@ object CurationQueries {
       // variant of every doc; each content must form one 3-variant group.
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = docs
-        .unionAll(docs.select((col("doc_id") + 60000000L).as("doc_id"),
+        .unionAll(docs.select((col("doc_id") + 2500000000L).as("doc_id"),
           upper(col("text")).as("text")))
-        .unionAll(docs.select((col("doc_id") + 10000000L).as("doc_id"),
+        .unionAll(docs.select((col("doc_id") + 2000000000L).as("doc_id"),
           concat(lit("  "), col("text"), lit("   ")).as("text")))
       corpus.select(col("doc_id"), md5(TextFunctions.normalize(col("text"))).as("canon_hash"))
         .groupBy(col("canon_hash"))
@@ -175,7 +175,7 @@ object CurationQueries {
       // of ANY eval vector are flagged with their best eval match — catches
       // the paraphrase/re-tokenization leaks that 5-gram overlap misses.
       // Enrichment plants copies of every 3rd eval vector in the corpus
-      // (ids +20000000), so the flag set is non-empty and deterministic.
+      // (ids +2100000000), so the flag set is non-empty and deterministic.
       // Eval broadcasts; the threshold filter is map-side on the one
       // corpus scan — only the contaminated sliver shuffles.
       val e = t(s, dir, "embeddings")
@@ -184,7 +184,7 @@ object CurationQueries {
       val corpus = e.where(col("vec_id") >= 30)
         .select(col("vec_id"), col("embedding"))
         .unionAll(e.where(col("vec_id") < 30 && pmod(col("vec_id"), lit(3)) === 0)
-          .select((col("vec_id") + 20000000L).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + 2100000000L).as("vec_id"), col("embedding")))
       Similarity.semanticContamination(corpus, ev,
           "vec_id", "embedding", "eval_id", "embedding", threshold = 0.99)
         .orderBy(col("vec_id"))
@@ -357,7 +357,7 @@ object CurationQueries {
       // every 10th doc to exercise the collapse.
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = d.unionAll(d.where(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 50000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 2400000000L).as("doc_id"), col("text")))
       graft.dedup.PrefixFilterJoin.jaccardPairsCollapsed(
           corpus, "doc_id", "text", 700L, shingle = 3)
         .orderBy(col("a"), col("b"))
@@ -565,9 +565,9 @@ object CurationQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 60000000, upper(text) FROM documents
+         |  SELECT doc_id + 2500000000, upper(text) FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000000, '  ' || text || '   ' FROM documents
+         |  SELECT doc_id + 2000000000, '  ' || text || '   ' FROM documents
          |)
          |SELECT md5(${duckNormalize("text")}) AS canon_hash,
          |  CAST(count(*) AS BIGINT) AS n_variants,
@@ -667,7 +667,7 @@ object CurationQueries {
          |corpus AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 30
          |  UNION ALL
-         |  SELECT vec_id + 20000000, embedding FROM embeddings
+         |  SELECT vec_id + 2100000000, embedding FROM embeddings
          |  WHERE vec_id < 30 AND vec_id % 3 = 0
          |),
          |scored AS (
@@ -1008,7 +1008,7 @@ object CurationQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 50000000 AS doc_id, text FROM documents
+         |  SELECT doc_id + 2400000000 AS doc_id, text FROM documents
          |  WHERE doc_id % 10 = 0),
          |wq AS (SELECT doc_id, ${duckToks()} AS w FROM corpus),
          |s0 AS (SELECT doc_id, list_sort(list_distinct(

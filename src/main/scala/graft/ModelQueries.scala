@@ -388,7 +388,7 @@ object ModelQueries {
       val docs = t(s, dir, "documents").where(col("n_chars") > 130)
         .select(col("doc_id"), col("text"))
       val corpus = docs.unionAll(docs.select(
-        (col("doc_id") + 20000000L).as("doc_id"),
+        (col("doc_id") + 2100000000L).as("doc_id"),
         concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text")))
       val withVid = Multimodal.withVideoPayload(corpus, "text")
       Multimodal.videoFingerprint(withVid, "doc_id", "payload")
@@ -408,7 +408,7 @@ object ModelQueries {
       val docs = t(s, dir, "documents").where(col("n_chars") > 130)
         .select(col("doc_id"), col("text"))
       val corpus = docs.unionAll(docs.select(
-        (col("doc_id") + 20000000L).as("doc_id"),
+        (col("doc_id") + 2100000000L).as("doc_id"),
         concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text")))
       val withWav = Multimodal.withAudioPayload(corpus, "text")
       Multimodal.audioFingerprint(withWav, "doc_id", "payload")
@@ -430,7 +430,7 @@ object ModelQueries {
       val docs = t(s, dir, "documents").where(col("n_chars") > 130)
         .select(col("doc_id"), col("text"))
       val corpus = docs.unionAll(docs.select(
-        (col("doc_id") + 20000000L).as("doc_id"),
+        (col("doc_id") + 2100000000L).as("doc_id"),
         concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text")))
       val withBin = Multimodal.withImagePayload(corpus, "text")
       Multimodal.perceptualHash(withBin, "doc_id", "payload")
@@ -453,9 +453,9 @@ object ModelQueries {
       val docs = t(s, dir, "documents").where(col("n_chars") > 130)
         .select(col("doc_id"), col("text"))
       val variant = docs.select(
-        (col("doc_id") + 20000000L).as("doc_id"),
+        (col("doc_id") + 2100000000L).as("doc_id"),
         concat(col("text").substr(lit(1), length(col("text")) - 1), lit("#")).as("text"))
-      val pngDocs = docs.select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+      val pngDocs = docs.select((col("doc_id") + 2400000000L).as("doc_id"), col("text"))
       val bmpSide = Multimodal.withImagePayload(docs.unionAll(variant), "text")
       val pngSide = Multimodal.withPngPayload(pngDocs, "text")
       val corpus = docs.unionAll(variant).unionAll(pngDocs)
@@ -483,7 +483,7 @@ object ModelQueries {
       // Huffman decode, dequantize, IDCT, YCbCr→RGB).
       val docs = t(s, dir, "documents").where(col("n_chars") > 130)
         .select(col("doc_id"), col("text"))
-      val jpgDocs = docs.select((col("doc_id") + 70000000L).as("doc_id"), col("text"))
+      val jpgDocs = docs.select((col("doc_id") + 2600000000L).as("doc_id"), col("text"))
       val bmpSide = Multimodal.withMosaicBmpPayload(docs, "text")
       val jpgSide = Multimodal.withJpegPayload(jpgDocs, "text")
       val corpus = docs.unionAll(jpgDocs)
@@ -864,7 +864,7 @@ object ModelQueries {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE n_chars > 130
       |  UNION ALL
-      |  SELECT doc_id + 20000000,
+      |  SELECT doc_id + 2100000000,
       |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
       |  FROM documents WHERE n_chars > 130
       |),
@@ -894,11 +894,11 @@ object ModelQueries {
   /** q_image_dedup_png replay: the phash contract is over the DECODED
     * raster, which is payload-format-independent — so the PNG arm is the
     * same pixel formula on the same text, just a third corpus slice
-    * (doc_id + 50000000, text unchanged). The format difference lives
+    * (doc_id + 2400000000, text unchanged). The format difference lives
     * entirely in the Spark-side decode (ImageIO PNG vs contract BMP). */
   /** Contract replay of q_image_dedup_jpeg: the mosaic raster is
     * w = 8·wb × h = 8·hb with pixel (x, y) = ord(text[((y/8)·wb + x/8) mod n]),
-    * wb/hb from the first two bytes; the JPEG slice (+70000000) shares the
+    * wb/hb from the first two bytes; the JPEG slice (+2600000000) shares the
     * raster byte-exactly (DC-only blocks, unit quant — MultimodalSpec), so
     * its phash is the SAME formula on the same text. dHash bits as in the
     * image replay, gradients over the mosaic. */
@@ -909,7 +909,7 @@ object ModelQueries {
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents WHERE n_chars > 130
        |  UNION ALL
-       |  SELECT doc_id + 70000000, text FROM documents WHERE n_chars > 130
+       |  SELECT doc_id + 2600000000, text FROM documents WHERE n_chars > 130
        |),
        |geom AS (
        |  SELECT doc_id, text, length(text) AS n,
@@ -937,11 +937,11 @@ object ModelQueries {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE n_chars > 130
       |  UNION ALL
-      |  SELECT doc_id + 20000000,
+      |  SELECT doc_id + 2100000000,
       |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
       |  FROM documents WHERE n_chars > 130
       |  UNION ALL
-      |  SELECT doc_id + 50000000, text FROM documents WHERE n_chars > 130
+      |  SELECT doc_id + 2400000000, text FROM documents WHERE n_chars > 130
       |),
       |geom AS (
       |  SELECT doc_id, text, length(text) AS n,
@@ -974,7 +974,7 @@ object ModelQueries {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE n_chars > 130
       |  UNION ALL
-      |  SELECT doc_id + 20000000,
+      |  SELECT doc_id + 2100000000,
       |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
       |  FROM documents WHERE n_chars > 130
       |),
@@ -1014,7 +1014,7 @@ object ModelQueries {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents WHERE n_chars > 130
       |  UNION ALL
-      |  SELECT doc_id + 20000000,
+      |  SELECT doc_id + 2100000000,
       |         substring(text, 1, CAST(length(text) - 1 AS INT)) || '#'
       |  FROM documents WHERE n_chars > 130
       |),

@@ -681,7 +681,7 @@ object PipelineQueries {
       val d = t(s, dir, "documents")
       val corpus = d.select(col("doc_id"), col("text"), col("source"))
         .unionAll(d.where(pmod(col("doc_id"), lit(5)) === 0)
-          .select((col("doc_id") + 60000000L).as("doc_id"), col("text"),
+          .select((col("doc_id") + 2500000000L).as("doc_id"), col("text"),
             concat(lit("mirror_"), col("source")).as("source")))
       ExactDedup.sourceOverlap(corpus, "text", "source")
         .orderBy(col("source_a"), col("source_b"))
@@ -1997,7 +1997,7 @@ object PipelineQueries {
       s"""WITH c AS (
          |  SELECT doc_id, text, source FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 60000000, text, 'mirror_' || source FROM documents WHERE doc_id % 5 = 0
+         |  SELECT doc_id + 2500000000, text, 'mirror_' || source FROM documents WHERE doc_id % 5 = 0
          |),
          |hs AS (SELECT DISTINCT md5(text) AS h, source FROM c)
          |SELECT l.source AS source_a, r.source AS source_b,

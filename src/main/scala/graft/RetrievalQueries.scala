@@ -115,10 +115,10 @@ object RetrievalQueries {
       // blocked edit-distance entity resolution over canonicalized 32-char
       // prefixes, pigeonhole 4-piece blocking, df-capped blocks, exact
       // levenshtein verify; corpus enriched with planted 1-substitution
-      // mutants (doc_id+10000000) so the fixture exercises dist 1 matches.
+      // mutants (doc_id+2000000000) so the fixture exercises dist 1 matches.
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val mut = docs.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
           concat(lit("z"), expr("substring(text, 2)")).as("text"))
       FuzzyJoin.editDistancePairs(docs.unionByName(mut), "doc_id", "text",
           prefixLen = 32, maxDist = 3, maxBlock = 64)
@@ -128,17 +128,17 @@ object RetrievalQueries {
     "q_fuzzy_join_indel" -> ((s, dir) => {
       // indel-complete ER (round 11): PassJoin-style segment×shifted-window
       // blocking guarantees recall for ≤3 edits INCLUDING insertions and
-      // deletions; corpus planted with 1-substitution (+10000000),
-      // 1-insertion (+20000000) and 1-deletion (+30000000) mutants
+      // deletions; corpus planted with 1-substitution (+2000000000),
+      // 1-insertion (+2100000000) and 1-deletion (+2200000000) mutants
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val sub = docs.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
           concat(lit("z"), expr("substring(text, 2)")).as("text"))
       val ins = docs.where(col("doc_id") % 7 === 1)
-        .select((col("doc_id") + 20000000L).as("doc_id"),
+        .select((col("doc_id") + 2100000000L).as("doc_id"),
           concat(expr("substring(text, 1, 4)"), lit("x"), expr("substring(text, 5)")).as("text"))
       val del = docs.where(col("doc_id") % 7 === 2)
-        .select((col("doc_id") + 30000000L).as("doc_id"),
+        .select((col("doc_id") + 2200000000L).as("doc_id"),
           concat(expr("substring(text, 1, 4)"), expr("substring(text, 6)")).as("text"))
       FuzzyJoin.editDistancePairsIndel(
           docs.unionByName(sub).unionByName(ins).unionByName(del),
@@ -455,7 +455,7 @@ object RetrievalQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000000, 'z' || substring(text, 2) FROM documents WHERE doc_id % 7 = 0
+         |  SELECT doc_id + 2000000000, 'z' || substring(text, 2) FROM documents WHERE doc_id % 7 = 0
          |),
          |canon AS (
          |  SELECT doc_id, substring(array_to_string(${duckToks()}, ' '), 1, 32) AS prefix
@@ -486,13 +486,13 @@ object RetrievalQueries {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000000, 'z' || substring(text, 2)
+         |  SELECT doc_id + 2000000000, 'z' || substring(text, 2)
          |  FROM documents WHERE doc_id % 7 = 0
          |  UNION ALL
-         |  SELECT doc_id + 20000000, substring(text, 1, 4) || 'x' || substring(text, 5)
+         |  SELECT doc_id + 2100000000, substring(text, 1, 4) || 'x' || substring(text, 5)
          |  FROM documents WHERE doc_id % 7 = 1
          |  UNION ALL
-         |  SELECT doc_id + 30000000, substring(text, 1, 4) || substring(text, 6)
+         |  SELECT doc_id + 2200000000, substring(text, 1, 4) || substring(text, 6)
          |  FROM documents WHERE doc_id % 7 = 2
          |),
          |canon AS (

@@ -58,7 +58,7 @@ object UnicodeQueries {
     "สวัสดีชาวโลกข้อมูลการฝึกอบรมโมเดล")           // thai
 
   /** Spark-side multilingual corpus: documents plus one replacement row per
-    * doc_id % 9 == 0 doc (id + 40000000), text chosen by
+    * doc_id % 9 == 0 doc (id + 2300000000), text chosen by
     * (doc_id div 9) % MlTexts.size. */
   private def mlCorpus(docs: DataFrame): DataFrame = {
     val m = MlTexts.size
@@ -67,7 +67,7 @@ object UnicodeQueries {
     }
     docs.select(col("doc_id"), col("text")).unionByName(
       docs.where(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 40000000L).as("doc_id"), choice.as("text")))
+        .select((col("doc_id") + 2300000000L).as("doc_id"), choice.as("text")))
   }
 
   /** DuckDB replay of [[mlCorpus]] (same constants, same arithmetic). */
@@ -78,7 +78,7 @@ object UnicodeQueries {
     s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 40000000, CASE $cases END AS text
+       |  SELECT doc_id + 2300000000, CASE $cases END AS text
        |  FROM documents WHERE doc_id % 9 = 0
        |)""".stripMargin
   }
