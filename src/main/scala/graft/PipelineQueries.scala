@@ -1855,14 +1855,20 @@ object PipelineQueries {
         |ORDER BY user_id, session_id""".stripMargin,
 
     "q1_pricing" ->
+      // decimal -> double exports route through VARCHAR: DuckDB's direct
+      // DECIMAL->DOUBLE is double-rounded (hugeint and scale divide in
+      // float), while Spark's BigDecimal.doubleValue is correctly rounded
+      // from the exact value — a 1-ulp divergence the sf1 sweep caught at
+      // 10x magnitudes. Parsing the exact decimal STRING is correctly
+      // rounded in both engines.
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE) AS sum_qty,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE) AS sum_base,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS VARCHAR) AS DOUBLE) AS sum_base,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE) / count(*) AS avg_qty,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE) / count(*) AS avg_price
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1999-12-31'
         |GROUP BY l_returnflag, l_linestatus
