@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Benchmark main. Prints ONE JSON line on stdout (and mirrors it to
   * bench.json). Each query runs up to SPARK_GRAFT_BENCH_REPS passes
@@ -22,9 +22,28 @@ import java.nio.file.{Files, Paths}
   * `/proc/loadavg` snapshots bracket the run, `contended` reports whether
   * any 1.5× spread survived adjudication, and the raw per-rep times live in
   * bench_raw.json (round 5: they overflowed the driver's stdout tail
-  * capture when inlined). */
+  * capture when inlined).
+  *
+  * Timeout-proofing (round 13; BENCH_r12.json was rc=124 with parsed:null
+  * because the artifact was written only at the end): bench.json and
+  * bench_raw.json are now REWRITTEN after the warm-up pass and after every
+  * completed timed rep, with `"partial":true` until the run finishes — a
+  * driver-side kill at any point leaves a parseable artifact whose
+  * reps_effective map reflects exactly how far the run got. The write is an
+  * atomic tmp-file + move so a kill mid-write can't leave torn JSON.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    def loadavg: String =
+      try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    // FIRST statement of the run: snapshot loadavg BEFORE SparkSession
+    // creation (round-13 advice — the round-12 capture sat after
+    // getOrCreate, so our own JVM warm-up leaked into the "pre-existing
+    // load" signal). Note the 1-minute average can still carry a
+    // just-finished sbt compile; the loadFlag threshold below scales with
+    // the core count for that reason.
+    val loadBefore = loadavg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
@@ -42,90 +61,19 @@ object Bench {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def loadavg: String =
-      try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(" ")
-      catch { case _: Throwable => "" }
-    val loadBefore = loadavg
     val t0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - t0) / 1e9
     // optional comma-separated subset for targeted iteration (full run default)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // Discarded warm-up pass over EVERY query (round-2 medians were 3.6x
-    // inflated because only one query was warmed: with 3 reps, one cold +
-    // one half-warm rep IS the median). JIT, codegen caches, and shuffle
-    // machinery all reach steady state before the first timed rep; failures
-    // stay silent here — the timed reps report them with context.
-    spark.range(1 << 20).selectExpr("sum(id)").collect()
-    // Execute the query's OWN optimized plan (all output columns
-    // materialized). A plain .count() lets Catalyst prune projection-only
-    // work — scan-and-project queries (text kernels, left-join canonicals)
-    // were silently measured as bare row counts.
-    def exec(name: String): Long =
-      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-    for (name <- names) {
-      try { exec(name); () }
-      catch { case _: Throwable => }
-    }
-    System.err.println(f"[bench] warm-up pass done at ${elapsedS}%.1fs")
+
     val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, String]()
-    for (rep <- 1 to reps; name <- names) {
-      // pass 1 must cover every query; later passes respect the soft budget.
-      // Adaptive reps (round 11): sub-second queries stop after 2 reps ONLY
-      // when those two reps AGREE (within 15% + 50ms) — a min over 2
-      // consistent samples is as trustworthy as over 3, and the saved
-      // budget goes to the expensive tail and the contention retries. The
-      // agreement guard matters: an unconditional 2-rep cutoff inflated the
-      // cheap half of the book ~1.5x in the first round-11 quiet run (min
-      // of 2 noisy samples is biased high vs min of 3).
-      val cheapDone = rep >= 3 && times(name).size >= 2 && {
-        val xs = times(name)
-        xs.min < 1.0 && (xs.max - xs.min) <= 0.15 * xs.min + 0.05
-      }
-      if ((rep == 1 || elapsedS < budgetS) && !cheapDone) {
-        val s0 = System.nanoTime()
-        try {
-          exec(name)
-          val dt = (System.nanoTime() - s0) / 1e9
-          times(name) = dt :: times(name)
-          System.err.println(f"[bench] rep$rep $name ${dt}%.2fs (total ${elapsedS}%.1fs)")
-        } catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}"
-          System.err.println(s"[bench] rep$rep $name FAILED: ${errors(name)}")
-        }
-      }
-    }
+    val retried = scala.collection.mutable.ListBuffer[String]()
+
     def median(xs: List[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
-    }
-    // Contention adjudication (round 8; VERDICT_r07 item 1): round 7's 3×
-    // trip wire let a loaded host inflate the official medians 26% over the
-    // per-rep minima without ever tripping — the judge had to re-run on a
-    // quiet host to adjudicate. Tightened: any query whose median exceeds
-    // 1.5×min+0.15 gets up to 2 extra reps (budget permitting, in a
-    // hopefully-quieter window), and its median is then taken over its 3
-    // FASTEST reps. Contention only ever ADDS time, so the fastest-3 median
-    // is a defensible trimmed estimator; the `retried` field names every
-    // adjudicated query, and bench_raw.json keeps all reps.
-    val retried = scala.collection.mutable.ListBuffer[String]()
-    if (reps >= 2) {
-      for (name <- names if times(name).size >= 2) {
-        def flagged = median(times(name)) > 1.5 * times(name).min + 0.15
-        var extra = 0
-        while (flagged && extra < 2 && elapsedS < budgetS * 1.2) {
-          extra += 1
-          if (!retried.contains(name)) retried += name
-          val s0 = System.nanoTime()
-          try {
-            exec(name)
-            val dt = (System.nanoTime() - s0) / 1e9
-            times(name) = dt :: times(name)
-            System.err.println(f"[bench] retry$extra $name ${dt}%.2fs (contention adjudication)")
-          } catch { case _: Throwable => extra = 2 } // warm rep failed: keep original reps
-        }
-      }
     }
     /** Median over the 3 fastest reps for adjudicated queries, plain median
       * otherwise (identical when no retry happened). */
@@ -137,54 +85,11 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    // The driver captures (and parses from) only the LAST 2000 BYTES of
-    // stdout — BENCH_r04 (per-rep raw arrays) and BENCH_r05 (71-query dual
-    // median+min maps, ~3.5 KB) both overflowed it and went unparsed. The
-    // stdout line therefore carries 2-decimal medians ONLY (79 queries ≈
-    // 1.7 KB, leaving ~250 B for the sbt success trailer); full-precision
-    // medians, minima, raw reps and loadavg live in bench.json/bench_raw
-    // .json, which are committed and read directly.
     def r4(v: Double): Double = math.round(v * 10000).toDouble / 10000
     def r2(v: Double): Double = math.round(v * 100).toDouble / 100
-    val measured = names.filter(times(_).nonEmpty)
-    val medians = measured.map(n => n -> effMedian(n))
-    val mins = measured.map(n => n -> times(n).min)
-    val qs = medians.map { case (k, v) => jq(k) + ":" + r4(v) }.mkString("{", ",", "}")
-    val qsMin = mins.map { case (k, v) => jq(k) + ":" + r4(v) }.mkString("{", ",", "}")
-    // raw per-rep times in chronological order (rep1 first) — the forensic
-    // record that lets a later reader adjudicate noise without re-running.
-    // Written ONLY to bench_raw.json, never to stdout (see overflow note).
-    val raw = measured.map(n => jq(n) + ":" + times(n).reverse.mkString("[", ",", "]"))
-      .mkString("{", ",", "}")
-    val errJson = errors.toSeq.sorted.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
-    val totalMin = mins.map(_._2).sum
-    // Contention signals (round 12; the round-11 artifact ran 7.7×-inflated
-    // on a loaded host with exactly 1 effective rep, so min == median and
-    // the spread flag below could never fire — `contended: false` on a
-    // garbage measurement). Three independent detectors, each sufficient:
-    //  - spread: any query's median > 1.5×min + 0.15 (needs >= 2 reps);
-    //  - loadavg: the host was already busy when bench STARTED (pre-Spark
-    //    loadavg — our own executors contribute nothing to it yet). Only
-    //    armed when reps collapsed to 1 somewhere, because a freshly
-    //    finished sbt compile legitimately elevates loadavg on quiet runs;
-    //  - uniform inflation vs the pinned baseline: >= 50% of common queries
-    //    at >= 2× pin is environmental by construction — no code change
-    //    uniformly doubles 80+ unrelated plans at once.
-    val repsEffective = measured.map(n => times(n).size)
-    val repsEffMin = if (repsEffective.isEmpty) 0 else repsEffective.min
-    val spreadFlag = medians.zip(mins).exists { case ((_, med), (_, mn)) => med > 1.5 * mn + 0.15 }
-    val load1m = loadBefore.split(" ").headOption
-      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
-    val loadFlag = repsEffMin <= 1 && load1m >= 2.0
-    val contendedReasons = scala.collection.mutable.ListBuffer[String]()
-    if (spreadFlag) contendedReasons += "median-spread"
-    if (loadFlag) contendedReasons += f"loadavg-$load1m%.1f-at-1-rep"
-    if (spreadFlag)
-      System.err.println("[bench] WARNING: median >1.5x min for at least one query — " +
-        "host contention suspected; trust total_min/queries_min over the medians")
-    // pinned-baseline comparison, computed EARLY so uniform inflation can
-    // feed `contended` (serialized into bench.json further down)
+
+    // pinned-baseline comparison context, loaded ONCE up front (it reads
+    // only BASELINE.json — independent of the measurements)
     val baselineCmp: Either[String, (Int, Map[String, Double])] = try {
       import org.json4s._
       implicit val fmts: Formats = DefaultFormats
@@ -212,28 +117,202 @@ object Bench {
       // (bench must still print its JSON line, so don't propagate)
       case scala.util.control.NonFatal(e) => Left("unexpected:" + e.getClass.getSimpleName)
     }
-    val uniformFlag = baselineCmp match {
-      case Right((_, base)) =>
-        val ratios = mins.collect { case (n, v) if base.contains(n) => v / base(n) }
-        ratios.size >= 20 && ratios.count(_ >= 2.0) * 2 >= ratios.size
-      case Left(_) => false
+
+    /** Atomic file write: tmp + move, so a kill mid-write never leaves a
+      * torn artifact (the whole point of the incremental flush). */
+    def writeAtomic(path: String, content: String): Unit = {
+      val tmp = Paths.get(path + ".tmp")
+      Files.writeString(tmp, content)
+      Files.move(tmp, Paths.get(path), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
     }
-    if (uniformFlag) contendedReasons += "uniform-baseline-inflation"
-    val contended = spreadFlag || loadFlag || uniformFlag
-    if (contended && !spreadFlag)
-      System.err.println(s"[bench] WARNING: contended (${contendedReasons.mkString(",")}) — " +
-        "treat this artifact as degraded; re-run on a quiet host")
-    val loadAfter = loadavg
-    // Adaptive stdout line: start at 2-decimal medians; if the query count
-    // has grown past what 2000 bytes holds, drop to 1 decimal, then omit
-    // the CHEAPEST queries (keeping an "omitted" count) — a parseable line
-    // with the expensive tail beats a complete line the driver can't read.
-    // Headline promotion (round 8; VERDICT_r07 item 1): `value` and
-    // `queries` now carry the per-rep MINIMA — the estimator that is robust
-    // under external host load by construction (contention only ever adds
-    // time), so the first number a reader sees no longer needs a quiet-host
-    // re-run to trust. The trimmed medians stay alongside as
-    // total_median/queries_median with `stat` naming the headline estimator.
+
+    /** Build the full bench.json line from CURRENT state and write both
+      * artifacts. Called after warm-up and after every completed rep, so a
+      * driver timeout at any instant leaves valid partial JSON on disk. */
+    def writeArtifacts(partial: Boolean): String = {
+      val measured = names.filter(times(_).nonEmpty)
+      val medians = measured.map(n => n -> effMedian(n))
+      val mins = measured.map(n => n -> times(n).min)
+      val qs = medians.map { case (k, v) => jq(k) + ":" + r4(v) }.mkString("{", ",", "}")
+      val qsMin = mins.map { case (k, v) => jq(k) + ":" + r4(v) }.mkString("{", ",", "}")
+      val raw = measured.map(n => jq(n) + ":" + times(n).reverse.mkString("[", ",", "]"))
+        .mkString("{", ",", "}")
+      val errJson = errors.toSeq.sorted.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+      val total = medians.map(_._2).sum
+      val totalMin = mins.map(_._2).sum
+      // Contention signals (round 12; the round-11 artifact ran 7.7×-inflated
+      // on a loaded host with exactly 1 effective rep, so min == median and
+      // the spread flag below could never fire — `contended: false` on a
+      // garbage measurement). Detectors:
+      //  - spread: any query's median > 1.5×min + 0.15 (needs >= 2 reps);
+      //  - loadavg: the host was already busy when bench STARTED (captured
+      //    before SparkSession creation). Armed only when reps collapsed to
+      //    1 somewhere, and the threshold scales with the core count (2
+      //    busy cores on a 32-core host is nothing — round-13 advice);
+      //  - uniform inflation vs the pinned baseline: >= 50% of common
+      //    queries at >= 2× pin. Round-13 change: uniform inflation ALONE
+      //    no longer sets `contended` — a global code/config regression
+      //    (codegen off, broken exchange reuse) produces exactly this
+      //    signature, and flagging it environmental made the largest
+      //    regressions permanently read as "rerun on a quiet host". It now
+      //    corroborates (and is corroborated by) an independent
+      //    environmental signal; alone it rides as
+      //    `uniform_inflation_uncorroborated` and the per-query
+      //    vs_baseline_regressions list trips tools/baseline_gate.py.
+      val repsEffective = measured.map(n => times(n).size)
+      val repsEffMin = if (repsEffective.isEmpty) 0 else repsEffective.min
+      val spreadFlag = measured.exists { n =>
+        times(n).size >= 2 && effMedian(n) > 1.5 * times(n).min + 0.15
+      }
+      val load1m = loadBefore.split(" ").headOption
+        .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+      val loadThreshold = math.max(2.0, 0.25 * cpus.toDouble)
+      val loadFlag = repsEffMin <= 1 && load1m >= loadThreshold
+      val uniformFlag = baselineCmp match {
+        case Right((_, base)) =>
+          val ratios = mins.collect { case (n, v) if base.contains(n) => v / base(n) }
+          ratios.size >= 20 && ratios.count(_ >= 2.0) * 2 >= ratios.size
+        case Left(_) => false
+      }
+      val uniformCorroborated = uniformFlag && (spreadFlag || loadFlag)
+      val uniformAlone = uniformFlag && !uniformCorroborated
+      val contendedReasons = scala.collection.mutable.ListBuffer[String]()
+      if (spreadFlag) contendedReasons += "median-spread"
+      if (loadFlag) contendedReasons += f"loadavg-$load1m%.1f-at-1-rep"
+      if (uniformCorroborated) contendedReasons += "uniform-baseline-inflation"
+      val contended = spreadFlag || loadFlag || uniformCorroborated
+      val loadAfter = loadavg
+      val vsBaselineJson: String = baselineCmp match {
+        case Right((rnd, base)) =>
+          val common = mins.filter { case (n, _) => base.contains(n) }
+          if (common.isEmpty) s""","vs_baseline":${jq("unavailable:no-common-queries")}"""
+          else {
+            val ratios = common.map { case (n, v) => n -> v / base(n) }
+            val totRatio = common.map(_._2).sum / common.map(c => base(c._1)).sum
+            val regress = ratios.filter(_._2 >= 1.5).sortBy(-_._2)
+              .map { case (k, v) => jq(k) + ":" + r2(v) }.mkString("{", ",", "}")
+            s""","baseline_round":$rnd,"vs_baseline_total":${r4(totRatio)},"vs_baseline_worst":${r4(ratios.map(_._2).max)},"vs_baseline_regressions":$regress"""
+          }
+        case Left(reason) =>
+          s""","vs_baseline":${jq("unavailable:" + reason)}"""
+      }
+      val retriedJson = retried.toSeq.sorted.map(jq).mkString("[", ",", "]")
+      val repsEffJson = measured.map(n => jq(n) + ":" + times(n).size).mkString("{", ",", "}")
+      val reasonsJson = contendedReasons.toSeq.map(jq).mkString("[", ",", "]")
+      val fullLine =
+        s"""{"metric":"total","value":${r4(totalMin)},"unit":"sec","stat":"min","partial":$partial,"covered":${measured.size},"book":${names.size},"queries":$qsMin,"errors":$errJson,"reps":$reps,"reps_effective_min":$repsEffMin,"reps_effective":$repsEffJson,"sf":${jq(sfDir)},"total_min":${r4(totalMin)},"total_median":${r4(total)},"queries_min":$qsMin,"queries_median":$qs,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended,"contended_reasons":$reasonsJson,"uniform_inflation_uncorroborated":$uniformAlone,"retried":$retriedJson$vsBaselineJson}"""
+      writeAtomic("bench.json", fullLine + "\n")
+      writeAtomic("bench_raw.json",
+        s"""{"raw":$raw,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"reps":$reps,"partial":$partial,"sf":${jq(sfDir)}}""" + "\n")
+      if (!partial) {
+        if (spreadFlag)
+          System.err.println("[bench] WARNING: median >1.5x min for at least one query — " +
+            "host contention suspected; trust total_min/queries_min over the medians")
+        if (contended && !spreadFlag)
+          System.err.println(s"[bench] WARNING: contended (${contendedReasons.mkString(",")}) — " +
+            "treat this artifact as degraded; re-run on a quiet host")
+        if (uniformAlone)
+          System.err.println("[bench] WARNING: >=50% of queries at >=2x the pinned baseline " +
+            "with NO independent contention signal — this is the signature of a GLOBAL " +
+            "code/config regression (codegen disabled, exchange reuse broken, shuffle " +
+            "partition drift), not the host; investigate vs_baseline_regressions before " +
+            "dismissing as environment")
+        baselineCmp.left.foreach(reason =>
+          System.err.println(s"[bench] vs-baseline comparison unavailable: $reason"))
+      }
+      fullLine
+    }
+
+    // Discarded warm-up pass over EVERY query (round-2 medians were 3.6x
+    // inflated because only one query was warmed: with 3 reps, one cold +
+    // one half-warm rep IS the median). JIT, codegen caches, and shuffle
+    // machinery all reach steady state before the first timed rep; failures
+    // stay silent here — the timed reps report them with context.
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    // Execute the query's OWN optimized plan (all output columns
+    // materialized). A plain .count() lets Catalyst prune projection-only
+    // work — scan-and-project queries (text kernels, left-join canonicals)
+    // were silently measured as bare row counts.
+    def exec(name: String): Long =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+    for (name <- names) {
+      try { exec(name); () }
+      catch { case _: Throwable => }
+    }
+    System.err.println(f"[bench] warm-up pass done at ${elapsedS}%.1fs")
+    writeArtifacts(partial = true)
+
+    for (rep <- 1 to reps; name <- names) {
+      // pass 1 must cover every query; later passes respect the soft budget.
+      // Adaptive reps (round 11): sub-second queries stop after 2 reps ONLY
+      // when those two reps AGREE (within 15% + 50ms) — a min over 2
+      // consistent samples is as trustworthy as over 3, and the saved
+      // budget goes to the expensive tail and the contention retries. The
+      // agreement guard matters: an unconditional 2-rep cutoff inflated the
+      // cheap half of the book ~1.5x in the first round-11 quiet run (min
+      // of 2 noisy samples is biased high vs min of 3).
+      val cheapDone = rep >= 3 && times(name).size >= 2 && {
+        val xs = times(name)
+        xs.min < 1.0 && (xs.max - xs.min) <= 0.15 * xs.min + 0.05
+      }
+      if ((rep == 1 || elapsedS < budgetS) && !cheapDone) {
+        val s0 = System.nanoTime()
+        try {
+          exec(name)
+          val dt = (System.nanoTime() - s0) / 1e9
+          times(name) = dt :: times(name)
+          System.err.println(f"[bench] rep$rep $name ${dt}%.2fs (total ${elapsedS}%.1fs)")
+        } catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}"
+          System.err.println(s"[bench] rep$rep $name FAILED: ${errors(name)}")
+        }
+        writeArtifacts(partial = true)
+      }
+    }
+    // Contention adjudication (round 8; VERDICT_r07 item 1): round 7's 3×
+    // trip wire let a loaded host inflate the official medians 26% over the
+    // per-rep minima without ever tripping — the judge had to re-run on a
+    // quiet host to adjudicate. Tightened: any query whose median exceeds
+    // 1.5×min+0.15 gets up to 2 extra reps (budget permitting, in a
+    // hopefully-quieter window), and its median is then taken over its 3
+    // FASTEST reps. Contention only ever ADDS time, so the fastest-3 median
+    // is a defensible trimmed estimator; the `retried` field names every
+    // adjudicated query, and bench_raw.json keeps all reps.
+    if (reps >= 2) {
+      for (name <- names if times(name).size >= 2) {
+        def flagged = median(times(name)) > 1.5 * times(name).min + 0.15
+        var extra = 0
+        while (flagged && extra < 2 && elapsedS < budgetS * 1.2) {
+          extra += 1
+          if (!retried.contains(name)) retried += name
+          val s0 = System.nanoTime()
+          try {
+            exec(name)
+            val dt = (System.nanoTime() - s0) / 1e9
+            times(name) = dt :: times(name)
+            System.err.println(f"[bench] retry$extra $name ${dt}%.2fs (contention adjudication)")
+          } catch { case _: Throwable => extra = 2 } // warm rep failed: keep original reps
+          writeArtifacts(partial = true)
+        }
+      }
+    }
+
+    val fullLine = writeArtifacts(partial = false)
+    // The driver captures (and parses from) only the LAST 2000 BYTES of
+    // stdout — BENCH_r04 (per-rep raw arrays) and BENCH_r05 (71-query dual
+    // median+min maps, ~3.5 KB) both overflowed it and went unparsed. The
+    // stdout line therefore carries 2-decimal minima ONLY; full-precision
+    // medians, minima, raw reps and loadavg live in bench.json/bench_raw
+    // .json, which are committed and read directly.
+    val measured = names.filter(times(_).nonEmpty)
+    val mins = measured.map(n => n -> times(n).min)
+    val errJson = errors.toSeq.sorted.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val totalMin = mins.map(_._2).sum
+    val repsEffective = measured.map(n => times(n).size)
+    val repsEffMin = if (repsEffective.isEmpty) 0 else repsEffective.min
+    val contendedNow = fullLine.contains(""""contended":true""")
+    val total = measured.map(n => effMedian(n)).sum
     def buildLine(prec: Int, entries: Seq[(String, Double)], omitted: Int): String = {
       def r(v: Double): Double = { val s = math.pow(10, prec); math.round(v * s) / s }
       val qm = entries.map { case (k, v) => jq(k) + ":" + r(v) }.mkString("{", ",", "}")
@@ -243,7 +322,7 @@ object Bench {
       // always aggregate every measured query even when the queries map is
       // truncated to fit the driver's 2000-byte stdout tail capture; the
       // full per-query map is always in the committed bench.json
-      s"""{"metric":"total","value":${r(totalMin)},"unit":"sec","stat":"min","covered":${measured.size},"book":${names.size},"queries":$qm,"errors":$errJson,"reps":$reps,"reps_eff_min":$repsEffMin,"sf":${jq(sfDir)},"total_min":${r(totalMin)},"total_median":${r(total)},"contended":$contended$om$rt}"""
+      s"""{"metric":"total","value":${r(totalMin)},"unit":"sec","stat":"min","covered":${measured.size},"book":${names.size},"queries":$qm,"errors":$errJson,"reps":$reps,"reps_eff_min":$repsEffMin,"sf":${jq(sfDir)},"total_min":${r(totalMin)},"total_median":${r(total)},"contended":$contendedNow$om$rt}"""
     }
     val byCost = mins.sortBy(-_._2)
     var stdoutLine = buildLine(2, mins, 0)
@@ -253,41 +332,7 @@ object Bench {
       keep -= 5
       stdoutLine = buildLine(1, byCost.take(keep).sortBy(_._1), byCost.length - keep)
     }
-    val retriedJson = retried.toSeq.sorted.map(jq).mkString("[", ",", "]")
-    // vs the PINNED baseline (BASELINE.json "pinned_wall_seconds", written
-    // by tools/pin_baseline.py from a quiet-host run): the 2x perf gate
-    // becomes mechanically checkable — each query's min / pinned min, the
-    // common-subset total ratio, and every >=1.5x suspect named. Rides in
-    // bench.json only (stdout stays inside the driver's tail capture).
-    // An empty string here used to mean ANY of: no baseline pinned, file
-    // unreadable, schema drift, sf mismatch — so a broken gate read as a
-    // pass (round-9 advice). Every non-comparison now emits an explicit
-    // "vs_baseline":"unavailable:<reason>" marker instead, and only
-    // expected parse/IO failures are swallowed into it; gate tooling
-    // (tools/baseline_gate.py) fails loudly on the marker.
-    val vsBaselineJson: String = baselineCmp match {
-      case Right((rnd, base)) =>
-        val common = mins.filter { case (n, _) => base.contains(n) }
-        if (common.isEmpty) s""","vs_baseline":${jq("unavailable:no-common-queries")}"""
-        else {
-          val ratios = common.map { case (n, v) => n -> v / base(n) }
-          val totRatio = common.map(_._2).sum / common.map(c => base(c._1)).sum
-          val regress = ratios.filter(_._2 >= 1.5).sortBy(-_._2)
-            .map { case (k, v) => jq(k) + ":" + r2(v) }.mkString("{", ",", "}")
-          s""","baseline_round":$rnd,"vs_baseline_total":${r4(totRatio)},"vs_baseline_worst":${r4(ratios.map(_._2).max)},"vs_baseline_regressions":$regress"""
-        }
-      case Left(reason) =>
-        System.err.println(s"[bench] vs-baseline comparison unavailable: $reason")
-        s""","vs_baseline":${jq("unavailable:" + reason)}"""
-    }
-    val repsEffJson = measured.map(n => jq(n) + ":" + times(n).size).mkString("{", ",", "}")
-    val reasonsJson = contendedReasons.toSeq.map(jq).mkString("[", ",", "]")
-    val fullLine =
-      s"""{"metric":"total","value":${r4(totalMin)},"unit":"sec","stat":"min","covered":${measured.size},"book":${names.size},"queries":$qsMin,"errors":$errJson,"reps":$reps,"reps_effective_min":$repsEffMin,"reps_effective":$repsEffJson,"sf":${jq(sfDir)},"total_min":${r4(totalMin)},"total_median":${r4(total)},"queries_min":$qsMin,"queries_median":$qs,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended,"contended_reasons":$reasonsJson,"retried":$retriedJson$vsBaselineJson}"""
     println(stdoutLine)
-    Files.writeString(Paths.get("bench.json"), fullLine + "\n")
-    Files.writeString(Paths.get("bench_raw.json"),
-      s"""{"raw":$raw,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"reps":$reps,"sf":${jq(sfDir)}}""" + "\n")
     spark.stop()
     // Always exit 0: a nonzero exit makes the sbt runner append [error]
     // lines AFTER the JSON stdout line, which round 5 proved can push the
