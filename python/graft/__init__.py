@@ -423,7 +423,7 @@ def bottom_k_sample(df, group_col, id_col, k):
 
 
 def perceptual_hash(df, id_col, payload_col):
-    """64-bit dHash of a decoded image payload column: (id, phash) —
+    """63-bit dHash of a decoded image payload column: (id, phash) —
     invariant to byte edits that don't change the rendered raster."""
     m = _module(df.sparkSession, "graft.multimodal.Multimodal$")
     return _wrap(df, m.perceptualHash(df._jdf, id_col, payload_col))
@@ -858,7 +858,10 @@ def dominant_script(counts_col):
 
 def u_tokens(col):
     """Column -> Column: case-preserving Unicode-category tokens (maximal
-    \\p{L}\\p{M}\\p{N} runs; marks stay inside abugida words)."""
+    \\p{L}\\p{M}\\p{N} runs; marks stay inside abugida words). Han/Kana
+    codepoints are split into single-codepoint tokens (scriptio continua
+    has no word separators), with the combining kana voicing marks
+    U+3099/309A kept attached to their base kana."""
     from pyspark.sql.column import Column as _PyCol
     m = _module(_active_session(), "graft.text.UnicodeText$")
     return _PyCol(m.uTokens(col._jc))

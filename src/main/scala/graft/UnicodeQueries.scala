@@ -55,7 +55,10 @@ object UnicodeQueries {
     "नमस्ते दुनिया प्रशिक्षण डेटा",                 // deva
     "12345 !!! ??? 67890",                         // und (digits, no letters)
     "Xin chào thế giới dữ liệu huấn luyện mô hình", // latn (Vietnamese, Ext Additional)
-    "สวัสดีชาวโลกข้อมูลการฝึกอบรมโมเดล")           // thai
+    "สวัสดีชาวโลกข้อมูลการฝึกอบรมโมเดล",           // thai
+    // NFD Japanese (round 13): dakuten/handakuten as COMBINING marks —
+    // pins the voicing-mark absorption contract (か+U+3099 is one token)
+    "か\u3099き\u3099く\u3099 テ\u3099ータ ハ\u309Aイフ\u309Aライン")
 
   /** Spark-side multilingual corpus: documents plus one replacement row per
     * doc_id % 9 == 0 doc (id + 2300000000), text chosen by
@@ -202,7 +205,7 @@ object UnicodeQueries {
       s"""WITH $mlCorpusSql,
          |tk AS (
          |  SELECT doc_id, regexp_extract_all(
-         |    regexp_replace(text, '([${UnicodeKernels.cjkSplitClass}])', ' \\1 ', 'g'),
+         |    regexp_replace(text, '${UnicodeKernels.cjkSplitRegex}', ' \\1 ', 'g'),
          |    '[\\p{L}\\p{M}\\p{N}]+') AS tks
          |  FROM corpus
          |)

@@ -97,16 +97,39 @@ object UnicodeKernels extends Serializable {
     * would detach from their base consonants — runs stay the honest unit
     * there. */
   val CjkSplit: Seq[(Int, Int)] = Seq(
-    (0x3040, 0x30FF),   // Hiragana + Katakana (incl. combining kana marks)
+    // Hiragana + Katakana, EXCLUDING the combining voicing marks
+    // U+3099/U+309A (round 13): NFD-form Japanese (か + ゙) must keep the
+    // dakuten/handakuten attached to its base kana — with the marks in the
+    // split class they became bare-mark tokens, the exact detachment
+    // failure the Thai no-split rule exists to avoid. The marks instead
+    // ride the `[゙-゚]*` tail of [[cjkSplitRegex]] / the kernel's
+    // voicing-mark absorption loop, so NFD "が" is ONE two-codepoint
+    // base+mark token (NFC input was and stays a single precomposed cp).
+    (0x3040, 0x3098),
+    (0x309B, 0x30FF),
     (0x31F0, 0x31FF),   // Katakana Phonetic Extensions
     (0x3400, 0x4DBF),   // CJK Unified Ideographs Extension A
     (0x4E00, 0x9FFF),   // CJK Unified Ideographs
     (0xFF66, 0xFF9D))   // halfwidth Katakana
 
+  /** The combining kana voicing marks (dakuten U+3099, handakuten U+309A):
+    * absorbed into the PRECEDING CJK-split token, never split off. */
+  val KanaVoicingLo = 0x3099
+  val KanaVoicingHi = 0x309A
+  @inline def isKanaVoicingCp(cp: Int): Boolean =
+    cp >= KanaVoicingLo && cp <= KanaVoicingHi
+
   /** The [[CjkSplit]] ranges as a regex character-class body,
     * `\x{XXXX}-\x{XXXX}` escapes — identical syntax in Java regex and RE2. */
   def cjkSplitClass: String =
     CjkSplit.map { case (lo, hi) => f"\\x{$lo%04X}-\\x{$hi%04X}" }.mkString
+
+  /** The full split-spacing group: one CJK-split codepoint plus any
+    * immediately following kana voicing marks. Shared by
+    * [[graft.text.UnicodeText.uTokens]] and the DuckDB oracle (same string,
+    * valid in Java regex and RE2) so the two engines cannot drift. */
+  def cjkSplitRegex: String =
+    f"([$cjkSplitClass][\\x{${KanaVoicingLo}%04X}-\\x{${KanaVoicingHi}%04X}]*)"
 
   @inline def isCjkSplitCp(cp: Int): Boolean = {
     var i = 0
@@ -138,18 +161,25 @@ object UnicodeKernels extends Serializable {
       val isTok = i < n && isTokenCp(cp)
       if (isTok && isCjkSplitCp(cp)) {
         if (runStart >= 0) { nTokens += 1; seen.add(s.substring(runStart, i)); runStart = -1 }
-        nTokens += 1
-        seen.add(s.substring(i, i + Character.charCount(cp)))
+        // absorb trailing kana voicing marks (U+3099/309A) into this token
+        // (round 13) — mirrors the `[...]*` tail of cjkSplitRegex
+        var j = i + Character.charCount(cp)
         cpLen += 1
-      } else if (isTok) {
-        if (runStart < 0) runStart = i
-        cpLen += 1
-      } else if (runStart >= 0) {
+        while (j < n && isKanaVoicingCp(s.codePointAt(j))) { cpLen += 1; j += 1 }
         nTokens += 1
-        seen.add(s.substring(runStart, i))
-        runStart = -1
+        seen.add(s.substring(i, j))
+        i = j
+      } else {
+        if (isTok) {
+          if (runStart < 0) runStart = i
+          cpLen += 1
+        } else if (runStart >= 0) {
+          nTokens += 1
+          seen.add(s.substring(runStart, i))
+          runStart = -1
+        }
+        i += (if (i < n) Character.charCount(cp) else 1)
       }
-      i += (if (i < n) Character.charCount(cp) else 1)
     }
     UnsafeArrayData.fromPrimitiveArray(Array(nTokens, seen.size.toLong, cpLen))
   }

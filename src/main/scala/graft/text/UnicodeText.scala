@@ -45,9 +45,11 @@ object UnicodeText {
     * separators, so a maximal run made a whole sentence ONE token —
     * token budgets and fertility were meaningless there. Implemented by
     * spacing each such codepoint before the run split; the oracle replays
-    * the identical regexes from the same range constants. */
+    * the identical regexes from the same range constants. The combining
+    * kana voicing marks U+3099/309A stay ATTACHED to their base kana
+    * (round 13: NFD Japanese previously shed them as bare-mark tokens). */
   def uTokens(text: Column): Column = {
-    val spaced = regexp_replace(text, s"([${UnicodeKernels.cjkSplitClass}])", " $1 ")
+    val spaced = regexp_replace(text, UnicodeKernels.cjkSplitRegex, " $1 ")
     filter(split(spaced, "[^\\p{L}\\p{M}\\p{N}]+"), t => t =!= "")
   }
 

@@ -142,6 +142,35 @@ class UnicodeTextSpec extends AnyFunSuite with SparkTestSession {
     assert(kernel(4) == ((5L, 5L, 12L)))
   }
 
+  test("kana voicing marks stay attached to their base kana (round 13)") {
+    // NFD Japanese: dakuten U+3099 / handakuten U+309A as COMBINING marks.
+    // Round 12 split them into bare-mark tokens (the detachment failure the
+    // Thai no-split rule exists to avoid); they must ride with their base.
+    val nfdGa = "\u304b\u3099" // NFD GA: KA + combining dakuten
+    // GA gi | DE - TA | PA N : NFD DE/PA (base+mark), precomposed gi mixed in
+    val nfd = nfdGa + "\u304e \u30c6\u3099\u30fc\u30bf \u30cf\u309a\u30f3"
+    val df = Seq(nfd, "a\u3099b").toDF("text")
+    val rows = df.select(UnicodeText.uTokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(rows(0) == Seq(nfdGa, "\u304e", "\u30c6\u3099", "\u30fc", "\u30bf",
+      "\u30cf\u309a", "\u30f3"))
+    // a voicing mark NOT after a kana joins the surrounding \p{M} run as before
+    assert(rows(1) == Seq("a\u3099b"))
+    // the one-pass kernel agrees: 7 tokens, all distinct, 10 codepoints
+    val kernel = df.select(graft.functions.UnicodeExpressions.uTokenStats(col("text")).as("st"))
+      .collect().map(r => { val a = r.getSeq[Long](0); (a(0), a(1), a(2)) }).toSeq
+    assert(kernel(0) == ((7L, 7L, 10L)))
+    assert(kernel(1) == ((1L, 1L, 3L)))
+    // and kernel == declarative fold on the NFD input (the parity contract)
+    val tks = UnicodeText.uTokens(col("text"))
+    val declarative = df.select(
+        size(tks).cast("long").as("n"),
+        size(array_distinct(tks)).cast("long").as("d"),
+        aggregate(tks, lit(0L), (a, t) => a + length(t)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(kernel == declarative)
+  }
+
   test("extended buckets: Vietnamese -> latn, Thai bucket, Ext-A, halfwidth kana") {
     val idx = UnicodeText.Scripts.zipWithIndex.toMap
     val df = Seq("Xin chào thế giới", "สวัสดี 123", "㐀㐁", "ｱｲｳ").toDF("text")
