@@ -51,6 +51,21 @@ object TrainingQueries {
       TextClassifiers.calibrationBins(scored, "doc_id", "y", "score", bins = 10)
     }),
 
+    "q_calibration_hist" -> ((s, dir) => {
+      // the 100 TB twin of q_calibration (round 13): equal-frequency bins
+      // derived from the bounded (score, y) histogram + interval
+      // arithmetic — no row_number over the scored corpus, so the last
+      // single-partition doc-table sort in the book is gone. Tie policy
+      // (score desc, y desc) is the histogram contract; the oracle
+      // replays it as rank selection, proving hist ≡ rank.
+      val docs = t(s, dir, "documents")
+        .withColumn("y", (col("lang") === "en").cast("long"))
+      val model = TextClassifiers.naiveBayesTrain(docs, "text", "y")
+      val scored = TextClassifiers.naiveBayesScore(docs, "doc_id", "text", "y", model)
+        .join(docs.select(col("doc_id"), col("y")), Seq("doc_id"))
+      TextClassifiers.calibrationBinsHist(scored, "doc_id", "y", "score", bins = 10)
+    }),
+
     "q_auc" -> ((s, dir) => {
       // the classifier evaluation: exact per-source ROC-AUC of the NB
       // quality score against the true label (Mann–Whitney rank sums,
@@ -207,6 +222,41 @@ object TrainingQueries {
          |),
          |r AS (
          |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk,
+         |    count(*) OVER () AS n
+         |  FROM scores
+         |),
+         |b AS (SELECT CAST(((rk - 1) * 10) // n AS BIGINT) AS bin, y, score FROM r)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(y) * 1000 // count(*) AS BIGINT) AS pos_rate_milli,
+         |  CAST(sum(score) AS BIGINT) AS sum_score
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // q_calibration's chain with the HISTOGRAM contract's tie policy:
+    // rank by (score DESC, y DESC, doc_id ASC). The rank-selection replay
+    // of the interval-arithmetic twin — green means hist ≡ rank exactly.
+    "q_calibration_hist" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |),
+         |toks AS (SELECT doc_id, y, unnest(${duckToks()}) AS token FROM d),
+         |model AS (
+         |  SELECT token, sum(y) AS c_pos, sum(1 - y) AS c_neg
+         |  FROM toks GROUP BY token
+         |),
+         |mb AS (SELECT token, ${qb("c_pos")} - ${qb("c_neg")} AS bits FROM model),
+         |prior AS (SELECT ${qb("sum(y)")} - ${qb("sum(1 - y)")} AS p FROM d),
+         |sc AS (
+         |  SELECT doc_id, sum(bits) AS s
+         |  FROM toks JOIN mb USING (token) GROUP BY doc_id
+         |),
+         |scores AS (
+         |  SELECT d.doc_id, d.y,
+         |    CAST(coalesce(sc.s, 0) + prior.p AS BIGINT) AS score
+         |  FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN prior
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER (ORDER BY score DESC, y DESC, doc_id ASC) AS rk,
          |    count(*) OVER () AS n
          |  FROM scores
          |),

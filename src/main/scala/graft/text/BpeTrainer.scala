@@ -104,6 +104,90 @@ object BpeTrainer {
     (merges.result(), cur)
   }
 
+  /**
+   * k-BATCHED BPE training (round 13; the scale path to realistic 32k-50k
+   * vocabularies): [[train]] costs one pair-count shuffle + one driver
+   * round-trip PER merge — 32k sequential Spark jobs at a real vocabulary
+   * size. Standard batched BPE instead learns up to `batch` merges per
+   * shuffle: rank the pair table once, then greedily accept pairs in rank
+   * order that share NO symbol with an already-accepted pair of the round
+   * (symbol-disjoint merges can't compete for the same token instance, so
+   * their stale counts stay exact; acceptance order = application order
+   * covers the corner where one merge's OUTPUT string equals another's
+   * input symbol). 32k merges then cost ~32k/batch shuffles.
+   *
+   * Contract (fixed grid, exactly replayable):
+   *  - rounds = ceil(nMerges / batch); round i wants min(batch,
+   *    nMerges − i·batch) merges;
+   *  - candidates are the top 4·batch pairs by (count desc, l asc, r asc)
+   *    with count ≥ minPairCount — a BOUNDED driver fetch (the pool cap is
+   *    part of the contract so the oracle replays the same greedy walk);
+   *  - accepted merges apply left-to-right in rank order as ONE map-side
+   *    projection (composed folds), one action per round;
+   *  - stops early only when the pool is empty (the first pool entry is
+   *    always acceptable, so every non-empty round makes progress).
+   *
+   * `batch = 1` reduces exactly to [[train]] (BpeTrainerSpec pins it);
+   * at `batch > 1` the merge TABLE can differ from sequential training
+   * where a merge-created token immediately dominates the pair table —
+   * the standard, documented batched-BPE tradeoff.
+   */
+  def trainBatched(
+      docs: DataFrame, textCol: String, nMerges: Int, batch: Int,
+      minPairCount: Long = 2L): (Seq[Merge], DataFrame) = {
+    require(nMerges >= 1 && batch >= 1 && minPairCount >= 1)
+    var cur = wordTable(docs, textCol).cache()
+    cur.count()
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    val rounds = (nMerges + batch - 1) / batch
+    var round = 0
+    while (round < rounds && !exhausted) {
+      val want = math.min(batch, nMerges - round * batch)
+      val pool = cur
+        .where(size(col("toks")) > 1)
+        .select(col("cnt"), explode(
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .where(col("c") >= minPairCount)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(4 * batch)
+        .collect()
+      if (pool.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set[String]()
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val it = pool.iterator
+        while (accepted.size < want && it.hasNext) {
+          val row = it.next()
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(l) && !used(r)) {
+            accepted += ((l, r, c)); used += l; used += r
+          }
+        }
+        accepted.foreach { case (l, r, c) =>
+          merges += Merge(step, l, r, l + r, c); step += 1
+        }
+        val newToks = accepted.foldLeft(col("toks")) {
+          case (t, (l, r, _)) => applyMerge(t, l, r)
+        }
+        val next = cur.withColumn("toks", newToks).cache()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+      round += 1
+    }
+    val key = "bpe@" + Thread.currentThread().getId
+    Option(live.put(key, cur)).filter(_ ne cur).foreach(_.unpersist(blocking = false))
+    (merges.result(), cur)
+  }
+
   private val live = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /**

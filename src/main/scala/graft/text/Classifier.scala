@@ -247,4 +247,64 @@ object TextClassifiers {
       .select(col("bin"), col("n"), col("n_pos"), col("pos_rate_milli"), col("sum_score"))
       .orderBy(col("bin"))
   }
+
+  /**
+   * The 100 TB twin of [[calibrationBins]] (round 13; the exact form ranks
+   * the whole scored corpus through ONE `row_number()` task — the last
+   * single-partition sort in the book). The score is integer-quantized, so
+   * the equal-frequency bins are EXACTLY derivable from the bounded
+   * (score, label) → count histogram:
+   *
+   *  1. one hash-agg collapses the corpus to the histogram (map-side
+   *     partials; |distinct scores|·2 rows — thousands, not billions);
+   *  2. a cumulative window over THAT bounded table (the
+   *     q_percentiles_hist discipline: the global sort touches the
+   *     histogram, never the docs) places each (score, y) group at rank
+   *     interval [cb+1, cb+cnt];
+   *  3. integer interval arithmetic splits each group across the bins its
+   *     interval overlaps: bin b covers ranks rk with (rk−1)·bins div n =
+   *     b, i.e. rk−1 ∈ [ceil(b·n/bins), ceil((b+1)·n/bins) − 1].
+   *
+   * Tie policy: within a tied score, positives rank BEFORE negatives
+   * (score desc, y desc) — the histogram carries no ids, so the exact
+   * form's id-order split of a mixed-label tie group straddling a bin
+   * boundary is the one thing it cannot replay. Any deterministic
+   * within-tie policy prices the reliability diagram identically
+   * (per-bin aggregates don't care which equal-scored doc went where);
+   * the oracle replays this contract as `ORDER BY score DESC, y DESC`
+   * rank selection, so the green row doubles as the hist ≡ rank proof.
+   * Output schema identical to [[calibrationBins]]; results identical
+   * whenever no mixed-label tie group straddles a boundary
+   * (Round13OpsSpec pins both the equivalence and the straddle case).
+   */
+  def calibrationBinsHist(scored: DataFrame, idCol: String, labelCol: String,
+                          scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val h = scored.select(col(labelCol).cast("long").as("_y"), col(scoreCol).as("_sc"))
+      .groupBy(col("_sc"), col("_y"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.orderBy(col("_sc").desc, col("_y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = scored.agg(count(lit(1)).as("_n"))
+    h.withColumn("_cb", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+      .crossJoin(broadcast(totals))
+      // every bin this group's rank interval [cb+1, cb+cnt] overlaps —
+      // a group spans at most ceil(cnt·bins/n)+1 bins, so the explode
+      // fan-out is ≤ histogram rows + bins regardless of corpus size
+      .withColumn("bin", explode(sequence(
+        expr(s"CAST(_cb * $bins div _n AS BIGINT)"),
+        expr(s"CAST((_cb + _cnt - 1) * $bins div _n AS BIGINT)"))))
+      .withColumn("_lo", expr(s"CAST((bin * _n + $bins - 1) div $bins AS BIGINT)"))
+      .withColumn("_hi", expr(s"CAST(((bin + 1) * _n + $bins - 1) div $bins - 1 AS BIGINT)"))
+      .withColumn("_take",
+        expr("least(_cb + _cnt - 1, _hi) - greatest(_cb, _lo) + 1"))
+      .groupBy(col("bin"))
+      .agg(sum(col("_take")).as("n"),
+        sum(when(col("_y") === 1L, col("_take")).otherwise(0L)).as("n_pos"),
+        sum(col("_sc") * col("_take")).as("sum_score"))
+      .withColumn("pos_rate_milli", expr("CAST(n_pos * 1000 div n AS BIGINT)"))
+      .select(col("bin"), col("n"), col("n_pos"), col("pos_rate_milli"), col("sum_score"))
+      .orderBy(col("bin"))
+  }
 }

@@ -55,6 +55,76 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestSession {
     assert(merges.isEmpty)
   }
 
+  test("trainBatched with batch=1 is exactly sequential train") {
+    import spark.implicits._
+    val docs = Seq.fill(3)("banana").toDF("text")
+      .unionAll(Seq("bandana", "cabana", "cabana").toDF("text"))
+    val (seqM, seqW) = BpeTrainer.train(docs, "text", nMerges = 4, minPairCount = 2L)
+    val (batM, batW) = BpeTrainer.trainBatched(docs, "text", nMerges = 4, batch = 1,
+      minPairCount = 2L)
+    assert(batM == seqM)
+    val sw = seqW.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val bw = batW.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(bw == sw)
+  }
+
+  test("trainBatched skips symbol-conflicting pairs within a round") {
+    import spark.implicits._
+    // pair counts: (a,b)=10, (b,c)=9, (d,e)=8 — 'abc' x9 + 'ab' x1 + 'de' x8.
+    // batch=2 must accept (a,b) then SKIP (b,c) (shares b) and take (d,e).
+    val docs = (Seq.fill(9)("abc") ++ Seq("ab") ++ Seq.fill(8)("de")).toDF("text")
+    val (m, words) = BpeTrainer.trainBatched(docs, "text", nMerges = 2, batch = 2,
+      minPairCount = 2L)
+    assert(m.map(x => (x.step, x.left, x.right, x.pairCount)) ==
+      Seq((1, "a", "b", 10L), (2, "d", "e", 8L)), m.toString)
+    val toks = words.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(toks("abc") == Seq("ab", "c"))
+    assert(toks("de") == Seq("de"))
+  }
+
+  test("trainBatched applies a round's merges in rank order (created-token case)") {
+    import spark.implicits._
+    // round-1 pairs from 'xab' x6 + 'ab' x2 + 'cd' x5: (a,b)=8, (x,a)=6,
+    // (c,d)=5. batch=2 accepts (a,b) rank1, skips (x,a) (shares a), takes
+    // (c,d); counts reported are the round's STALE table. Round 2 then
+    // sees the merge-created 'ab' tokens: (x,ab)=6 is the argmax.
+    val docs = (Seq.fill(6)("xab") ++ Seq.fill(2)("ab") ++ Seq.fill(5)("cd")).toDF("text")
+    val (m, words) = BpeTrainer.trainBatched(docs, "text", nMerges = 3, batch = 2,
+      minPairCount = 2L)
+    assert(m.map(x => (x.step, x.left, x.right, x.pairCount)) ==
+      Seq((1, "a", "b", 8L), (2, "c", "d", 5L), (3, "x", "ab", 6L)), m.toString)
+    val toks = words.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(toks("xab") == Seq("xab"))
+  }
+
+  test("trainBatched vs sequential on the gate corpus: equal at k=7, " +
+      "divergence at k=8 is exactly the created-token case") {
+    // the equivalence witness on the real sf0.001 documents table.
+    // k=7 / batch=3: the merge SETS coincide (symbol-disjoint batching
+    // keeps every accepted pair's count exact, so the same 7 pairs win —
+    // possibly in a different within-round order).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (seq7, _) = BpeTrainer.train(docs, "text", nMerges = 7, minPairCount = 2L)
+    val (bat7, _) = BpeTrainer.trainBatched(docs, "text", nMerges = 7, batch = 3,
+      minPairCount = 2L)
+    assert(bat7.map(m => (m.left, m.right)).toSet == seq7.map(m => (m.left, m.right)).toSet,
+      s"batched=${bat7.toString} sequential=${seq7.toString}")
+    // k=8: sequential's 8th merge is (p, ar) — a pair that only EXISTS
+    // after merge 7 creates the 'ar' token mid-round. That is the one
+    // documented way batched can diverge (stale pair table inside a
+    // round); pin that the divergence is exactly this shape and size.
+    val (seq8, _) = BpeTrainer.train(docs, "text", nMerges = 8, minPairCount = 2L)
+    val (bat8, _) = BpeTrainer.trainBatched(docs, "text", nMerges = 8, batch = 3,
+      minPairCount = 2L)
+    val seqSet = seq8.map(m => (m.left, m.right)).toSet
+    val batSet = bat8.map(m => (m.left, m.right)).toSet
+    assert((seqSet intersect batSet).size >= 7)
+    val created = seq8.map(_.merged).toSet
+    val seqOnly = seqSet -- batSet
+    assert(seqOnly.forall { case (l, r) => created.contains(l) || created.contains(r) },
+      s"non-created-token divergence: $seqOnly")
+  }
+
   test("segmentCounts sums trained token lengths per doc") {
     import spark.implicits._
     val docs = Seq((1L, "banana banana"), (2L, "bandana"), (3L, "zz"))
