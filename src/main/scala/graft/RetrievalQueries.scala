@@ -190,6 +190,31 @@ object RetrievalQueries {
         hierAssign = true)
       Similarity.ivfProbeIndexHier(cents, index, batch, "vec_id", "qid", "qv", k = 8)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q_ann_incremental_dist" -> ((s, dir) => {
+      // the FULLY DISTRIBUTED k ∝ N regime (round 13, closing the round-12
+      // weak finding): q_ann_incremental_kscaled fixed the COMPUTE
+      // quadratic but still collects all k centroids per Lloyd pass and
+      // ships the full codebook into every task closure — O(N) model
+      // residency (~370 GB at 1e9×768). Here only the ~√k coarse level is
+      // driver-held; the fine centroids live in a (cell, coarse, fvec)
+      // DataFrame, every assignment is map-side coarse routing + one
+      // co-partitioned equi-join, and the Lloyd update is a k-row
+      // aggregation that is NEVER collected. The DuckDB oracle replays the
+      // whole structure: coarse Lloyd, LCG-threshold fine seeding, two
+      // join-assigned Lloyd passes with sentinel fallback cells, index +
+      // probe through the same routing.
+      val emb = t(s, dir, "embeddings")
+      val history = emb.where(col("vec_id") % 3 =!= 0)
+      val batch = emb.where(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val nh = history.count()
+      val k = math.max(16, ((nh + 15L) / 16L).toInt) // k ∝ N: ~16-vector cells
+      val (model, index) = Similarity.ivfTrainIndexDist(history, "vec_id", "embedding", k,
+        iters = 2, coarseIters = 2)
+      Similarity.ivfProbeIndexDist(model, index, batch, "vec_id", "qid", "qv", k = 8)
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -253,6 +278,98 @@ object RetrievalQueries {
        |  JOIN (SELECT a.qid, a.cell, b.qv FROM qa a JOIN batchq b USING (qid)) q
        |    ON i.cell = q.cell
        |  WHERE i.vec_id != q.qid
+       |),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, vec_id, sim, rank FROM ranked WHERE rank <= 8 ORDER BY qid, rank""".stripMargin
+  }
+
+  /**
+   * q_ann_incremental_dist replay — the fully distributed two-level model.
+   * Coarse level: the standard Lloyd chain (kmeansReplayCtes) at
+   * kc = ceil(√k); its terminal `cellsf` IS the corpus coarse routing
+   * (reused as `rt`). Fine level: LCG-threshold seed set (cell = original
+   * vec_id — the distributed path never re-keys, a dense re-key would be a
+   * global row_number over k corpus-scale rows), coarse membership by
+   * argmax vs `cf`, then two Lloyd passes each = LEFT-join assignment with
+   * the sentinel fallback cell −(coarse+1) (a coarse cell holding no fine
+   * centroid must not drop rows), quantized-integer means, refresh with
+   * empty-cell carry-over, and re-routing of the refreshed centroids.
+   * Index and probe both assign through the final structure and meet in
+   * one equi-join on cell. Ties everywhere (cosine DESC, cell ASC) —
+   * Spark's max(struct(sim, −cell)) is exactly that rank-1 selection.
+   */
+  private def annIncrementalDistOracle: String = {
+    val dim = 64
+    val kcExpr =
+      "(SELECT greatest(1, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) FROM kdef)"
+    def sums(src: String) = (0 until dim).map { d =>
+      s"CAST(sum(CAST(floor(CAST($src[${d + 1}] AS DOUBLE)*65536.0E0 + 0.5E0) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE)*65536.0E0)"
+    }.mkString(",\n      ")
+    /** fine-centroid coarse membership: argmax of `srcCte`(cell, fvec) vs cf */
+    def routeFine(srcCte: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT cell, fvec, l FROM (
+         |    SELECT f.cell, f.fvec, c.cid AS l,
+         |      row_number() OVER (PARTITION BY f.cell
+         |        ORDER BY ${cosineSql("f.fvec", "c.cvec")} DESC, c.cid ASC) AS rk
+         |    FROM $srcCte f CROSS JOIN cf c) WHERE rk = 1
+         |)""".stripMargin
+    /** join-assignment of routed rows `src`(idc, vc, l) vs fine table `fc` */
+    def assign(src: String, idc: String, vc: String, fc: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT $idc, $vc, cell FROM (
+         |    SELECT r.$idc, r.$vc,
+         |      coalesce(f.cell, -(r.l + 1)) AS cell,
+         |      row_number() OVER (PARTITION BY r.$idc
+         |        ORDER BY coalesce(${cosineSql(s"r.$vc", "f.fvec")}, -2.0) DESC,
+         |                 coalesce(f.cell, -(r.l + 1)) ASC) AS rk
+         |    FROM $src r LEFT JOIN $fc f ON f.l = r.l) WHERE rk = 1
+         |)""".stripMargin
+    val iterCtes = (0 until 2).map { t =>
+      Seq(
+        assign("rt", "vec_id", "cv", s"fc$t", s"asg$t"),
+        s"""fm$t AS MATERIALIZED (
+           |  SELECT cell, [
+           |      ${sums("cv")}] AS mean
+           |  FROM asg$t GROUP BY cell
+           |)""".stripMargin,
+        s"""f${t + 1} AS MATERIALIZED (
+           |  SELECT o.cell, CASE WHEN m.cell IS NULL THEN o.fvec ELSE m.mean END AS fvec
+           |  FROM fc$t o LEFT JOIN fm$t m ON m.cell = o.cell
+           |)""".stripMargin,
+        routeFine(s"f${t + 1}", s"fc${t + 1}")).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH hist AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 != 0),
+       |batchq AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 3 = 0),
+       |kdef AS MATERIALIZED (
+       |  SELECT greatest(16, (count(*) + 15) // 16) AS k,
+       |         CAST(count(*) AS BIGINT) AS n FROM hist),
+       |${kmeansReplayCtes(iters = 2, dim = dim, src = "hist", limitExpr = kcExpr)},
+       |fthr AS MATERIALIZED (SELECT (2147483647 * k) // n AS t FROM kdef),
+       |f0r AS MATERIALIZED (
+       |  SELECT vec_id AS cell, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS fvec
+       |  FROM hist
+       |  WHERE (1103515245*(vec_id+7)+12345) % 2147483647 < (SELECT t FROM fthr)
+       |),
+       |${routeFine("f0r", "fc0")},
+       |rt AS MATERIALIZED (SELECT vec_id, cv, cell AS l FROM cellsf),
+       |$iterCtes,
+       |${assign("rt", "vec_id", "cv", "fc2", "idx")},
+       |rq AS MATERIALIZED (
+       |  SELECT qid, qv, l FROM (
+       |    SELECT b.qid, b.qv, c.cid AS l,
+       |      row_number() OVER (PARTITION BY b.qid
+       |        ORDER BY ${cosineSql("b.qv", "c.cvec")} DESC, c.cid ASC) AS rk
+       |    FROM batchq b CROSS JOIN cf c) WHERE rk = 1
+       |),
+       |${assign("rq", "qid", "qv", "fc2", "aq")},
+       |scored AS (
+       |  SELECT q.qid, i.vec_id, ROUND(${cosineSql("i.cv", "q.qv")}, 6) AS sim
+       |  FROM idx i JOIN aq q ON i.cell = q.cell WHERE i.vec_id != q.qid
        |),
        |ranked AS (
        |  SELECT qid, vec_id, sim,
@@ -327,6 +444,8 @@ object RetrievalQueries {
     "q_ann_incremental" -> annIncrementalOracle,
 
     "q_ann_incremental_kscaled" -> annIncrementalKscaledOracle,
+
+    "q_ann_incremental_dist" -> annIncrementalDistOracle,
 
     "q_bm25" ->
       s"""WITH $bm25Ctes

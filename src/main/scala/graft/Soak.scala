@@ -167,7 +167,14 @@ object Soak {
       // this by hand; the query now IS that regime); and the JPEG
       // cross-format dedup (decode-bound scan, 2 slices per doc, mosaic
       // rasters are 8x the BMP family's pixel count)
-      "q_ann_incremental_kscaled", "q_image_dedup_jpeg")
+      "q_ann_incremental_kscaled", "q_image_dedup_jpeg",
+      // round 13: the fully distributed k ∝ N model (fine centroids live in
+      // a DataFrame; assignment is a co-partitioned join — the soak checks
+      // the join-based Lloyd stays in the kscaled row's sublinear band),
+      // the batched BPE trainer (merge count fixed, ~1/3 the shuffles of
+      // q_bpe_train), and the rank-free calibration twin (windows over the
+      // bounded score histogram only)
+      "q_ann_incremental_dist", "q_bpe_train_batched", "q_calibration_hist")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -87,6 +87,53 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(fh.map(_._5) == Seq(3L * 42, 2L * 42, 3L * 42, 2L * 42))
   }
 
+  test("dist ANN: bounded coarse model, no codebook closure, no dropped rows") {
+    import graft.sim.Similarity
+    val n = 400
+    val dim = 8
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until dim).map(d =>
+        pmod(col("id") * (d + 3) + d, lit(97)).cast("double") / lit(97.0)): _*).as("embedding"))
+    val k = 25 // kc = ceil(sqrt(25)) = 5
+    val (model, index) = Similarity.ivfTrainIndexDist(emb, "vec_id", "embedding", k,
+      iters = 2, coarseIters = 1)
+    // 1. the DRIVER-HELD model is the coarse level only: <= ceil(sqrt(k)) rows
+    assert(model.coarse.length <= 5)
+    // 2. the fine level is a DataFrame sized ~k (LCG-threshold binomial) —
+    //    never an Array, never collected
+    val fk = model.fine.count()
+    assert(fk > 0 && fk < 3L * k, s"fine rows $fk")
+    // 3. the index assigns EVERY corpus row a cell (sentinel fallback for
+    //    coarse cells holding no fine centroid — no silent drops)
+    assert(index.count() == n)
+    // 4. plan audit: every centroid kernel reachable from the probe plan is
+    //    the coarse level (<= kc centroids); the k-codebook hier kernel of
+    //    the round-12 path must be absent
+    val probe = Similarity.ivfProbeIndexDist(model, index,
+      emb.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "vec_id", "qid", "qv", k = 5)
+    val exprs = probe.queryExecution.optimizedPlan.collect { case p => p.expressions }.flatten
+    val kernelSizes = exprs.flatMap(_.collect {
+      case e: graft.functions.NearestCentroidExpr => e.kernel.cids.length })
+    assert(kernelSizes.nonEmpty && kernelSizes.forall(_ <= 5), kernelSizes.toString)
+    assert(exprs.flatMap(_.collect {
+      case e: graft.functions.NearestCentroidHierExpr => e }).isEmpty)
+    // 5. the probe produces ranked neighbors with rank <= k
+    val rows = probe.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(3) <= 5L))
+    // 6. the standalone ingest-batch assignment (ivfIndexDist) reproduces
+    //    the fused train-time index exactly — the incremental-ingest shape
+    val again = Similarity.ivfIndexDist(model, emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fused = index.select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == fused)
+    index.unpersist(blocking = false)
+    model.fine.unpersist(blocking = false)
+  }
+
   test("calibrationBinsHist plan: no window over the unaggregated doc table") {
     import spark.implicits._
     val scored = (1L to 50L).map(i => (i, i % 2, i % 5)).toDF("doc_id", "y", "score")
