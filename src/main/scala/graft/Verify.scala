@@ -39,7 +39,7 @@ object Verify {
     "q_pack_shards", "q_curation_funnel", "q_vocab",
     "q_top_ngrams", "q_surprisal", "q_tfidf", "q_cms", "q_substring_dedup",
     "q_bloom_decontaminate",
-    "q_subword_vocab", "q_bpe_tokens", "q_bpe_budget", "q_bpe_train",
+    "q_subword_vocab", "q_bpe_tokens", "q_bpe_budget", "q_bpe_train", "q_bpe_train_batched",
     "q_bpe_segment", "q_fertility", "q_pmi", "q_char_entropy", "q_ngram_diversity",
     "q_oov_rate", "q_zipf", "q_readability", "q_prefix_dedup",
     "q_chi2_terms", "q_jaccard_join", "q_jaccard_collapsed", "q_kcenter_sampled",
@@ -47,8 +47,9 @@ object Verify {
     "q_seasonality", "q_ks_drift", "q_novelty", "q_rrf", "q_bm25",
     "q_percentiles_hist", "q_rank_eval", "q_fuzzy_join", "q_fuzzy_join_indel",
     "q_novelty_incremental", "q_ann_incremental", "q_ann_incremental_kscaled",
+    "q_ann_incremental_dist",
     "q_user_concentration", "q_concentration_profile", "q_churn", "q_skipgram",
-    "q_calibration",
+    "q_calibration", "q_calibration_hist",
     "q_anomaly_days", "q_session_stats", "q_ab_lift",
     "q_blocklist", "q_moments", "q_props_profile", "q_stickiness",
     "q_stickiness_hll",
