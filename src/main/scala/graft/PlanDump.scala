@@ -13,9 +13,21 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // SPARK_GRAFT_PLAN_OUT: write one <query>.txt per query (the
+    // plans/r13/ audit artifacts) instead of stdout; formatted explain.
+    val outDir = sys.env.get("SPARK_GRAFT_PLAN_OUT")
+    outDir.foreach(d => new java.io.File(d).mkdirs())
     for (q <- args) {
-      println(s"########## $q")
-      println(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString.take(6000))
+      val qe = SparkEntry.queries(q)(spark, dir).queryExecution
+      val formatted = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      outDir match {
+        case Some(d) =>
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/$q.txt"), formatted)
+          println(s"########## $q -> $d/$q.txt")
+        case None =>
+          println(s"########## $q")
+          println(formatted.take(6000))
+      }
     }
     spark.stop()
   }

@@ -55,17 +55,16 @@ object Pca {
 
     val q = transform(col(vecCol).cast("array<double>"),
       x => round(x * 1000).cast("long"))
-    // flat stat vector: pos 0..d-1 = q_i (means), pos d.. = q_i·q_j upper
-    val upper = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
-      transform(sequence(i, lit(d - 1)), j =>
-        get(col("q"), i) * get(col("q"), j))))
+    // flat stat vector: pos 0..d-1 = q_i (means), pos d.. = q_i·q_j upper —
+    // one native kernel pass (round 13: the nested transform/flatten HOF
+    // ran d(d+1)/2 interpreted lambdas per row; PcaSpec pins kernel ≡ HOF)
     val stats = corpus
       // ragged vectors would inject nulls into the product terms and sum()
       // would silently skip them, skewing the covariance — drop them loudly
       // here instead (a no-op on a well-formed corpus)
       .where(size(col(vecCol)) === d)
       .select(q.as("q"))
-      .select(posexplode(concat(col("q"), upper)).as(Seq("pos", "v")))
+      .select(posexplode(graft.functions.PcaExpressions.momentStats(col("q"))).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
       .collect()
@@ -134,9 +133,10 @@ object Pca {
     require(component.length == dim, s"component dim ${component.length} != $dim")
     val q = transform(col(vecCol).cast("array<double>"),
       x => round(x * 1000).cast("long"))
-    val proj = aggregate(
-      zip_with(q, typedLit(component.toSeq), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // one-pass native dot against the broadcast component (round 13; was
+    // zip_with + aggregate, both interpreted). The ragged-vector guard
+    // below keeps the kernel's min-length dot unreachable on short rows.
+    val proj = graft.functions.PcaExpressions.dotWith(q, component)
     corpus
       // same ragged-vector guard as the covariance scan: a short vector
       // would null-pad zip_with, making p NULL (and DuckDB's list_sum

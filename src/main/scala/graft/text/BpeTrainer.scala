@@ -34,8 +34,16 @@ object BpeTrainer {
   final case class Merge(step: Int, left: String, right: String, merged: String, pairCount: Long)
 
   /** Greedy left-to-right non-overlapping application of one merge to a
-    * token-array column (the BPE apply step as a pure fold — no UDF). */
-  def applyMerge(toks: Column, left: String, right: String): Column = {
+    * token-array column — a native codegen kernel (round 13: the original
+    * `aggregate` fold ran interpreted with an O(len) accumulator copy per
+    * token, O(len²) per word per merge; the kernel is one O(len) pass
+    * inside whole-stage codegen, same semantics — no UDF either way). */
+  def applyMerge(toks: Column, left: String, right: String): Column =
+    graft.functions.BpeExpressions.applyMerge(toks, left, right)
+
+  /** The fold formulation applyMerge replaced (kept as the executable
+    * specification: BpeTrainerSpec pins kernel ≡ fold). */
+  private[graft] def applyMergeFold(toks: Column, left: String, right: String): Column = {
     val merged = left + right
     aggregate(toks, array().cast("array<string>"), (acc, t) =>
       when(size(acc) > 0 && element_at(acc, -1) === left && t === right,
@@ -46,6 +54,19 @@ object BpeTrainer {
   /** Characters of a word as an array<string> (the BPE start state). */
   def chars(w: Column): Column =
     transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Weighted adjacent-pair counts over a word table: (l, r, c) with
+    * c >= minPairCount. Pair generation is the native one-pass kernel
+    * (round 13 — the zip_with(slice, slice) formulation ran interpreted
+    * and copied both slices per word). */
+  private def pairCounts(words: DataFrame, minPairCount: Long): DataFrame =
+    words
+      .where(size(col("toks")) > 1)
+      .select(col("cnt"),
+        explode(graft.functions.BpeExpressions.adjacentPairs(col("toks"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+      .where(col("c") >= minPairCount)
 
   /**
    * The weighted word-frequency table with initial (character)
@@ -65,38 +86,35 @@ object BpeTrainer {
       docs: DataFrame, textCol: String, nMerges: Int,
       minPairCount: Long = 2L): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1 && minPairCount >= 1)
+    // Lazy-materialization loop (round 13): each iteration's pair-count
+    // aggregation is the action that fills the CURRENT table's cache, so no
+    // separate count() job runs per merge — the predecessor stays persisted
+    // until its successor has materialized (two cached word tables at peak,
+    // half the Spark jobs per merge at every scale).
     var cur = wordTable(docs, textCol).cache()
-    cur.count() // materialize once; each iteration rebuilds on top
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
       // adjacent pairs weighted by word frequency; argmax fetched as 1 row
-      val best = cur
-        .where(size(col("toks")) > 1) // slice needs a non-negative length
-        .select(col("cnt"), explode(
-          zip_with(
-            slice(col("toks"), lit(1), size(col("toks")) - 1),
-            slice(col("toks"), lit(2), size(col("toks")) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
-        .where(col("c") >= minPairCount)
+      val best = pairCounts(cur, minPairCount)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1)
         .collect()
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (best.isEmpty) exhausted = true
       else {
         val row = best.head
         val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += Merge(step, l, r, l + r, c)
         val next = cur.withColumn("toks", applyMerge(col("toks"), l, r)).cache()
-        next.count()
-        cur.unpersist()
+        prev = cur
         cur = next
         step += 1
       }
     }
+    if (prev != null) { cur.count(); prev.unpersist(blocking = false) }
     // keep exactly one trained word table cached per thread across calls
     // (the swap discipline from dedup.CachedProjections)
     val key = "bpe@" + Thread.currentThread().getId
@@ -136,8 +154,10 @@ object BpeTrainer {
       docs: DataFrame, textCol: String, nMerges: Int, batch: Int,
       minPairCount: Long = 2L): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1 && batch >= 1 && minPairCount >= 1)
+    // same lazy-materialization loop as [[train]]: the pool aggregation
+    // fills the current cache; no per-round count() job
     var cur = wordTable(docs, textCol).cache()
-    cur.count()
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false
@@ -145,19 +165,11 @@ object BpeTrainer {
     var round = 0
     while (round < rounds && !exhausted) {
       val want = math.min(batch, nMerges - round * batch)
-      val pool = cur
-        .where(size(col("toks")) > 1)
-        .select(col("cnt"), explode(
-          zip_with(
-            slice(col("toks"), lit(1), size(col("toks")) - 1),
-            slice(col("toks"), lit(2), size(col("toks")) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("c"))
-        .where(col("c") >= minPairCount)
+      val pool = pairCounts(cur, minPairCount)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(4 * batch)
         .collect()
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (pool.isEmpty) exhausted = true
       else {
         val used = scala.collection.mutable.Set[String]()
@@ -177,12 +189,12 @@ object BpeTrainer {
           case (t, (l, r, _)) => applyMerge(t, l, r)
         }
         val next = cur.withColumn("toks", newToks).cache()
-        next.count()
-        cur.unpersist()
+        prev = cur
         cur = next
       }
       round += 1
     }
+    if (prev != null) { cur.count(); prev.unpersist(blocking = false) }
     val key = "bpe@" + Thread.currentThread().getId
     Option(live.put(key, cur)).filter(_ ne cur).foreach(_.unpersist(blocking = false))
     (merges.result(), cur)

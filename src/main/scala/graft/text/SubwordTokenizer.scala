@@ -53,15 +53,13 @@ object SubwordTokenizer {
       minCount: Long = 2L): DataFrame = {
     require(maxLen >= 2, s"maxLen must be >= 2, got $maxLen")
     val words = docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-    // every length-L window of every word, L in [2, maxLen]
-    // sequence's stop is clamped to >= 1 (Spark descends on stop < start);
-    // the length filter then drops the one partial gram a too-short word emits
-    val grams = words.select(explode(flatten(transform(
-      sequence(lit(2), lit(maxLen)),
-      l => filter(
-        transform(sequence(lit(1), greatest(length(col("w")) - l + 1, lit(1))),
-          i => col("w").substr(i, l)),
-        g => length(g) === l)))).as("gram"))
+    // every length-L window of every word, L in [2, maxLen] — the native
+    // one-pass kernel (round 13: the nested transform/filter/flatten HOF
+    // formulation ran every lambda interpreted and allocated a sequence
+    // array per length; CharGramsExpr emits the identical length-major
+    // window multiset inside whole-stage codegen)
+    val grams = words.select(explode(
+      graft.functions.BpeExpressions.charGrams(col("w"), maxLen)).as("gram"))
     grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("gram").asc)

@@ -30,6 +30,57 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestSession {
     assert(seg("xyz", "a", "b") == Seq("x", "y", "z"))
   }
 
+  test("native applyMerge kernel == the aggregate-fold formulation (round-13 kernel pin)") {
+    import spark.implicits._
+    // adversarial token arrays: overlap runs, merged==left-lookalikes,
+    // multi-char symbols, no-ops, and empty-after-filter shapes
+    val cases = Seq(
+      ("aaaa", "a", "a"), ("abab", "a", "b"), ("abb", "a", "b"),
+      ("aabb", "a", "b"), ("xyz", "a", "b"), ("banana", "a", "n"),
+      ("nn", "n", "n"), ("a", "a", "a"))
+    for ((w, l, r) <- cases) {
+      val df = Seq(Tuple1(w)).toDF("w").select(BpeTrainer.chars(col("w")).as("t"))
+      val kern = df.select(BpeTrainer.applyMerge(col("t"), l, r)).head().getSeq[String](0)
+      val fold = df.select(BpeTrainer.applyMergeFold(col("t"), l, r)).head().getSeq[String](0)
+      assert(kern == fold, s"case ($w, $l, $r)")
+    }
+    // multi-char symbols (mid-training state): apply (an, a) to [b,an,an,a]
+    val df2 = Seq(Tuple1(Seq("b", "an", "an", "a"))).toDF("t")
+    val k2 = df2.select(BpeTrainer.applyMerge(col("t"), "an", "a")).head().getSeq[String](0)
+    val f2 = df2.select(BpeTrainer.applyMergeFold(col("t"), "an", "a")).head().getSeq[String](0)
+    assert(k2 == f2 && k2 == Seq("b", "an", "ana"))
+  }
+
+  test("native charGrams kernel == the nested-HOF window formulation (round-13 kernel pin)") {
+    import spark.implicits._
+    val words = Seq("a", "ab", "abc", "abcd", "abcde", "banana").toDF("w")
+    val hof = words.select(col("w"), flatten(transform(
+      sequence(lit(2), lit(4)),
+      l => filter(
+        transform(sequence(lit(1), greatest(length(col("w")) - l + 1, lit(1))),
+          i => col("w").substr(i, l)),
+        g => length(g) === l))).as("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val kern = words.select(col("w"),
+        graft.functions.BpeExpressions.charGrams(col("w"), 4).as("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(kern == hof)
+  }
+
+  test("native adjacentPairs kernel == the zip_with(slice, slice) formulation") {
+    import spark.implicits._
+    val arrs = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c", "a", "b"), Seq[String]())
+      .map(Tuple1(_)).toDF("t")
+    val hof = arrs.select(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("l"), b.as("r"))).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1))))
+    val kern = arrs.select(graft.functions.BpeExpressions.adjacentPairs(col("t")).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1))))
+    assert(kern.toSeq == hof.toSeq)
+  }
+
   test("train learns the frequency-ordered merges with deterministic ties") {
     import spark.implicits._
     // "banana" x3 + "bandana" x1:
