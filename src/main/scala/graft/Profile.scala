@@ -72,6 +72,13 @@ object Profile {
       println("  wall_ms tasks  run_ms  cpu_ms  sRdMB  sWrMB    sRdRec   sWrRec   inMB spillMB  stage")
       for (r <- rows.take(25))
         println(f"  ${r.wallMs}%7d ${r.tasks}%5d ${r.runMs}%7d ${r.cpuMs}%7d ${r.shufReadMB}%6.1f ${r.shufWriteMB}%6.1f ${r.shufReadRec}%9d ${r.shufWriteRec}%8d ${r.inputMB}%6.1f ${r.spillMB}%7.1f  [${r.id}] ${r.name}")
+      // SPARK_GRAFT_PROFILE_PLAN=1: print the POST-EXECUTION plan (AQE
+      // final stages resolved) to map stage ids back to operators
+      if (sys.env.get("SPARK_GRAFT_PROFILE_PLAN").contains("1")) {
+        val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+        qe.toRdd.count()
+        println(qe.executedPlan.toString.take(12000))
+      }
     }
     spark.stop()
   }

@@ -126,8 +126,11 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
    * Distinct candidate id pairs (a < b) sharing at least one band bucket.
    */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val b = banded(df.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol), col("band"), col("bucket"))
+    // persisted: both self-join sides read one computation of the banding
+    // (a broadcast side would otherwise re-derive it — see pairsFromSets)
+    val b = CachedProjections.swap("banded_cands_raw",
+      banded(df.select(col(idCol), col(textCol)), textCol)
+        .select(col(idCol), col("band"), col("bucket")))
     val l = b.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = b.select(col(idCol).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
@@ -139,7 +142,9 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
     * a signature table written once per corpus by `signatures()` and read
     * back for every subsequent dedup run (the petabyte-scale path). */
   def candidatePairsFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
-    val b = bandedFromSigs(sigs, idCol)
+    // persisted: see candidatePairs — one banding computation, two readers
+    val b = CachedProjections.swap("banded_cands",
+      bandedFromSigs(sigs, idCol))
     val l = b.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = b.select(col(idCol).as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
@@ -196,11 +201,12 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
       .distinct()
-    val sets = allSigs.select(col(idCol).as("sid"), col("sset"))
+    // sort_array canonicalizes for the merge-count verify kernel (round 13)
+    val sets = allSigs.select(col(idCol).as("sid"), sort_array(col("sset")).as("sset"))
     cands
       .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
       .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
-      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+      .withColumn("jaccard", jaccardSorted(col("set_a"), col("set_b")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -233,17 +239,20 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
     * every dedup recipe against the table instead of raw text). The caller
     * owns materialization of `sigs`. */
   def nearDuplicatesFromSigs(sigs: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val bandedBase = bandedFromSigs(sigs, idCol)
+    // persisted: see candidatePairs — one banding computation, two readers
+    val bandedBase = CachedProjections.swap("banded_pairs",
+      bandedFromSigs(sigs, idCol))
     val cands = bandedBase.select(col(idCol).as("a"), col("band"), col("bucket"))
       .join(bandedBase.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
 
-    val sets = sigs.select(col(idCol).as("sid"), col("sset"))
+    // sort_array canonicalizes for the merge-count verify kernel (round 13)
+    val sets = sigs.select(col(idCol).as("sid"), sort_array(col("sset")).as("sset"))
     cands
       .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
       .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
-      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+      .withColumn("jaccard", jaccardSorted(col("set_a"), col("set_b")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -279,16 +288,20 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
     val mult = keyed.groupBy(col("_rep")).agg(count(lit(1)).as("n_copies"))
     val repSigs = keyed.where(col(idCol) === col("_rep"))
       .select(col(idCol), col("sset"), col("sig"))
-    val bandedBase = bandedFromSigs(repSigs, idCol)
+    // persisted: see candidatePairs — one banding computation, two readers
+    val bandedBase = CachedProjections.swap("banded_curve",
+      bandedFromSigs(repSigs, idCol))
     val cands = bandedBase.select(col(idCol).as("a"), col("band"), col("bucket"))
       .join(bandedBase.select(col(idCol).as("b"), col("band"), col("bucket")), Seq("band", "bucket"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
-    val sets = repSigs.select(col(idCol).as("sid"), col("sset"))
+    // sort_array canonicalizes for the merge-count verify kernel (round 13)
+    val sets = repSigs.select(col(idCol).as("sid"), sort_array(col("sset")).as("sset"))
     val crossPairs = cands
       .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
       .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
-      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("n_inter",
+        graft.functions.SetExpressions.intersectCountSorted(col("set_a"), col("set_b")))
       .withColumn("n_union",
         size(col("set_a")).cast("long") + size(col("set_b")) - col("n_inter"))
       .withColumn("bucket_lo_milli",
@@ -328,11 +341,13 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
     require(tauMilliFloor >= 0 && tauMilliFloor <= 1000)
     val sigs = CachedProjections.swap("recall_sigs",
       signatures(df, idCol, textCol).where(size(col("sset")) > 0))
-    val sets = sigs.select(col(idCol).as("sid"), col("sset"))
+    // sort_array canonicalizes for the merge-count verify kernel (round 13)
+    val sets = sigs.select(col(idCol).as("sid"), sort_array(col("sset")).as("sset"))
     val truth = sets.select(col("sid").as("a"), col("sset").as("set_a"))
       .join(sets.select(col("sid").as("b"), col("sset").as("set_b")),
         col("a") < col("b")) // bounded-slice cross join by contract
-      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("n_inter",
+        graft.functions.SetExpressions.intersectCountSorted(col("set_a"), col("set_b")))
       .withColumn("n_union",
         size(col("set_a")).cast("long") + size(col("set_b")) - col("n_inter"))
       .withColumn("jaccard_milli", expr("CAST(n_inter * 1000 div n_union AS BIGINT)"))
@@ -379,7 +394,10 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
   /** `duplicateGroups` over a precomputed (id, sset, sig) projection — the
     * signature-table twin (see `nearDuplicatesFromSigs`). */
   def duplicateGroupsFromSigs(base: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val bandedBase = bandedFromSigs(base, idCol)
+    // persisted: the bucket-min aggregation AND the probe join both read
+    // the banding — one computation (see candidatePairs)
+    val bandedBase = CachedProjections.swap("banded_groups",
+      bandedFromSigs(base, idCol))
 
     val bucketMin = bandedBase.groupBy(col("band"), col("bucket"))
       .agg(min(col(idCol)).as("a"))
@@ -387,11 +405,12 @@ class MinHashLSH(val numHashes: Int = 32, val bands: Int = 8, val shingleSize: I
       .where(col("a") < col(idCol))
       .select(col("a"), col(idCol).as("b")).distinct()
 
-    val sets = base.select(col(idCol).as("sid"), col("sset"))
+    // sort_array canonicalizes for the merge-count verify kernel (round 13)
+    val sets = base.select(col(idCol).as("sid"), sort_array(col("sset")).as("sset"))
     val verified = cands
       .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
       .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
-      .where(jaccard(col("set_a"), col("set_b")) >= threshold)
+      .where(jaccardSorted(col("set_a"), col("set_b")) >= threshold)
       .select(col("a"), col("b"))
 
     base.select(col(idCol))
@@ -638,8 +657,16 @@ private[dedup] object CachedProjections {
   private val live = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def swap(tag: String, df: DataFrame): DataFrame = {
     val key = tag + "@" + Thread.currentThread().getId
+    // ORDER MATTERS (round-13 fix): a re-invocation of the same operator
+    // builds a plan-identical projection, and CacheManager matches cache
+    // entries by canonical plan — persisting the new frame FIRST reuses the
+    // old entry, so the subsequent unpersist of the old handle dropped the
+    // shared entry and every re-execution ran fully UNCACHED (the
+    // q_jaccard_join plan showed the corpus shingle pass computed 4×).
+    // Unpersist the previous holder BEFORE registering the new one.
+    Option(live.remove(key)).foreach(_.unpersist(blocking = false))
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(live.put(key, cached)).filter(_ ne cached).foreach(_.unpersist(blocking = false))
+    live.put(key, cached)
     cached
   }
 }
@@ -860,34 +887,60 @@ object PrefixFilterJoin {
     // formulation runs its lambdas interpreted per gram and re-evaluates
     // the tokenizer per element access — ~10x slower on this stage
     val elems = graft.functions.HashExpressions.wordNGrams(col(textCol), shingle)
+    // sort_array canonicalizes the set for the merge-count verify kernel
+    // (round 13) — every downstream consumer (explode/df agg, rank window,
+    // verify counts) is element-order-insensitive, so this is free semantics
     val sets = CachedProjections.swap("jaccard",
-      df.select(col(idCol).as("sid"), array_distinct(elems).as("tset"))
+      df.select(col(idCol).as("sid"), sort_array(array_distinct(elems)).as("tset"))
         .where(size(col("tset")) > 0))
     pairsFromSets(sets, tauMilli)
   }
 
   /** The prefix-filter join over a materialized (sid, tset) projection —
-    * shared by the raw and collapsed entry points. */
+    * shared by the raw and collapsed entry points. `tset` must be sorted
+    * + deduplicated (both entry points canonicalize with sort_array).
+    *
+    * Round-13 verify optimizations (guide §1.2 step 2, §3):
+    *  - SSJoin LENGTH FILTER: J(A,B) ≥ τ forces min(|A|,|B|) ≥ τ·max —
+    *    in milli-arithmetic floor(1000·min div max) < tauMilli proves the
+    *    pair can never verify, so it is dropped BEFORE the distinct and
+    *    the verify join ever see it (a pure predicate, zero false drops);
+    *  - count-only merge-intersect kernel instead of
+    *    size(array_intersect(...)) — no intersection array is ever built.
+    */
   private def pairsFromSets(sets: DataFrame, tauMilli: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = sets.select(col("sid"), explode(col("tset")).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("sid"))
-    val prefix = ex.join(dfreq, Seq("tok"))
+    // persisted: the self-join below consumes prefix on BOTH sides, and
+    // when one side plans as a BroadcastExchange the whole explode + df-agg
+    // + window pipeline would otherwise execute twice (broadcast subtrees
+    // cannot reuse the streamed side's plan — round-13 profiling caught the
+    // duplicated window stage)
+    val prefix = CachedProjections.swap("jaccard_prefix", ex.join(dfreq, Seq("tok"))
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("tok"))))
       .withColumn("len", count(lit(1)).over(byDoc))
       .where(col("rn") <=
         col("len") - expr(s"($tauMilli * len + 999) div 1000") + 1)
-      .select(col("tok"), col("sid"))
-    val cands = prefix.select(col("tok"), col("sid").as("a"))
-      .join(prefix.select(col("tok"), col("sid").as("b")), Seq("tok"))
-      .where(col("a") < col("b"))
+      .select(col("tok"), col("sid"), col("len")))
+    val cands = prefix.select(col("tok"), col("sid").as("a"), col("len").as("_la"))
+      .join(prefix.select(col("tok"), col("sid").as("b"), col("len").as("_lb")), Seq("tok"))
+      .where(col("a") < col("b") &&
+        expr(s"(least(_la, _lb) * 1000) div greatest(_la, _lb) >= $tauMilli"))
       .select(col("a"), col("b")).distinct()
+    // SHUFFLE_HASH on the sets side (round 13): left to AQE, both verify
+    // joins broadcast the WIDE side — the (a, b) pair table and then the
+    // (a, b, set_a) intermediate carrying full shingle arrays — because the
+    // pair table's estimated bytes are smaller than the sets'. Building on
+    // the bounded per-doc sets and STREAMING the pair table is the
+    // co-partitioned shape that holds at any scale (sets never broadcast,
+    // pairs never carry arrays into a broadcast).
     cands
-      .join(sets.select(col("sid").as("a"), col("tset").as("set_a")), Seq("a"))
-      .join(sets.select(col("sid").as("b"), col("tset").as("set_b")), Seq("b"))
+      .join(sets.select(col("sid").as("a"), col("tset").as("set_a")).hint("shuffle_hash"), Seq("a"))
+      .join(sets.select(col("sid").as("b"), col("tset").as("set_b")).hint("shuffle_hash"), Seq("b"))
       .withColumn("n_inter",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        graft.functions.SetExpressions.intersectCountSorted(col("set_a"), col("set_b")))
       .withColumn("n_union",
         size(col("set_a")).cast("long") + size(col("set_b")) - col("n_inter"))
       .withColumn("jaccard_milli",
@@ -949,18 +1002,23 @@ object ContainmentIndex {
     val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDocFreq)
       .select(col("sh"))
-    val indexed = ex.join(rare, Seq("sh"))
+    // persisted: the inverted index feeds both self-join sides (see
+    // PrefixFilterJoin.pairsFromSets — a broadcast side re-derives it)
+    val indexed = CachedProjections.swap("containment_indexed",
+      ex.join(rare, Seq("sh")))
     val cands = indexed.select(col("sh"), col(idCol).as("a"))
       .join(indexed.select(col("sh"), col(idCol).as("b")), Seq("sh"))
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-    val sets = base.select(col(idCol).as("sid"), col("sset"))
+    // sort_array canonicalizes for the merge-count verify kernel (round 13)
+    val sets = base.select(col(idCol).as("sid"), sort_array(col("sset")).as("sset"))
     cands
       .join(sets.withColumnRenamed("sid", "a").withColumnRenamed("sset", "set_a"), Seq("a"))
       .join(sets.withColumnRenamed("sid", "b").withColumnRenamed("sset", "set_b"), Seq("b"))
       .withColumn("containment",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+        graft.functions.SetExpressions.intersectCountSorted(col("set_a"), col("set_b"))
+          .cast("double") /
           least(size(col("set_a")), size(col("set_b"))).cast("double"))
       .where(col("containment") >= threshold)
       .select(col("a"), col("b"), col("n_shared"),

@@ -52,9 +52,18 @@ object GraphRank {
     val base = 1000000L - dampMicro
     var ranks = n.select(col("_id"), lit(1000000L).as("_r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
+    // Deferred-materialization loop (round 13): the iteration count is data-
+    // independent, so no per-iteration action is semantically required — the
+    // final top-k collect computes the whole chain in one job (each level
+    // still persists, so task retries recompute from the nearest cache). A
+    // checkpoint action every 4th level bounds BOTH plan depth and peak
+    // cache residency (levels older than the last materialized one are
+    // released there — at 1e9 nodes, holding every level live is real
+    // memory). Previously every level ran its own count() job: 6 barrier
+    // jobs per call, each a full pass over the rank table at any scale.
+    val live = scala.collection.mutable.Buffer[DataFrame]()
     try {
-      for (_ <- 1 to iters) {
+      for (it <- 1 to iters) {
         val contrib = e.join(ranks.withColumnRenamed("_id", "_src"), Seq("_src"))
           .select(col("_dst"), expr("_r div _deg").as("_c"))
           .groupBy(col("_dst")).agg(sum(col("_c")).as("_s"))
@@ -64,9 +73,12 @@ object GraphRank {
             (lit(base) + expr(s"$dampMicro * coalesce(_s, 0L) div 1000000"))
               .cast("long").as("_r"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        ranks.unpersist()
+        live += ranks
         ranks = next
+        if (it % 4 == 0 && it < iters) {
+          ranks.count()
+          live.foreach(_.unpersist(blocking = false)); live.clear()
+        }
       }
       val top = ranks
         .select(col("_id").as(idCol), col("_r").as("rank_micro"))
@@ -75,6 +87,9 @@ object GraphRank {
       val rows = top.collect() // k rows — TakeOrderedAndProject upstream
       nodes.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), top.schema)
-    } finally { e.unpersist(); n.unpersist(); ranks.unpersist() }
+    } finally {
+      e.unpersist(); n.unpersist()
+      live.foreach(_.unpersist(blocking = false)); ranks.unpersist()
+    }
   }
 }

@@ -74,6 +74,15 @@ object TextFunctions {
     when(union > 0.0, inter / union).otherwise(lit(0.0))
   }
 
+  /** [[jaccard]] over SORTED deduplicated arrays: the count-only two-pointer
+    * merge kernel replaces array_intersect's per-pair hash set + result
+    * array (round 13 — the dedup verify hot path). Same empty-set guard. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.functions.SetExpressions.intersectCountSorted(a, b).cast("double")
+    val union = size(a).cast("double") + size(b).cast("double") - inter
+    when(union > 0.0, inter / union).otherwise(lit(0.0))
+  }
+
   // ----------------------------------------------------------- quality
 
   /** Character length, token stats, punctuation and stopword ratios. */

