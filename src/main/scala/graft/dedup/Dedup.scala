@@ -653,7 +653,7 @@ object Dedup {
   * (the bench loop) still reuse the tag, so accumulation stays bounded by
   * (#tags x #threads). A caller that needs two live projections of the same
   * operator on one thread should persist/unpersist itself. */
-private[dedup] object CachedProjections {
+private[graft] object CachedProjections {
   private val live = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def swap(tag: String, df: DataFrame): DataFrame = {
     val key = tag + "@" + Thread.currentThread().getId

@@ -102,7 +102,11 @@ object Retrieval {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: DataFrame, gram: Int = 1): DataFrame = {
     val toks = docs.select(col(idCol), explode(termCol(textCol, gram)).as("term"))
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // persisted: dl, dfreq and the score join all consume the tf table —
+    // uncached, each re-ran the corpus tokenize+explode+agg (round-13
+    // profiling: the 256k-record token stage appeared 4x per bm25 call)
+    val tf = graft.dedup.CachedProjections.swap("bm25_tf",
+      toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
     val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
@@ -188,8 +192,13 @@ object Retrieval {
    */
   def rankAgreement(a: DataFrame, b: DataFrame, idCol: String,
                     k: Int, headK: Int = 10): DataFrame = {
-    val common = a.select(col(idCol), col("rank").as("rank_a"))
-      .join(b.select(col(idCol), col("rank").as("rank_b")), Seq(idCol))
+    // persisted: the pair enumeration, first-hit and count branches all
+    // consume `common`; uncached, each re-ran BOTH input rankings from
+    // scratch (a full BM25 pass per branch in q_rank_eval). common is <= k
+    // rows by construction — the cache is bounded at any corpus scale.
+    val common = graft.dedup.CachedProjections.swap("rank_common",
+      a.select(col(idCol), col("rank").as("rank_a"))
+        .join(b.select(col(idCol), col("rank").as("rank_b")), Seq(idCol)))
     val x = common.select(col(idCol).as("_i"), col("rank_a").as("ra1"), col("rank_b").as("rb1"))
     val y = common.select(col(idCol).as("_j"), col("rank_a").as("ra2"), col("rank_b").as("rb2"))
     val pairs = x.join(y, col("_i") < col("_j"))
