@@ -63,6 +63,7 @@ object ModelQueries {
       val ekf = new ExtendedKalmanFilter(2, 1)
         .setStateKeyCol("l_suppkey")
         .setEventTimeCol("l_shipdate")
+        .setAssumeUniqueEventTimes()
         .setMeasurementCol("meas")
         .setMeasurementModelCol("hmat")
         .setMeasurementFunction((st, h) => {
@@ -94,6 +95,7 @@ object ModelQueries {
       val ukf = new UnscentedKalmanFilter(1, 1)
         .setStateKeyCol("user_id")
         .setEventTimeCol("ts")
+        .setAssumeUniqueEventTimes()
         .setMeasurementCol("meas")
         .setSigmaPoints("merwe")
         .setMerweAlpha(0.6).setMerweBeta(2.0).setMerweKappa(0.5)
@@ -120,6 +122,7 @@ object ModelQueries {
       val ukf = new UnscentedKalmanFilter(1, 1)
         .setStateKeyCol("user_id")
         .setEventTimeCol("ts")
+        .setAssumeUniqueEventTimes()
         .setMeasurementCol("meas")
         .setSigmaPoints("merwe")
         .setMerweAlpha(0.6).setMerweBeta(2.0).setMerweKappa(0.5)
@@ -144,6 +147,7 @@ object ModelQueries {
       val ckf = new CubatureKalmanFilter(1, 1)
         .setStateKeyCol("user_id")
         .setEventTimeCol("ts")
+        .setAssumeUniqueEventTimes()
         .setMeasurementCol("meas")
         .setMeasurementFunction((st, _) => Array(st(0) * st(0)))
         .setInitialStateMean(Array(5.0))
@@ -165,6 +169,7 @@ object ModelQueries {
       val sm = new LinearKalmanSmoother(1, 1)
       sm.setStateKeyCol("user_id")
         .setEventTimeCol("ts")
+        .setAssumeUniqueEventTimes()
         .setMeasurementCol("meas")
         .setInitialStateMean(Array(0.0))
         .setInitialStateCovariance(DMat.of(1, 1, 10.0))
@@ -184,6 +189,7 @@ object ModelQueries {
       val lkf = new LinearKalmanFilter(1, 1)
         .setStateKeyCol("user_id")
         .setEventTimeCol("ts")
+        .setAssumeUniqueEventTimes()
         .setMeasurementCol("meas")
         .setMultiStepPredict(2)
         .setInitialStateMean(Array(0.0))
@@ -216,6 +222,7 @@ object ModelQueries {
       val lkf = new LinearKalmanFilter(1, 1)
         .setStateKeyCol("bankKey")
         .setEventTimeCol("ts")
+        .setAssumeUniqueEventTimes()
         .setMeasurementCol("meas")
         .setMeasurementNoiseCol("rmat")
         .setInitialStateCovariance(DMat.of(1, 1, 10.0))

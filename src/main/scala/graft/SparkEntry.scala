@@ -55,6 +55,7 @@ object SparkEntry {
       val lkf = new LinearKalmanFilter(1, 1)
         .setStateKeyCol("user_id")
         .setEventTimeCol("ts")
+        .setAssumeUniqueEventTimes()
         .setMeasurementCol("meas")
         .setInitialStateMean(Array(0.0))
         .setInitialStateCovariance(DMat.of(1, 1, 10.0))
@@ -80,6 +81,7 @@ object SparkEntry {
       val lkf = new LinearKalmanFilter(1, 1)
         .setStateKeyCol("user_id")
         .setEventTimeCol("ts")
+        .setAssumeUniqueEventTimes()
         .setMeasurementCol("meas")
         .setInitialStateMean(Array(0.0))
         .setInitialStateCovariance(DMat.of(1, 1, 10.0))
@@ -109,6 +111,7 @@ object SparkEntry {
       val lkf = new LinearKalmanFilter(2, 1)
         .setStateKeyCol("l_suppkey")
         .setEventTimeCol("l_shipdate")
+        .setAssumeUniqueEventTimes()
         .setMeasurementCol("meas")
         .setMeasurementModelCol("hmat")
         .setInitialStateMean(Array(0.0, 0.0))
@@ -137,6 +140,7 @@ object SparkEntry {
       val rls = new RecursiveLeastSquaresFilter(2)
         .setStateKeyCol("l_suppkey")
         .setEventTimeCol("l_shipdate")
+        .setAssumeUniqueEventTimes()
         .setLabelCol("y")
         .setFeaturesCol("features")
         .setForgettingFactor(0.98)
@@ -163,6 +167,7 @@ object SparkEntry {
       val lms = new LeastMeanSquaresFilter(2)
         .setStateKeyCol("l_suppkey")
         .setEventTimeCol("l_shipdate")
+        .setAssumeUniqueEventTimes()
         .setLabelCol("y")
         .setFeaturesCol("features")
         .setLearningRate(0.5)

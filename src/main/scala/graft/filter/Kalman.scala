@@ -361,15 +361,21 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
 
   private val matStructType = "struct<numRows:int,numCols:int,values:array<double>>"
 
+  /** Per-row matrix columns are cast to the canonical
+    * (numRows int, numCols int, values array<double>) struct so the kernel's
+    * positional reads and the encoder's resolution see the same layout
+    * (no-op for the canonical structs every caller builds). */
   private def matCol(colName: Option[String]): Column = colName match {
-    case Some(c) => col(c)
+    case Some(c) => col(c).cast(matStructType)
     case None => lit(null).cast(matStructType)
   }
 
-  /** Wire user columns/defaults into the canonical KalmanIn shape. */
-  protected def toKalmanInput(df: DataFrame): Dataset[KalmanIn] = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** Canonical 11-column input projection shared by the encoder path
+    * (`toKalmanInput`) and the InternalRow kernel (`KalmanRowKernel` reads
+    * these fixed ordinals). Keeping ONE projection keeps the batch
+    * tiebreak hash (`__rowSeq` over all 11 columns) and therefore the fold
+    * order of duplicate (key, time) rows identical across both paths. */
+  protected def kalmanProjection(df: DataFrame): DataFrame = {
     val keyExpr = stateKeyCol.map(c => col(c).cast("string")).getOrElse(lit(getClass.getSimpleName + ".default"))
     val timeExpr = eventTimeCol.map(c => col(c).cast("timestamp")).getOrElse(lit(null).cast("timestamp"))
     df.select(
@@ -381,14 +387,21 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
       matCol(processModelCol).as("processModel"),
       matCol(processNoiseCol).as("processNoise"),
       controlCol.map(c => col(c).cast("array<double>")).getOrElse(lit(null).cast("array<double>")).as("control"),
-      controlFunctionCol.map(col).getOrElse(lit(null).cast(matStructType)).as("controlFunction"),
+      controlFunctionCol.map(c => col(c).cast(matStructType)).getOrElse(lit(null).cast(matStructType)).as("controlFunction"),
       initialStateDistributionCol.map(c => col(c).getField("mean").cast("array<double>"))
         .orElse(initialStateMeanCol.map(c => col(c).cast("array<double>")))
         .getOrElse(lit(null).cast("array<double>")).as("initialMean"),
       initialStateDistributionCol.map(c => col(c).getField("covariance").cast(matStructType))
-        .orElse(initialStateCovarianceCol.map(col))
+        .orElse(initialStateCovarianceCol.map(c => col(c).cast(matStructType)))
         .getOrElse(lit(null).cast(matStructType)).as("initialCovariance")
-    ).as[KalmanIn]
+    )
+  }
+
+  /** Wire user columns/defaults into the canonical KalmanIn shape. */
+  protected def toKalmanInput(df: DataFrame): Dataset[KalmanIn] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    kalmanProjection(df).as[KalmanIn]
   }
 
   protected def defaults: KalmanDefaults = KalmanDefaults(
@@ -399,13 +412,52 @@ abstract class KalmanFilterBase[Impl <: KalmanFilterBase[Impl]](
     compute, defaults, storeResidual, slidingLikelihoodWindow, multiStepPredict,
     calcLoglikelihood, calcMahalanobis, calcSlidingLikelihood, outputSystemMatrices)
 
-  /** Run the filter; batch or streaming chosen from the input DataFrame. */
+  /** Run the filter; batch or streaming chosen from the input DataFrame.
+    * Batch folds at InternalRow level ([[KalmanRowKernel]] — no per-row
+    * encoder round trip); streaming keeps the encoder engine, which also
+    * remains the executable reference the kernel is pinned bit-exact
+    * against (KalmanKernelPinSpec). */
   def transform(df: DataFrame): DataFrame = {
+    val out0 =
+      if (df.isStreaming) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val conf = StageConf(timeoutMode, timeoutDuration, watermarkDuration,
+          assumeUniqueKeyTime = assumeUniqueEventTimes)
+        StatefulStage.run(toKalmanInput(df), spec, conf).toDF()
+      } else {
+        val kernel = new KalmanRowKernel(compute, defaults, storeResidual,
+          slidingLikelihoodWindow, multiStepPredict,
+          calcLoglikelihood, calcMahalanobis, calcSlidingLikelihood, outputSystemMatrices,
+          hasMM = measurementModelCol.isDefined,
+          hasMN = measurementNoiseCol.isDefined,
+          hasPM = processModelCol.isDefined,
+          hasPN = processNoiseCol.isDefined,
+          hasCtl = controlCol.isDefined,
+          hasCtlFn = controlFunctionCol.isDefined,
+          hasIM = initialStateDistributionCol.isDefined || initialStateMeanCol.isDefined,
+          hasIC = initialStateDistributionCol.isDefined || initialStateCovarianceCol.isDefined)
+        StatefulStage.batchRows(kalmanProjection(df), KalmanRowKernel.outputSchema,
+          assumeUnique = assumeUniqueEventTimes)(kernel.run)
+      }
+    val out = finalizeColumns(out0)
+    if (mmaeEnabled) mmaeAggregate(out) else out
+  }
+
+  /** Executed plan of the kernel's inner (exchange + sort) frame — plan-pin
+    * test support. */
+  private[graft] def batchInnerPlan(df: DataFrame): String =
+    StatefulStage.batchInnerPlan(kalmanProjection(df), assumeUniqueEventTimes)
+
+  /** Encoder-path batch execution — the pre-kernel physical plan, kept as
+    * the executable reference for the bit-exactness pin (KalmanKernelPinSpec)
+    * and not used by any query path. */
+  private[graft] def transformEncoderBatch(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val conf = StageConf(timeoutMode, timeoutDuration, watermarkDuration,
       assumeUniqueKeyTime = assumeUniqueEventTimes)
-    val outDs = StatefulStage.run(toKalmanInput(df), spec, conf)
+    val outDs = StatefulStage.batch(toKalmanInput(df), spec, conf)
     val out = finalizeColumns(outDs.toDF())
     if (mmaeEnabled) mmaeAggregate(out) else out
   }

@@ -82,8 +82,67 @@ class RecursiveLeastSquaresFilter(val featuresSize: Int) {
     this
   }
   def setStateTimeoutDuration(v: String): this.type = { timeoutDuration = Some(v); this }
+  /** Caller-declared invariant: (stateKey, eventTime) unique in the input —
+    * the batch path then skips its tiebreak-hash sort column (see
+    * StageConf.assumeUniqueKeyTime). */
+  def setAssumeUniqueEventTimes(): this.type = { assumeUniqueEventTimes = true; this }
+  private var assumeUniqueEventTimes: Boolean = false
+
+  private val matStructType = "struct<numRows:int,numCols:int,values:array<double>>"
 
   def transform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyExpr = stateKeyCol.map(c => col(c).cast("string")).getOrElse(lit("rls.default"))
+    val timeExpr = eventTimeCol.map(c => col(c).cast("timestamp")).getOrElse(lit(null).cast("timestamp"))
+    val out = if (df.isStreaming) {
+      val in = df.select(
+        keyExpr.as("stateKey"),
+        timeExpr.as("eventTime"),
+        col(labelCol).cast("double").as("label"),
+        col(featuresCol).cast("array<double>").as("features"),
+        initialStateDistributionCol.map(c => col(c).getField("mean").cast("array<double>"))
+          .orElse(initialEstimateCol.map(c => col(c).cast("array<double>")))
+          .getOrElse(typedLit(initialEstimate)).as("initialMean"),
+        initialStateDistributionCol.map(c => col(c).getField("covariance"))
+          .orElse(regularizationMatrixCol.map(col))
+          .getOrElse(typedLit(regularizationMatrix)).as("initialCovariance")
+      ).as[RlsIn]
+      StatefulStage.run(in, new RlsSpec(forgettingFactor, featuresSize),
+        StageConf(timeoutMode, timeoutDuration, watermarkDuration)).toDF()
+    } else {
+      // InternalRow kernel: constant init/regularization live in the kernel
+      // closure, NOT as typedLit columns shuffled with every row (the
+      // encoder path ships ~(n + n²) doubles of constants per row).
+      val imExpr = initialStateDistributionCol.map(c => col(c).getField("mean").cast("array<double>"))
+        .orElse(initialEstimateCol.map(c => col(c).cast("array<double>")))
+      val icExpr = initialStateDistributionCol.map(c => col(c).getField("covariance").cast(matStructType))
+        .orElse(regularizationMatrixCol.map(c => col(c).cast(matStructType)))
+      val cols = scala.collection.mutable.ArrayBuffer(
+        keyExpr.as("stateKey"),
+        timeExpr.as("eventTime"),
+        col(labelCol).cast("double").as("label"),
+        col(featuresCol).cast("array<double>").as("features"))
+      if (imExpr.isDefined || icExpr.isDefined)
+        cols += imExpr.getOrElse(lit(null).cast("array<double>")).as("initialMean")
+      icExpr.foreach(e => cols += e.as("initialCovariance"))
+      val kernel = new RlsRowKernel(forgettingFactor, featuresSize,
+        initialEstimate, regularizationMatrix,
+        hasIM = imExpr.isDefined, hasIC = icExpr.isDefined)
+      StatefulStage.batchRows(df.select(cols.toSeq: _*), RlsRowKernel.outputSchema,
+        assumeUnique = assumeUniqueEventTimes)(kernel.run)
+    }
+    var res = out
+    stateKeyCol.foreach(c => res = res.withColumnRenamed("stateKey", c))
+    eventTimeCol match {
+      case Some(c) => res = res.withColumnRenamed("eventTime", c)
+      case None => res = res.drop("eventTime")
+    }
+    res
+  }
+
+  /** Encoder-path batch execution kept as the pin-spec reference. */
+  private[graft] def transformEncoderBatch(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val keyExpr = stateKeyCol.map(c => col(c).cast("string")).getOrElse(lit("rls.default"))
@@ -100,9 +159,8 @@ class RecursiveLeastSquaresFilter(val featuresSize: Int) {
         .orElse(regularizationMatrixCol.map(col))
         .getOrElse(typedLit(regularizationMatrix)).as("initialCovariance")
     ).as[RlsIn]
-    val out = StatefulStage.run(in, new RlsSpec(forgettingFactor, featuresSize),
+    var res = StatefulStage.batch(in, new RlsSpec(forgettingFactor, featuresSize),
       StageConf(timeoutMode, timeoutDuration, watermarkDuration)).toDF()
-    var res = out
     stateKeyCol.foreach(c => res = res.withColumnRenamed("stateKey", c))
     eventTimeCol match {
       case Some(c) => res = res.withColumnRenamed("eventTime", c)
@@ -199,8 +257,48 @@ class LeastMeanSquaresFilter(val featuresSize: Int) {
     this
   }
   def setStateTimeoutDuration(v: String): this.type = { timeoutDuration = Some(v); this }
+  /** See RecursiveLeastSquaresFilter.setAssumeUniqueEventTimes. */
+  def setAssumeUniqueEventTimes(): this.type = { assumeUniqueEventTimes = true; this }
+  private var assumeUniqueEventTimes: Boolean = false
 
   def transform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyExpr = stateKeyCol.map(c => col(c).cast("string")).getOrElse(lit("lms.default"))
+    val timeExpr = eventTimeCol.map(c => col(c).cast("timestamp")).getOrElse(lit(null).cast("timestamp"))
+    val out = if (df.isStreaming) {
+      val in = df.select(
+        keyExpr.as("stateKey"),
+        timeExpr.as("eventTime"),
+        col(labelCol).cast("double").as("label"),
+        col(featuresCol).cast("array<double>").as("features"),
+        initialEstimateCol.map(c => col(c).cast("array<double>")).getOrElse(typedLit(initialEstimate)).as("initialMean")
+      ).as[LmsIn]
+      StatefulStage.run(in, new LmsSpec(learningRate, regularization),
+        StageConf(timeoutMode, timeoutDuration, watermarkDuration)).toDF()
+    } else {
+      val cols = scala.collection.mutable.ArrayBuffer(
+        keyExpr.as("stateKey"),
+        timeExpr.as("eventTime"),
+        col(labelCol).cast("double").as("label"),
+        col(featuresCol).cast("array<double>").as("features"))
+      initialEstimateCol.foreach(c => cols += col(c).cast("array<double>").as("initialMean"))
+      val kernel = new LmsRowKernel(learningRate, regularization,
+        initialEstimate, hasIM = initialEstimateCol.isDefined)
+      StatefulStage.batchRows(df.select(cols.toSeq: _*), LmsRowKernel.outputSchema,
+        assumeUnique = assumeUniqueEventTimes)(kernel.run)
+    }
+    var res = out
+    stateKeyCol.foreach(c => res = res.withColumnRenamed("stateKey", c))
+    eventTimeCol match {
+      case Some(c) => res = res.withColumnRenamed("eventTime", c)
+      case None => res = res.drop("eventTime")
+    }
+    res
+  }
+
+  /** Encoder-path batch execution kept as the pin-spec reference. */
+  private[graft] def transformEncoderBatch(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val keyExpr = stateKeyCol.map(c => col(c).cast("string")).getOrElse(lit("lms.default"))
@@ -212,9 +310,8 @@ class LeastMeanSquaresFilter(val featuresSize: Int) {
       col(featuresCol).cast("array<double>").as("features"),
       initialEstimateCol.map(c => col(c).cast("array<double>")).getOrElse(typedLit(initialEstimate)).as("initialMean")
     ).as[LmsIn]
-    val out = StatefulStage.run(in, new LmsSpec(learningRate, regularization),
+    var res = StatefulStage.batch(in, new LmsSpec(learningRate, regularization),
       StageConf(timeoutMode, timeoutDuration, watermarkDuration)).toDF()
-    var res = out
     stateKeyCol.foreach(c => res = res.withColumnRenamed("stateKey", c))
     eventTimeCol match {
       case Some(c) => res = res.withColumnRenamed("eventTime", c)

@@ -160,7 +160,41 @@ class LinearKalmanSmoother(stateSize: Int, measurementSize: Int)
     out
   }
 
+  /** Full-pass RTS at InternalRow level: forward kernel (one exchange on
+    * stateKey + sort), then the backward kernel over a LOCAL re-sort of the
+    * same partitions — the forward output is already key-partitioned
+    * physically, so the second exchange of the encoder path is gone
+    * (2 Exchange → 1). Bit-exact vs [[smoothEncoderBatch]]
+    * (KalmanKernelPinSpec). */
   def smooth(df: DataFrame): DataFrame = {
+    val compute = new LinearKalmanCompute(stateSize, measurementSize, 1.0)
+    val fwdKernel = new RtsForwardRowKernel(compute, defaults,
+      hasMM = measurementModelCol.isDefined,
+      hasMN = measurementNoiseCol.isDefined,
+      hasPM = processModelCol.isDefined,
+      hasPN = processNoiseCol.isDefined,
+      hasCtl = controlCol.isDefined,
+      hasCtlFn = controlFunctionCol.isDefined,
+      hasIM = initialStateDistributionCol.isDefined || initialStateMeanCol.isDefined,
+      hasIC = initialStateDistributionCol.isDefined || initialStateCovarianceCol.isDefined)
+    val fwdDF = StatefulStage.batchRows(kalmanProjection(df),
+      RtsForwardRowKernel.outputSchema, assumeUnique = assumeUniqueEventTimes)(fwdKernel.run)
+    val bwdKernel = new RtsBackwardRowKernel(stateSize)
+    val smoothed = StatefulStage.mapSortedPartitions(fwdDF,
+      Seq(col("stateKey"), col("stateIndex").desc),
+      RtsBackwardRowKernel.outputSchema)(bwdKernel.run)
+    var out = smoothed
+    stateKeyCol.foreach(c => out = out.withColumnRenamed("stateKey", c))
+    eventTimeCol match {
+      case Some(c) => out = out.withColumnRenamed("eventTime", c)
+      case None => out = out.drop("eventTime")
+    }
+    out
+  }
+
+  /** Encoder-path RTS kept as the pin-spec reference (pre-kernel plan:
+    * two exchanges, Dataset-encoder boundary on both passes). */
+  private[graft] def smoothEncoderBatch(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val fwdSpec = new ForwardSpec(new LinearKalmanCompute(stateSize, measurementSize, 1.0), defaults)

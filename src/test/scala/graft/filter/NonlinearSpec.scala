@@ -312,15 +312,14 @@ class NonlinearSpec extends AnyFunSuite with SparkTestSession {
     // deterministic tie order; with the caller-declared unique-(key,time)
     // invariant the hash column vanishes (8 bytes/row off the external
     // sort key) and results are bit-identical on tie-free data
-    val base = configure(new LinearKalmanFilter(1, 1)).transform(lltData)
-    val slim = configure(new LinearKalmanFilter(1, 1))
-      .setAssumeUniqueEventTimes().transform(lltData)
-    // (on local relations the hash itself constant-folds into the scan, so
-    // assert on the sort key column, which always shows in the Sort node)
-    assert(base.queryExecution.executedPlan.toString.contains("__rowSeq"))
-    val p = slim.queryExecution.executedPlan.toString
+    // Round 14: the sort runs in the kernel's INNER plan (the outer explain
+    // only shows Scan ExistingRDD), so assert on batchInnerPlan
+    val base = configure(new LinearKalmanFilter(1, 1))
+    val slim = configure(new LinearKalmanFilter(1, 1)).setAssumeUniqueEventTimes()
+    assert(base.batchInnerPlan(lltData).contains("__rowSeq"))
+    val p = slim.batchInnerPlan(lltData)
     assert(!p.contains("__rowSeq") && !p.contains("xxhash64"), p.take(2000))
-    assert(means(base) == means(slim))
+    assert(means(base.transform(lltData)) == means(slim.transform(lltData)))
   }
 
   test("sigma-point bound setters validate the bound length") {
