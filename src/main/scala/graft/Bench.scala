@@ -61,6 +61,26 @@ object Bench {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query executor-CPU / job-count attribution (round 14, VERDICT r13
+    // item 2): the 8-core scaling control kept reading ~= the 32-core run
+    // because most queries sit on the per-query scheduler floor at sf0.1;
+    // CPU and job columns in bench.json let the driver separate real
+    // compute from that floor. ADDITIVE artifact fields only — the timed
+    // region (exec = toRdd.count per rep) and the stdout line are
+    // unchanged; counters are snapshotted OUTSIDE the timed window and the
+    // listener drain happens after the rep's clock stops.
+    val cpuAcc = new java.util.concurrent.atomic.AtomicLong(0L) // ns
+    val jobAcc = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobAcc.incrementAndGet()
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        cpuAcc.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+    })
+    def drainListeners(): Unit =
+      org.apache.spark.graftbridge.CoreBridge.waitListenerBusEmpty(spark.sparkContext, 2000)
+    val cpuTimes = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    val jobCounts = scala.collection.mutable.Map[String, Int]()
     val t0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - t0) / 1e9
     // optional comma-separated subset for targeted iteration (full run default)
@@ -199,9 +219,15 @@ object Bench {
       }
       val retriedJson = retried.toSeq.sorted.map(jq).mkString("[", ",", "]")
       val repsEffJson = measured.map(n => jq(n) + ":" + times(n).size).mkString("{", ",", "}")
+      // per-query executor CPU (min over reps, contention-robust like the
+      // wall minima) and job count — bench.json only, never the stdout line
+      val cpuJson = measured.filter(cpuTimes(_).nonEmpty)
+        .map(n => jq(n) + ":" + r4(cpuTimes(n).min)).mkString("{", ",", "}")
+      val jobsJson = measured.filter(jobCounts.contains)
+        .map(n => jq(n) + ":" + jobCounts(n)).mkString("{", ",", "}")
       val reasonsJson = contendedReasons.toSeq.map(jq).mkString("[", ",", "]")
       val fullLine =
-        s"""{"metric":"total","value":${r4(totalMin)},"unit":"sec","stat":"min","partial":$partial,"covered":${measured.size},"book":${names.size},"queries":$qsMin,"errors":$errJson,"reps":$reps,"reps_effective_min":$repsEffMin,"reps_effective":$repsEffJson,"sf":${jq(sfDir)},"total_min":${r4(totalMin)},"total_median":${r4(total)},"queries_min":$qsMin,"queries_median":$qs,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended,"contended_reasons":$reasonsJson,"uniform_inflation_uncorroborated":$uniformAlone,"retried":$retriedJson$vsBaselineJson}"""
+        s"""{"metric":"total","value":${r4(totalMin)},"unit":"sec","stat":"min","partial":$partial,"covered":${measured.size},"book":${names.size},"queries":$qsMin,"errors":$errJson,"reps":$reps,"reps_effective_min":$repsEffMin,"reps_effective":$repsEffJson,"sf":${jq(sfDir)},"total_min":${r4(totalMin)},"total_median":${r4(total)},"queries_min":$qsMin,"queries_median":$qs,"queries_cpu":$cpuJson,"queries_jobs":$jobsJson,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"contended":$contended,"contended_reasons":$reasonsJson,"uniform_inflation_uncorroborated":$uniformAlone,"retried":$retriedJson$vsBaselineJson}"""
       writeAtomic("bench.json", fullLine + "\n")
       writeAtomic("bench_raw.json",
         s"""{"raw":$raw,"loadavg_before":${jq(loadBefore)},"loadavg_after":${jq(loadAfter)},"reps":$reps,"partial":$partial,"sf":${jq(sfDir)}}""" + "\n")
@@ -257,11 +283,16 @@ object Bench {
         xs.min < 1.0 && (xs.max - xs.min) <= 0.15 * xs.min + 0.05
       }
       if ((rep == 1 || elapsedS < budgetS) && !cheapDone) {
+        drainListeners()
+        val cpu0 = cpuAcc.get; val jobs0 = jobAcc.get
         val s0 = System.nanoTime()
         try {
           exec(name)
           val dt = (System.nanoTime() - s0) / 1e9
           times(name) = dt :: times(name)
+          drainListeners() // outside the timed window
+          cpuTimes(name) = (cpuAcc.get - cpu0) / 1e9 :: cpuTimes(name)
+          jobCounts(name) = jobAcc.get - jobs0
           System.err.println(f"[bench] rep$rep $name ${dt}%.2fs (total ${elapsedS}%.1fs)")
         } catch { case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}"
@@ -286,11 +317,15 @@ object Bench {
         while (flagged && extra < 2 && elapsedS < budgetS * 1.2) {
           extra += 1
           if (!retried.contains(name)) retried += name
+          drainListeners()
+          val cpu0 = cpuAcc.get
           val s0 = System.nanoTime()
           try {
             exec(name)
             val dt = (System.nanoTime() - s0) / 1e9
             times(name) = dt :: times(name)
+            drainListeners()
+            cpuTimes(name) = (cpuAcc.get - cpu0) / 1e9 :: cpuTimes(name)
             System.err.println(f"[bench] retry$extra $name ${dt}%.2fs (contention adjudication)")
           } catch { case _: Throwable => extra = 2 } // warm rep failed: keep original reps
           writeArtifacts(partial = true)
