@@ -923,11 +923,23 @@ object PrefixFilterJoin {
       .withColumn("len", count(lit(1)).over(byDoc))
       .where(col("rn") <=
         col("len") - expr(s"($tauMilli * len + 999) div 1000") + 1)
-      .select(col("tok"), col("sid"), col("len")))
-    val cands = prefix.select(col("tok"), col("sid").as("a"), col("len").as("_la"))
-      .join(prefix.select(col("tok"), col("sid").as("b"), col("len").as("_lb")), Seq("tok"))
+      .select(col("tok"), col("sid"), col("len"), col("rn")))
+    // PPJoin POSITIONAL filter (round 14, Xiao et al. WWW'08 §3.2): both
+    // docs list tokens in the SAME global (df, tok) order, so for a shared
+    // token at ranks (ra, rb), common elements before it number at most
+    // min(ra−1, rb−1) and common elements from it on at most
+    // 1 + min(la−ra, lb−rb) — an overlap upper bound that holds for EVERY
+    // shared-token event, not just the first. The verify keeps a pair iff
+    // floor(1000·I div U) ≥ τmilli ⟺ I ≥ ⌈τmilli(la+lb)/(1000+τmilli)⌉,
+    // so an event whose bound misses that α can be dropped; a true pair's
+    // every event has bound ≥ I ≥ α, hence survives — zero false drops
+    // (pinned by DedupSkewSpec's brute-force equality).
+    val cands = prefix.select(col("tok"), col("sid").as("a"), col("len").as("_la"), col("rn").as("_ra"))
+      .join(prefix.select(col("tok"), col("sid").as("b"), col("len").as("_lb"), col("rn").as("_rb")), Seq("tok"))
       .where(col("a") < col("b") &&
-        expr(s"(least(_la, _lb) * 1000) div greatest(_la, _lb) >= $tauMilli"))
+        expr(s"(least(_la, _lb) * 1000) div greatest(_la, _lb) >= $tauMilli") &&
+        expr(s"least(_ra, _rb) + least(_la - _ra, _lb - _rb) >= " +
+          s"($tauMilli * (_la + _lb) + ${1000 + tauMilli - 1}) div ${1000 + tauMilli}"))
       .select(col("a"), col("b")).distinct()
     // SHUFFLE_HASH on the sets side (round 13): left to AQE, both verify
     // joins broadcast the WIDE side — the (a, b) pair table and then the

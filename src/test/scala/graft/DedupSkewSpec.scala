@@ -200,4 +200,46 @@ class DedupSkewSpec extends AnyFunSuite with SparkTestSession {
       s"raw-normalized=${rawNormalized.size} collapsed=${collapsed.size}")
     assert(collapsed.nonEmpty, "fixture must produce cross-content pairs")
   }
+
+  test("prefix+positional filtered join equals the brute-force tau-join (no false drops)") {
+    // Round 14: the candidate join gained the PPJoin positional filter —
+    // prove losslessness by comparing against the O(n²) cross join at
+    // several thresholds over a corpus dense in borderline pairs.
+    import graft.dedup.PrefixFilterJoin
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 18).map(i => s"w$i")
+    val base = (0 until 90).map { i =>
+      val n = 4 + rnd.nextInt(10)
+      val words = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }
+    // plant exact-set twins (J=1000) and drop-one-word near-twins
+    // (J=(n-1)/n >= 857 for n >= 7 distinct words) so the tau=0.85 band is
+    // populated too
+    val twins = base.filter(_._1 % 5 == 0).map { case (id, t) => (id + 1000L, t) }
+    val nearTwins = base.collect { case (id, t) if t.split(" ").distinct.length >= 8 =>
+      (id + 2000L, t.split(" ").distinct.drop(1).mkString(" "))
+    }
+    val docs = (base ++ twins ++ nearTwins).toDF("doc_id", "text")
+    for (tauMilli <- Seq(500L, 700L, 850L)) {
+      val fast = PrefixFilterJoin.jaccardPairs(docs, "doc_id", "text", tauMilli, shingle = 1)
+        .select("a", "b", "jaccard_milli").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sets = docs.select(col("doc_id").as("sid"),
+        sort_array(array_distinct(split(col("text"), " "))).as("ts"))
+      val brute = sets.as("x").join(sets.as("y"), col("x.sid") < col("y.sid"))
+        .select(col("x.sid").as("a"), col("y.sid").as("b"),
+          size(array_intersect(col("x.ts"), col("y.ts"))).cast("long").as("ni"),
+          size(array_union(col("x.ts"), col("y.ts"))).cast("long").as("nu"))
+        .withColumn("jm", expr("ni * 1000 div nu"))
+        .where(col("jm") >= tauMilli)
+        .select("a", "b", "jm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == brute,
+        s"tau=$tauMilli: fast=${fast.size} brute=${brute.size} " +
+          s"missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
+      assert(brute.nonEmpty, s"tau=$tauMilli fixture must produce pairs")
+    }
+  }
 }
