@@ -652,11 +652,34 @@ object Dedup {
   * from distinct caller threads). Sequential re-invocations from one thread
   * (the bench loop) still reuse the tag, so accumulation stays bounded by
   * (#tags x #threads). A caller that needs two live projections of the same
-  * operator on one thread should persist/unpersist itself. */
+  * operator on one thread should persist/unpersist itself.
+  *
+  * Known cross-TAG aliasing (round-13 advice, accepted + documented):
+  * plan-identical frames registered under different tags (banded_cands /
+  * banded_pairs / banded_groups are all bandedFromSigs(sigs)) share ONE
+  * CacheManager entry keyed by canonical plan; a later swap on one tag
+  * unpersists that shared entry and silently un-caches the other live
+  * tag. Strictly perf-only (the orphaned handle recomputes lazily), and
+  * only when one query composes two such operators — the declared queries
+  * each use one. Operators composing several banded consumers must not
+  * rely on both caches surviving; use the signatures() external table. */
 private[graft] object CachedProjections {
   private val live = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val order = new java.util.concurrent.ConcurrentHashMap[String, java.util.ArrayDeque[String]]()
+  /** Two live projections per (tag, thread): one query composing TWO
+    * invocations of the same operator over DIFFERENT inputs (e.g. bm25 on
+    * two corpora) keeps both caches live — round-13 advice: the single
+    * slot dropped the first invocation's cache at build time. Bounded at
+    * SlotsPerTag × #tags × #threads. */
+  private val SlotsPerTag = 2
   def swap(tag: String, df: DataFrame): DataFrame = {
-    val key = tag + "@" + Thread.currentThread().getId
+    val bucket = tag + "@" + Thread.currentThread().getId
+    // slot key includes the canonical-plan hash (round 14): distinct
+    // inputs get distinct slots, so a second same-operator invocation in
+    // one query no longer evicts the first's cache. A 32-bit semanticHash
+    // collision merely merges two slots (recompute, never wrong data —
+    // the returned frame is always the caller's own).
+    val key = bucket + "#" + java.lang.Integer.toHexString(df.queryExecution.analyzed.semanticHash())
     // ORDER MATTERS (round-13 fix): a re-invocation of the same operator
     // builds a plan-identical projection, and CacheManager matches cache
     // entries by canonical plan — persisting the new frame FIRST reuses the
@@ -665,6 +688,14 @@ private[graft] object CachedProjections {
     // q_jaccard_join plan showed the corpus shingle pass computed 4×).
     // Unpersist the previous holder BEFORE registering the new one.
     Option(live.remove(key)).foreach(_.unpersist(blocking = false))
+    val dq = order.computeIfAbsent(bucket, _ => new java.util.ArrayDeque[String]())
+    dq.synchronized {
+      dq.remove(key)
+      dq.addLast(key)
+      while (dq.size > SlotsPerTag) {
+        Option(live.remove(dq.removeFirst())).foreach(_.unpersist(blocking = false))
+      }
+    }
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     live.put(key, cached)
     cached

@@ -62,6 +62,21 @@ case class IntersectCountSortedExpr(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "intersect_count_sorted"
 
+  /** Reject unsupported element types at ANALYSIS time (round-13 advice:
+    * the lazy-val check surfaced mid-job as IllegalArgumentException). The
+    * sorted+deduplicated input contract stays at the call sites, which
+    * canonicalize with sort_array(array_distinct(...)). */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) |
+           (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<long> or two array<string> arguments, " +
+            s"got ${l.simpleString(100)} and ${r.simpleString(100)}")
+    }
+
   private lazy val isLong: Boolean = left.dataType match {
     case ArrayType(LongType, _) => true
     case ArrayType(StringType, _) => false

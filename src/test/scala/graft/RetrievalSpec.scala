@@ -309,4 +309,27 @@ class RetrievalSpec extends AnyFunSuite with SparkTestSession {
       ("click", 2L, 4L, 22L, 3L, 1000L),
       ("view", 2L, 2L, 22L, 1L, 1000L)), s"got ${out.mkString(";")}")
   }
+
+  test("two bm25 invocations over different corpora keep BOTH tf caches live (de-aliased swap slots)") {
+    import spark.implicits._
+    val corpusA = Seq((1L, "apple banana apple"), (2L, "apple cherry")).toDF("doc_id", "text")
+    val corpusB = Seq((1L, "durian fig durian"), (2L, "fig grape")).toDF("doc_id", "text")
+    val qa = Seq("apple").toDF("term")
+    val qb = Seq("durian").toDF("term")
+    // build A first, then B: with the old single slot per (tag, thread),
+    // B's swap("bm25_tf", ...) unpersisted A's tf table at BUILD time and
+    // A executed with no cache at all (round-13 advice)
+    val a = Retrieval.bm25(corpusA, "doc_id", "text", qa)
+    val b = Retrieval.bm25(corpusB, "doc_id", "text", qb)
+    val planA = a.queryExecution.executedPlan.toString
+    val planB = b.queryExecution.executedPlan.toString
+    assert(planA.contains("InMemoryTableScan") || planA.contains("Scan In-memory"),
+      "corpus A's tf cache was evicted by corpus B's swap:\n" + planA.take(2000))
+    assert(planB.contains("InMemoryTableScan") || planB.contains("Scan In-memory"),
+      planB.take(2000))
+    // and both still compute correct results side by side
+    val resA = a.collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val resB = b.collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(resA.keySet == Set(1L, 2L) && resB.keySet == Set(1L))
+  }
 }
