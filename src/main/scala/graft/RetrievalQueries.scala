@@ -212,7 +212,7 @@ object RetrievalQueries {
       val nh = history.count()
       val k = math.max(16, ((nh + 15L) / 16L).toInt) // k ∝ N: ~16-vector cells
       val (model, index) = Similarity.ivfTrainIndexDist(history, "vec_id", "embedding", k,
-        iters = 2, coarseIters = 2)
+        iters = 2, coarseIters = 2, nRows = Some(nh))
       Similarity.ivfProbeIndexDist(model, index, batch, "vec_id", "qid", "qv", k = 8)
         .orderBy(col("qid"), col("rank"))
     })
