@@ -309,12 +309,13 @@ abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { s
     * model column's params when set. */
   protected def initialParamsColExpr: Option[org.apache.spark.sql.Column] = None
 
-  def transform(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** Canonical 9-column MixIn projection — shared by the encoder path and
+    * the InternalRow kernel (fixed ordinals + the SAME __rowSeq tiebreak
+    * hash domain on both paths). */
+  private def mixProjection(df: DataFrame): DataFrame = {
     val keyExpr = stateKeyCol.map(c => col(c).cast("string")).getOrElse(lit(getClass.getSimpleName + ".default"))
     val timeExpr = eventTimeCol.map(c => col(c).cast("timestamp")).getOrElse(lit(null).cast("timestamp"))
-    val in = df.select(
+    df.select(
       keyExpr.as("stateKey"),
       timeExpr.as("eventTime"),
       sampleExpr.as("sample"),
@@ -331,18 +332,45 @@ abstract class MixtureBase[Impl <: MixtureBase[Impl]](val mixtureCount: Int) { s
       initialParamsColExpr
         .orElse(initialMixtureModelCol.map(c => col(c).getField("params").cast("array<array<double>>")))
         .getOrElse(lit(null).cast("array<array<double>>")).as("initialParams")
-    ).as[MixIn]
+    )
+  }
+
+  def transform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val out = (if (batchTrainEnabled) {
       require(!df.isStreaming, "batch EM training requires a batch DataFrame")
-      StatefulStage.batch(in,
+      StatefulStage.batch(mixProjection(df).as[MixIn],
         new BatchEmSpec(family, mixtureCount, initialWeights, initialParams,
           batchTrainMaxIter, batchTrainTol)).toDF()
-    } else {
-      StatefulStage.run(in,
+    } else if (df.isStreaming) {
+      StatefulStage.run(mixProjection(df).as[MixIn],
         new MixtureSpec(family, mixtureCount, initialWeights, initialParams),
         StageConf(timeoutMode, timeoutDuration, watermarkDuration)).toDF()
+    } else {
+      // InternalRow kernel (round 14): the online stochastic-EM fold
+      // without the per-row Dataset-encoder round trip
+      val kernel = new MixtureRowKernel(family, mixtureCount, initialWeights, initialParams)
+      StatefulStage.batchRows(mixProjection(df), MixtureRowKernel.outputSchema,
+        assumeUnique = false)(kernel.run)
     })
     var res = out
+    stateKeyCol.foreach(c => res = res.withColumnRenamed("stateKey", c))
+    eventTimeCol match {
+      case Some(c) => res = res.withColumnRenamed("eventTime", c)
+      case None => res = res.drop("eventTime")
+    }
+    res
+  }
+
+  /** Encoder-path batch execution kept as the pin-spec reference. */
+  private[graft] def transformEncoderBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(!batchTrainEnabled && !df.isStreaming)
+    var res = StatefulStage.batch(mixProjection(df).as[MixIn],
+      new MixtureSpec(family, mixtureCount, initialWeights, initialParams),
+      StageConf(timeoutMode, timeoutDuration, watermarkDuration)).toDF()
     stateKeyCol.foreach(c => res = res.withColumnRenamed("stateKey", c))
     eventTimeCol match {
       case Some(c) => res = res.withColumnRenamed("eventTime", c)
